@@ -1,0 +1,99 @@
+"""Golden-fixture tier tests: every rolled-up point at every tier must be
+BIT-identical to the independent pandas oracle (BASELINE.json north_star)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import oracle
+from workbook_exporter_fe_ray.sources import read_points_input
+from workbook_exporter_fe_ray.stages.points import derive_points
+from workbook_exporter_fe_ray.stages.rollup import (
+    cascade_from_tier,
+    cascade_rollup,
+    rollup_tier,
+    split_tiers,
+)
+
+
+def _tier_to_df(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    df["bucket_ts_us"] = df["bucket_ts"].astype("int64")
+    df = df.sort_values(["source", "bucket_ts_us"], kind="stable").reset_index(drop=True)
+    return df[["source", "bucket_ts_us", "count", "sum", "min", "max", "mean"]]
+
+
+def _assert_bit_identical(got: pd.DataFrame, want: pd.DataFrame, tier: str):
+    want = want.sort_values(["source", "bucket_ts_us"], kind="stable").reset_index(
+        drop=True
+    )
+    assert len(got) == len(want), f"{tier}: row count {len(got)} != {len(want)}"
+    assert list(got["source"]) == list(want["source"]), f"{tier}: source mismatch"
+    for col in ("bucket_ts_us", "count", "sum", "min", "max"):
+        np.testing.assert_array_equal(
+            got[col].to_numpy(), want[col].to_numpy(), err_msg=f"{tier}:{col}"
+        )
+    # float64 bit-pattern equality for mean
+    gm = got["mean"].to_numpy(np.float64).view(np.int64)
+    wm = want["mean"].to_numpy(np.float64).view(np.int64)
+    np.testing.assert_array_equal(gm, wm, err_msg=f"{tier}:mean bits")
+
+
+@pytest.fixture(scope="module")
+def oracle_tiers(sf_test_paths):
+    pts = oracle.read_points(sf_test_paths)
+    return oracle.all_tiers(pts)
+
+
+@pytest.fixture(scope="module")
+def engine_rollup(sf_test_paths):
+    pts = derive_points(read_points_input(sf_test_paths))
+    return cascade_rollup(pts).materialize()
+
+
+@pytest.mark.parametrize("tier", ["1m", "5m", "1h", "1d"])
+def test_cascade_tier_bit_identical(engine_rollup, oracle_tiers, tier):
+    got = _tier_to_df(split_tiers(engine_rollup)[tier])
+    _assert_bit_identical(got, oracle_tiers[tier], tier)
+
+
+def test_generic_rollup_matches_cascade_1m(sf_test_paths, oracle_tiers):
+    """The generic two-phase salted path (no dedup) over pre-deduplicated
+    points must equal the oracle 1m tier — and be salt-invariant."""
+    pts_df = oracle.read_points(sf_test_paths)
+    import ray.data
+
+    ds = ray.data.from_pandas(pts_df.rename(columns={"ts_us": "ts"})).repartition(8)
+    for salt in (None, 4):
+        out = rollup_tier(ds, 60, value_col="n_tok", salt_mod=salt)
+        df = out.to_pandas()
+        df["bucket_ts_us"] = df["bucket_ts"].astype("int64")
+        df["sum"] = df["sum"].astype("int64")
+        df["mean"] = df["sum"].to_numpy(np.int64).astype(np.float64) / df[
+            "count"
+        ].to_numpy(np.int64).astype(np.float64)
+        df = df.sort_values(["source", "bucket_ts_us"], kind="stable").reset_index(
+            drop=True
+        )
+        _assert_bit_identical(
+            df[["source", "bucket_ts_us", "count", "sum", "min", "max", "mean"]],
+            oracle_tiers["1m"],
+            f"generic-1m salt={salt}",
+        )
+
+
+def test_cascade_from_tier_associativity(engine_rollup, oracle_tiers):
+    """1h built from the 5m tier's partials == 1h built from raw (cascade
+    correctness / associativity)."""
+    t5 = split_tiers(engine_rollup)["5m"]
+    t1h = cascade_from_tier(t5, 3600)
+    df = t1h.to_pandas()
+    df["bucket_ts_us"] = df["bucket_ts"].astype("int64")
+    df = df.sort_values(["source", "bucket_ts_us"], kind="stable").reset_index(drop=True)
+    _assert_bit_identical(
+        df[["source", "bucket_ts_us", "count", "sum", "min", "max", "mean"]],
+        oracle_tiers["1h"],
+        "1h-from-5m",
+    )

@@ -1,0 +1,291 @@
+"""Cascading continuous aggregates (1m→5m→1h→1d) over point streams.
+
+Two execution strategies, both exact:
+
+1. :func:`cascade_rollup` — the flagship path for the authoritative
+   tokenized-sequence input. ONE all-to-all shuffle total: points are
+   grouped by ``(source, day)`` and a vectorized ``map_groups`` kernel
+   performs exact dedup on ``(source, ts)`` plus the entire 4-tier
+   cascade locally (tier t+1 is genuinely computed from tier t's
+   partials — count/sum/min/max re-aggregate associatively, mean is a
+   single ``sum/count`` division at the end, so every float is
+   bit-deterministic regardless of block arrival order).
+
+   Skew note (north rule): the hot ``source`` key (~30% of rows) is
+   spread across its time axis by including the day bucket in the
+   shuffle key — every group is bounded at ≤1440 raw points, so no
+   reducer can straggle no matter how skewed ``source`` is. This is
+   salting with a semantic salt (the day) instead of a random one,
+   which lets dedup/gap-fill/compression reuse the same partitioning.
+
+2. :func:`rollup_tier` / :func:`cascade_from_tier` — generic two-phase
+   salted aggregation for arbitrary (possibly float-valued) point
+   streams: per-block partial aggregation inside ``map_batches``
+   (the combiner — collapses each block to its distinct keys *before*
+   the exchange, which is what makes the shuffle cheap at 100 TB),
+   optionally an explicit salted intermediate ``groupby`` for
+   pathological per-key bucket cardinality, then a final small
+   ``groupby`` merge of partials.
+
+Reference parity: the reference folds rows into nested dicts keyed by
+hostname (``/root/reference/workbook_exporter-fe.py:125-129,196-205``,
+SURVEY.md §2.5 A1) — a sequential group-by-key aggregate; its "run all"
+cascade re-reads shared outputs (``:1803-1805``). Here the cascade is a
+real partial/final aggregation tree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+from ..schema import DEFAULT_TIERS, US, TierSpec
+
+DAY_US = 86_400 * US
+
+
+# ---------------------------------------------------------------------------
+# Strategy 1: single-shuffle cascade (authoritative input)
+# ---------------------------------------------------------------------------
+
+
+def _add_day(batch: pa.Table) -> pa.Table:
+    ts_us = pc.cast(batch["ts"], pa.int64())
+    day = pc.multiply(pc.divide(ts_us, DAY_US), DAY_US)  # floor: ts_us >= 0
+    return batch.append_column("day", pc.cast(day, pa.int64()))
+
+
+def _cascade_group(group: pa.Table, tiers: Sequence[TierSpec]) -> pa.Table:
+    """Dedup + full tier cascade for one (source, day) group. Vectorized."""
+    ts = pc.cast(group["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    val = group["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    order = np.argsort(ts, kind="stable")
+    ts, val = ts[order], val[order]
+    # exact dedup on (source, ts): first occurrence wins (duplicate rows
+    # in the authoritative input are byte-identical, so "first" == "any")
+    keep = np.ones(len(ts), dtype=bool)
+    keep[1:] = ts[1:] != ts[:-1]
+    ts, val = ts[keep], val[keep]
+
+    source = group["source"][0].as_py()
+
+    out_tier: list[str] = []
+    out_bucket: list[np.ndarray] = []
+    out_count: list[np.ndarray] = []
+    out_sum: list[np.ndarray] = []
+    out_min: list[np.ndarray] = []
+    out_max: list[np.ndarray] = []
+
+    # tier 0 partials start as the raw points themselves
+    p_bucket, p_count, p_sum, p_min, p_max = (
+        ts,
+        np.ones(len(ts), dtype=np.int64),
+        val,
+        val,
+        val,
+    )
+    for spec in tiers:
+        b = (p_bucket // spec.bucket_us) * spec.bucket_us
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        p_bucket = b[starts]
+        p_count = np.add.reduceat(p_count, starts)
+        p_sum = np.add.reduceat(p_sum, starts)
+        p_min = np.minimum.reduceat(p_min, starts)
+        p_max = np.maximum.reduceat(p_max, starts)
+        out_tier.append(spec.name)
+        out_bucket.append(p_bucket)
+        out_count.append(p_count)
+        out_sum.append(p_sum)
+        out_min.append(p_min)
+        out_max.append(p_max)
+
+    n_rows = [len(b) for b in out_bucket]
+    tier_col = pa.array(
+        np.repeat(np.arange(len(tiers)), n_rows),
+    ).cast(pa.int8())
+    tier_names = pa.DictionaryArray.from_arrays(
+        tier_col, pa.array([t.name for t in tiers])
+    ).cast(pa.string())
+    bucket = np.concatenate(out_bucket)
+    cnt = np.concatenate(out_count)
+    s = np.concatenate(out_sum)
+    return pa.table(
+        {
+            "tier": tier_names,
+            "source": pa.array([source] * int(sum(n_rows)), pa.string()),
+            "bucket_ts": pa.array(bucket).cast(pa.timestamp("us")),
+            "count": pa.array(cnt, pa.int64()),
+            "sum": pa.array(s, pa.int64()),
+            "min": pa.array(np.concatenate(out_min), pa.int32()),
+            "max": pa.array(np.concatenate(out_max), pa.int32()),
+            # the ONLY float op: one division of exact int64s → bit-deterministic
+            "mean": pa.array(s.astype(np.float64) / cnt.astype(np.float64)),
+        }
+    )
+
+
+def cascade_rollup(
+    points: ray.data.Dataset, tiers: Sequence[TierSpec] = DEFAULT_TIERS
+) -> ray.data.Dataset:
+    """Points → all-tier rollup rows (tier, source, bucket_ts, count, sum,
+    min, max, mean) in one shuffle. Includes exact dedup on (source, ts)."""
+    if not tiers:
+        raise ValueError("cascade_rollup requires at least one TierSpec")
+    with_day = points.map_batches(_add_day, batch_format="pyarrow", zero_copy_batch=True)
+    return with_day.groupby(["source", "day"]).map_groups(
+        lambda g: _cascade_group(g, tiers), batch_format="pyarrow"
+    )
+
+
+def split_tiers(
+    rollup: ray.data.Dataset, tiers: Sequence[TierSpec] = DEFAULT_TIERS
+) -> dict[str, ray.data.Dataset]:
+    """Split the tagged cascade output into one Dataset per tier."""
+    out = {}
+    for spec in tiers:
+        name = spec.name
+        out[name] = rollup.filter(
+            expr=f"tier == '{name}'"
+        ).drop_columns(["tier"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Strategy 2: generic two-phase (partial/final) salted rollup
+# ---------------------------------------------------------------------------
+
+
+def _partial_agg_batch(
+    batch: pa.Table, bucket_us: int, value_col: str, ts_col: str, key_col: str
+) -> pa.Table:
+    """Per-block combiner: collapse a block to per-(key, bucket) partials."""
+    ts_us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+    bucket = pc.multiply(pc.divide(ts_us, bucket_us), bucket_us)
+    t = pa.table(
+        {
+            "source": batch[key_col],
+            "bucket_ts": bucket,
+            "v": batch[value_col],
+        }
+    )
+    g = t.group_by(["source", "bucket_ts"]).aggregate(
+        [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")]
+    )
+    return pa.table(
+        {
+            "source": g["source"],
+            "bucket_ts": g["bucket_ts"],
+            "count": pc.cast(g["v_count"], pa.int64()),
+            "sum": g["v_sum"],
+            "min": g["v_min"],
+            "max": g["v_max"],
+        }
+    )
+
+
+def _merge_partials(ds: ray.data.Dataset, salt_mod: int | None) -> ray.data.Dataset:
+    """groupby-(source,bucket) merge of partial rows; optional explicit
+    salted pre-merge for pathological key cardinality."""
+    aggs = [Sum("count"), Sum("sum"), Min("min"), Max("max")]
+
+    if salt_mod is not None and salt_mod > 1:
+        def _salt(b: pa.Table) -> pa.Table:
+            # row-position salt: spreads rows of the SAME hot key across
+            # reducers in the pre-merge. Routing-only — the merge is an
+            # exact associative combine, so output is salt-invariant.
+            salt = pa.array(np.arange(len(b), dtype=np.int32) % salt_mod)
+            return b.append_column("salt", salt)
+
+        salted = ds.map_batches(_salt, batch_format="pyarrow")
+        pre = salted.groupby(["source", "bucket_ts", "salt"]).aggregate(*aggs)
+        ds = pre.map_batches(
+            lambda b: _rename_merged(b).drop_columns(["salt"]), batch_format="pyarrow"
+        )
+
+    merged = ds.groupby(["source", "bucket_ts"]).aggregate(*aggs)
+    return merged.map_batches(_rename_merged, batch_format="pyarrow")
+
+
+def _rename_merged(batch: pa.Table) -> pa.Table:
+    mapping = {
+        "sum(count)": "count",
+        "sum(sum)": "sum",
+        "min(min)": "min",
+        "max(max)": "max",
+    }
+    return batch.rename_columns([mapping.get(c, c) for c in batch.column_names])
+
+
+def _finalize_mean(batch: pa.Table) -> pa.Table:
+    mean = pc.divide(
+        pc.cast(batch["sum"], pa.float64()), pc.cast(batch["count"], pa.float64())
+    )
+    bucket = pc.cast(batch["bucket_ts"], pa.timestamp("us"))
+    return (
+        batch.set_column(batch.schema.get_field_index("bucket_ts"), "bucket_ts", bucket)
+        .append_column("mean", mean)
+    )
+
+
+def rollup_tier(
+    points: ray.data.Dataset,
+    bucket_s: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str = "source",
+    salt_mod: int | None = None,
+) -> ray.data.Dataset:
+    """Generic single-tier rollup of an arbitrary point stream:
+    per-block partial agg (combiner) → [salted merge] → final merge → mean."""
+    bucket_us = bucket_s * US
+    partials = points.map_batches(
+        lambda b: _partial_agg_batch(b, bucket_us, value_col, ts_col, key_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merged = _merge_partials(partials, salt_mod)
+    return merged.map_batches(_finalize_mean, batch_format="pyarrow")
+
+
+def cascade_from_tier(
+    tier: ray.data.Dataset, coarser_bucket_s: int, salt_mod: int | None = None
+) -> ray.data.Dataset:
+    """Continuous-aggregate step: build a coarser tier from a finer tier's
+    partials (count/sum/min/max re-aggregate; mean re-derived)."""
+    bucket_us = coarser_bucket_s * US
+
+    def _rebucket(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(b["bucket_ts"], pa.timestamp("us")), pa.int64())
+        bucket = pc.multiply(pc.divide(ts_us, bucket_us), bucket_us)
+        cols = {
+            "source": b["source"],
+            "bucket_ts": bucket,
+            "count": b["count"],
+            "sum": b["sum"],
+            "min": b["min"],
+            "max": b["max"],
+        }
+        t = pa.table(cols)
+        g = t.group_by(["source", "bucket_ts"]).aggregate(
+            [("count", "sum"), ("sum", "sum"), ("min", "min"), ("max", "max")]
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "bucket_ts": g["bucket_ts"],
+                "count": g["count_sum"],
+                "sum": g["sum_sum"],
+                "min": g["min_min"],
+                "max": g["max_max"],
+            }
+        )
+
+    partials = tier.map_batches(_rebucket, batch_format="pyarrow", zero_copy_batch=True)
+    merged = _merge_partials(partials, salt_mod)
+    return merged.map_batches(_finalize_mean, batch_format="pyarrow")
