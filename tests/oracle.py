@@ -106,3 +106,67 @@ def gapfill_linear(tier: pd.DataFrame, bucket_s: int) -> pd.DataFrame:
             )
         )
     return pd.concat(frames, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Naive independent Gorilla codecs (bit-string based, deliberately slow)
+# ---------------------------------------------------------------------------
+
+
+def _b(v: int, w: int) -> str:
+    return format(v & ((1 << w) - 1), f"0{w}b")
+
+
+def _bits_to_bytes(s: str) -> bytes:
+    if not s:
+        return b""
+    pad = (-len(s)) % 8
+    s = s + "0" * pad
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def encode_dod_naive(ts) -> bytes:
+    ts = [int(t) for t in ts]
+    if len(ts) < 2:
+        return b""
+    out = []
+    deltas = [ts[i + 1] - ts[i] for i in range(len(ts) - 1)]
+    out.append(_b(deltas[0], 64))
+    for i in range(1, len(deltas)):
+        dod = deltas[i] - deltas[i - 1]
+        if dod == 0:
+            out.append("0")
+        elif -63 <= dod <= 64:
+            out.append("10" + _b(dod + 63, 7))
+        elif -255 <= dod <= 256:
+            out.append("110" + _b(dod + 255, 9))
+        elif -2047 <= dod <= 2048:
+            out.append("1110" + _b(dod + 2047, 12))
+        else:
+            out.append("1111" + _b(dod, 64))
+    return _bits_to_bytes("".join(out))
+
+
+def encode_xor_naive(vals) -> bytes:
+    import struct
+
+    bits = [struct.unpack("<Q", struct.pack("<d", float(v)))[0] for v in vals]
+    if len(bits) < 2:
+        return b""
+    out = []
+    plz = ptz = -1
+    for i in range(1, len(bits)):
+        x = bits[i] ^ bits[i - 1]
+        if x == 0:
+            out.append("0")
+            continue
+        s = _b(x, 64)
+        lz = min(len(s) - len(s.lstrip("0")), 31)
+        tz = len(s) - len(s.rstrip("0")) if x else 64
+        if plz >= 0 and lz >= plz and tz >= ptz:
+            out.append("10" + _b(x >> ptz, 64 - plz - ptz))
+        else:
+            mlen = 64 - lz - tz
+            out.append("11" + _b(lz, 5) + _b(mlen - 1, 6) + _b(x >> tz, mlen))
+            plz, ptz = lz, tz
+    return _bits_to_bytes("".join(out))

@@ -1,0 +1,106 @@
+"""Gap-fill correctness vs oracle + compression stage round-trip through Ray."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import oracle
+from workbook_exporter_fe_ray.sources import read_points_input
+from workbook_exporter_fe_ray.stages.compress import compress_chunks, decompress_chunks
+from workbook_exporter_fe_ray.stages.gapfill import gapfill
+from workbook_exporter_fe_ray.stages.points import derive_points
+from workbook_exporter_fe_ray.stages.rollup import cascade_rollup, split_tiers
+
+
+@pytest.fixture(scope="module")
+def tier_1m(sf_test_paths):
+    pts = derive_points(read_points_input(sf_test_paths))
+    return split_tiers(cascade_rollup(pts).materialize())["1m"].materialize()
+
+
+@pytest.fixture(scope="module")
+def oracle_1m(sf_test_paths):
+    return oracle.rollup(oracle.read_points(sf_test_paths), 60)
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["source", "bucket_ts_us"], kind="stable").reset_index(drop=True)
+    return df[["source", "bucket_ts_us", "value", "filled"]]
+
+
+@pytest.mark.parametrize("strategy", ["locf", "linear"])
+def test_gapfill_matches_oracle(tier_1m, oracle_1m, strategy):
+    got = gapfill(tier_1m, 60, strategy=strategy).to_pandas()
+    got["bucket_ts_us"] = got["bucket_ts"].astype("int64")
+    got = _norm(got)
+    want = (
+        oracle.gapfill_locf(oracle_1m, 60)
+        if strategy == "locf"
+        else oracle.gapfill_linear(oracle_1m, 60)
+    )
+    want = _norm(want)
+    assert len(got) == len(want)
+    assert list(got["source"]) == list(want["source"])
+    np.testing.assert_array_equal(got["bucket_ts_us"], want["bucket_ts_us"])
+    np.testing.assert_array_equal(got["filled"], want["filled"])
+    np.testing.assert_array_equal(
+        got["value"].to_numpy(np.float64).view(np.int64),
+        want["value"].to_numpy(np.float64).view(np.int64),
+        err_msg=f"gapfill {strategy}: value bits",
+    )
+
+
+def test_gapfill_fills_spec_gap_rate(tier_1m):
+    """~3% of 1m buckets are gaps by construction (FIXTURES §1)."""
+    got = gapfill(tier_1m, 60).to_pandas()
+    rate = got["filled"].mean()
+    assert 0.01 < rate < 0.06, rate
+
+
+def test_gapfill_bad_strategy(tier_1m):
+    with pytest.raises(ValueError, match="strategy"):
+        gapfill(tier_1m, 60, strategy="cubic")
+
+
+def test_compress_roundtrip_through_ray(sf_test_paths):
+    """Chunks decode to the exact deduplicated point series (SURVEY §5.2 #3),
+    and chunk bytes equal the naive oracle codec's bytes."""
+    pts = derive_points(read_points_input(sf_test_paths))
+    chunks = compress_chunks(pts, concurrency=2).materialize()
+
+    cdf = chunks.to_pandas()
+    assert (cdf["n_points"] > 0).all()
+    # bytes vs independent naive codec, per chunk, for a sample
+    want_pts = oracle.read_points(sf_test_paths)
+    want_pts["chunk"] = (want_pts["ts_us"] // (86_400 * oracle.US)) * (
+        86_400 * oracle.US
+    )
+    sample = cdf.sort_values(["source", "chunk_start_ts"]).head(5)
+    for _, row in sample.iterrows():
+        g = want_pts[
+            (want_pts["source"] == row["source"])
+            & (want_pts["chunk"] == int(pd.Timestamp(row["chunk_start_ts"]).value // 1000))
+        ].sort_values("ts_us")
+        assert row["n_points"] == len(g)
+        assert row["ts_dod_bytes"] == oracle.encode_dod_naive(g["ts_us"].to_numpy())
+        assert row["val_xor_bytes"] == oracle.encode_xor_naive(
+            g["n_tok"].to_numpy().astype(np.float64)
+        )
+
+    # full decode == original dedup'd points
+    dec = decompress_chunks(chunks).to_pandas()
+    dec["ts_us"] = dec["ts"].astype("int64")
+    dec = dec.sort_values(["source", "ts_us"], kind="stable").reset_index(drop=True)
+    want = want_pts.sort_values(["source", "ts_us"], kind="stable").reset_index(drop=True)
+    assert len(dec) == len(want)
+    np.testing.assert_array_equal(dec["ts_us"], want["ts_us"])
+    np.testing.assert_array_equal(
+        dec["value"].to_numpy(np.float64),
+        want["n_tok"].to_numpy().astype(np.float64),
+    )
+    # compression actually compresses (regular minute grid, int-valued floats)
+    raw_bytes = len(want) * 16
+    comp_bytes = int(cdf["ts_dod_bytes"].str.len().sum() + cdf["val_xor_bytes"].str.len().sum())
+    assert comp_bytes < raw_bytes / 2, (comp_bytes, raw_bytes)

@@ -1,0 +1,190 @@
+"""The flagship pipeline: tokenized sequences → tiered rollups + gap-fill
++ Gorilla chunks, written as partitioned, resumable Parquet with a
+lineage manifest.
+
+Partitioning: output partition id = ``crc32(source) % n_partitions``.
+A partition is the unit of checkpointing (manifest) AND of write
+atomicity (staging dir + rename), so a killed run resumes by skipping
+done partitions and recomputing only the rest — the done-right version
+of the reference's per-row "does this key already exist in the output
+file" probe (``/root/reference/workbook_exporter-fe.py:1741-1754``).
+
+Scale note: partitions are processed as independent sub-pipelines, each
+a fully parallel streaming Ray Data job. At 100 TB the input would be
+hive-partitioned by the same hash so each partition's read prunes to
+its own files (datagen already lays test data out this way); in this
+sandbox each partition re-filters the shared input with a vectorized
+dictionary-encoded mask, which only ever reads the 3 slim point columns.
+"""
+
+from __future__ import annotations
+
+import time
+import zlib
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..schema import DEFAULT_TIERS, US, TierSpec
+from ..sources import read_points_input
+from ..stages.compress import compress_chunks
+from ..stages.gapfill import gapfill
+from ..stages.points import derive_points
+from ..stages.rollup import cascade_rollup, split_tiers
+from ..state.checkpoint import Manifest, PartitionRecord, atomic_dir_write
+
+
+def source_partition(source: str, n_partitions: int) -> int:
+    return zlib.crc32(source.encode("utf-8")) % n_partitions
+
+
+def _partition_mask_batch(
+    batch: pa.Table, n_partitions: int, keep: frozenset[int]
+) -> pa.Table:
+    """Vectorized partition filter: crc32 over the (tiny) dictionary of
+    distinct sources, broadcast through dictionary indices."""
+    enc = pc.dictionary_encode(batch["source"]).combine_chunks()
+    dict_parts = np.array(
+        [source_partition(s, n_partitions) for s in enc.dictionary.to_pylist()],
+        dtype=np.int64,
+    )
+    parts = dict_parts[enc.indices.to_numpy(zero_copy_only=False)]
+    mask = np.isin(parts, list(keep))
+    return batch.filter(pa.array(mask))
+
+
+@dataclass
+class TimeseriesJob:
+    input_paths: list[str]
+    out_dir: str
+    tiers: tuple[TierSpec, ...] = DEFAULT_TIERS
+    n_partitions: int = 8
+    gapfill_strategy: str | None = "locf"
+    chunk_s: int = 86_400
+    value_col: str = "n_tok"
+    input_kind: str = "sequences"  # "sequences" (doc_id/n_tok) | "points" (source/ts/value)
+    now_us: int | None = None  # retention anchor; None → retention disabled
+    compressor_concurrency: Any = (1, 8)
+    extra_metadata: dict[str, Any] = field(default_factory=dict)
+
+
+def _load_points(job: TimeseriesJob, keep: frozenset[int]) -> ray.data.Dataset:
+    if job.input_kind == "sequences":
+        ds = read_points_input(job.input_paths)
+        ds = ds.map_batches(
+            lambda b: _partition_mask_batch(b, job.n_partitions, keep),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return derive_points(ds)
+    ds = ray.data.read_parquet(job.input_paths)
+    return ds.map_batches(
+        lambda b: _partition_mask_batch(b, job.n_partitions, keep),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _apply_retention(
+    tier_ds: ray.data.Dataset, spec: TierSpec, now_us: int | None
+) -> ray.data.Dataset:
+    if now_us is None or spec.retention_s is None:
+        return tier_ds
+    cutoff = now_us - spec.retention_s * US
+
+    def _f(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["bucket_ts"], pa.int64())
+        return b.filter(pc.greater_equal(ts, cutoff))
+
+    return tier_ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def run_timeseries(job: TimeseriesJob, partition_ids: list[int] | None = None) -> dict:
+    """Run (or resume) the flagship pipeline. Returns manifest totals."""
+    manifest = Manifest(
+        job.out_dir,
+        metadata={
+            "engine": "workbook_exporter_fe_ray",
+            "tiers": [t.name for t in job.tiers],
+            "n_partitions": job.n_partitions,
+            "value_col": job.value_col,
+            "gapfill": job.gapfill_strategy,
+            "chunk_s": job.chunk_s,
+            **job.extra_metadata,
+        },
+    )
+    todo = [
+        p
+        for p in (partition_ids if partition_ids is not None else range(job.n_partitions))
+        if p not in manifest.done_partitions
+    ]
+    finest = job.tiers[0]
+
+    for part in todo:
+        t0 = time.perf_counter()
+        keep = frozenset([part])
+        points = _load_points(job, keep)
+        rolled = cascade_rollup(points, job.tiers, job.value_col).materialize()
+
+        tier_rows: dict[str, int] = {}
+        for name, tds in split_tiers(rolled, job.tiers).items():
+            tds = _apply_retention(tds, next(t for t in job.tiers if t.name == name), job.now_us)
+            final = f"{job.out_dir}/tiers/{name}/part-{part:05d}"
+            with atomic_dir_write(final) as staging:
+                tds = tds.materialize()
+                tier_rows[name] = tds.count()
+                tds.write_parquet(staging)
+
+        if job.gapfill_strategy:
+            filled = gapfill(
+                ray.data.read_parquet(f"{job.out_dir}/tiers/{finest.name}/part-{part:05d}"),
+                finest.bucket_s,
+                strategy=job.gapfill_strategy,
+            )
+            final = f"{job.out_dir}/gapfill/{finest.name}/part-{part:05d}"
+            with atomic_dir_write(final) as staging:
+                filled.write_parquet(staging)
+
+        chunks = compress_chunks(
+            points,
+            chunk_s=job.chunk_s,
+            concurrency=job.compressor_concurrency,
+            value_col=job.value_col if job.input_kind == "sequences" else "value",
+        ).materialize()
+        final = f"{job.out_dir}/chunks/part-{part:05d}"
+        with atomic_dir_write(final) as staging:
+            chunks.write_parquet(staging)
+
+        stats = chunks.map_batches(
+            lambda b: pa.table(
+                {
+                    "n": [int(pc.sum(b["n_points"]).as_py() or 0)],
+                    "c": [len(b)],
+                    "bts": [
+                        sum(len(x) for x in b["ts_dod_bytes"].to_pylist())
+                        + sum(len(x) for x in b["val_xor_bytes"].to_pylist())
+                    ],
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+
+        n_points = int(stats["n"].sum())
+        manifest.mark_done(
+            PartitionRecord(
+                partition_id=part,
+                input_fragments=list(job.input_paths),
+                rows_in=0,  # raw row count needs a separate scan; points is the metric
+                points=n_points,
+                tier_rows=tier_rows,
+                chunk_count=int(stats["c"].sum()),
+                compressed_bytes=int(stats["bts"].sum()),
+                raw_point_bytes=n_points * 16,  # int64 ts + float64 value
+                wall_s=time.perf_counter() - t0,
+            )
+        )
+    return manifest.totals()

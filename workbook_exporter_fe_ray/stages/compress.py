@@ -1,0 +1,127 @@
+"""Chunk compression stage: raw point series → Gorilla-compressed chunks.
+
+One chunk = one (source, chunk-window) slice of a series — default
+window 1 day, the same semantic partitioning key as the rollup cascade,
+so chunk boundaries are calendar-determined and chunk bytes are
+bit-deterministic regardless of Ray block arrival order (points are
+sorted by ts and deduplicated inside the chunk before encoding).
+
+This is a stateful actor-pool stage per the north rule: the callable
+class is instantiated once per actor (``concurrency=N``) and reused
+across groups; codec scratch state lives per-chunk so actors never
+share state and the pool scales elastically.
+
+Reference parity: the reference has no compression; this stage is
+mandated by BASELINE.json (north_rule). Its statefulness is the
+done-right analog of the reference's process-global counter state
+(``/root/reference/workbook_exporter-fe.py:1924``, SURVEY.md §2.3 ST1):
+state is strictly per-key-partition, so parallel instances never share.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions import gorilla
+from ..schema import US, CHUNK_SCHEMA
+
+DAY_S = 86_400
+
+
+class ChunkCompressor:
+    """Actor-pool callable: one (source, chunk_window) group → one chunk row.
+
+    Once-per-actor setup happens in ``__init__`` (the actor-pool template
+    for model-loading-style stages); per-chunk codec state is scratch.
+    """
+
+    def __init__(self, value_col: str = "n_tok") -> None:
+        self._value_col = value_col
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        ts = pc.cast(group["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        val = group[self._value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(ts, kind="stable")
+        ts, val = ts[order], val[order]
+        keep = np.ones(len(ts), dtype=bool)
+        keep[1:] = ts[1:] != ts[:-1]
+        ts, val = ts[keep], val[keep]
+
+        chunk_start = int(group["chunk_window"][0].as_py())
+        return pa.table(
+            {
+                "source": pa.array([group["source"][0].as_py()], pa.string()),
+                "chunk_start_ts": pa.array([chunk_start], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_points": pa.array([len(ts)], pa.int32()),
+                "ts_dod_bytes": pa.array([gorilla.encode_dod(ts)], pa.binary()),
+                "val_xor_bytes": pa.array([gorilla.encode_xor(val)], pa.binary()),
+                "first_ts": pa.array([int(ts[0])], pa.int64()),
+                "first_val": pa.array([float(val[0])], pa.float64()),
+            },
+            schema=CHUNK_SCHEMA,
+        )
+
+
+def compress_chunks(
+    points: ray.data.Dataset,
+    chunk_s: int = DAY_S,
+    concurrency: int | tuple[int, int] = (1, 8),
+    value_col: str = "n_tok",
+) -> ray.data.Dataset:
+    """Points (source, ts, <value_col>) → chunk rows (CHUNK_SCHEMA)."""
+    chunk_us = chunk_s * US
+
+    def _add_window(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b["ts"], pa.int64())
+        w = pc.multiply(pc.divide(ts_us, chunk_us), chunk_us)
+        return b.append_column("chunk_window", pc.cast(w, pa.int64()))
+
+    windowed = points.map_batches(_add_window, batch_format="pyarrow", zero_copy_batch=True)
+    return windowed.groupby(["source", "chunk_window"]).map_groups(
+        ChunkCompressor,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_args=(value_col,),
+    )
+
+
+def decompress_chunks_batch(batch: pa.Table) -> pa.Table:
+    """Chunk rows → the exact original (source, ts, n_tok-as-float) points.
+
+    Verification / read path; vectorizes across chunks in the batch.
+    """
+    sources: list[str] = []
+    ts_all: list[np.ndarray] = []
+    val_all: list[np.ndarray] = []
+    n_col = batch["n_points"].to_pylist()
+    for i in range(len(batch)):
+        n = n_col[i]
+        ts = gorilla.decode_dod(
+            batch["ts_dod_bytes"][i].as_py(), n, batch["first_ts"][i].as_py()
+        )
+        val = gorilla.decode_xor(
+            batch["val_xor_bytes"][i].as_py(), n, batch["first_val"][i].as_py()
+        )
+        sources.extend([batch["source"][i].as_py()] * n)
+        ts_all.append(ts)
+        val_all.append(val)
+    return pa.table(
+        {
+            "source": pa.array(sources, pa.string()),
+            "ts": pa.array(
+                np.concatenate(ts_all) if ts_all else np.array([], np.int64)
+            ).cast(pa.timestamp("us")),
+            "value": pa.array(
+                np.concatenate(val_all) if val_all else np.array([], np.float64)
+            ),
+        }
+    )
+
+
+def decompress_chunks(chunks: ray.data.Dataset) -> ray.data.Dataset:
+    return chunks.map_batches(decompress_chunks_batch, batch_format="pyarrow")

@@ -60,10 +60,22 @@ def _add_day(batch: pa.Table) -> pa.Table:
     return batch.append_column("day", pc.cast(day, pa.int64()))
 
 
-def _cascade_group(group: pa.Table, tiers: Sequence[TierSpec]) -> pa.Table:
-    """Dedup + full tier cascade for one (source, day) group. Vectorized."""
+def _cascade_group(
+    group: pa.Table, tiers: Sequence[TierSpec], value_col: str = "n_tok"
+) -> pa.Table:
+    """Dedup + full tier cascade for one (source, day) group. Vectorized.
+
+    Integer value columns aggregate exactly in int64 (sum) with the input
+    dtype preserved for min/max; float columns aggregate in float64 (sums
+    are computed in a deterministic order — ts-sorted reduceat — so the
+    result is still reproducible run-to-run).
+    """
     ts = pc.cast(group["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-    val = group["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    raw = group[value_col].to_numpy(zero_copy_only=False)
+    is_int = np.issubdtype(raw.dtype, np.integer)
+    val = raw.astype(np.int64 if is_int else np.float64)
+    minmax_type = pa.int32() if is_int else pa.float64()
+    sum_type = pa.int64() if is_int else pa.float64()
 
     order = np.argsort(ts, kind="stable")
     ts, val = ts[order], val[order]
@@ -121,9 +133,9 @@ def _cascade_group(group: pa.Table, tiers: Sequence[TierSpec]) -> pa.Table:
             "source": pa.array([source] * int(sum(n_rows)), pa.string()),
             "bucket_ts": pa.array(bucket).cast(pa.timestamp("us")),
             "count": pa.array(cnt, pa.int64()),
-            "sum": pa.array(s, pa.int64()),
-            "min": pa.array(np.concatenate(out_min), pa.int32()),
-            "max": pa.array(np.concatenate(out_max), pa.int32()),
+            "sum": pa.array(s, sum_type),
+            "min": pa.array(np.concatenate(out_min), minmax_type),
+            "max": pa.array(np.concatenate(out_max), minmax_type),
             # the ONLY float op: one division of exact int64s → bit-deterministic
             "mean": pa.array(s.astype(np.float64) / cnt.astype(np.float64)),
         }
@@ -131,7 +143,9 @@ def _cascade_group(group: pa.Table, tiers: Sequence[TierSpec]) -> pa.Table:
 
 
 def cascade_rollup(
-    points: ray.data.Dataset, tiers: Sequence[TierSpec] = DEFAULT_TIERS
+    points: ray.data.Dataset,
+    tiers: Sequence[TierSpec] = DEFAULT_TIERS,
+    value_col: str = "n_tok",
 ) -> ray.data.Dataset:
     """Points → all-tier rollup rows (tier, source, bucket_ts, count, sum,
     min, max, mean) in one shuffle. Includes exact dedup on (source, ts)."""
@@ -139,7 +153,7 @@ def cascade_rollup(
         raise ValueError("cascade_rollup requires at least one TierSpec")
     with_day = points.map_batches(_add_day, batch_format="pyarrow", zero_copy_batch=True)
     return with_day.groupby(["source", "day"]).map_groups(
-        lambda g: _cascade_group(g, tiers), batch_format="pyarrow"
+        lambda g: _cascade_group(g, tiers, value_col), batch_format="pyarrow"
     )
 
 
