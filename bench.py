@@ -1,0 +1,224 @@
+"""Benchmark harness: headline pipelines + two-parallelism scaling runs.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total wall s>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "points_per_s": ..., "compressed_bytes_per_s": ...}
+
+--scaling: runs the flagship job twice in fresh subprocesses
+(num_cpus=8 then 32) on the same input and reports both throughputs
+plus scaling_efficiency = (thr_32 / thr_8) / 4 — the sandbox stand-in
+for the north rule's N→4N-node criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_SF_DIR = "/tmp/wfer_bench_sf"
+BENCH_SOURCES = 64
+BENCH_BASE_SEQS = 50_000
+BENCH_TOK_MOD = 256  # disk-friendly tokens payload; spec shape preserved
+
+
+def ensure_bench_table() -> list[str]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from workbook_exporter_fe_ray import datagen
+
+    marker = os.path.join(BENCH_SF_DIR, ".complete")
+    if not os.path.exists(marker):
+        datagen.generate(
+            BENCH_SF_DIR,
+            n_sources=BENCH_SOURCES,
+            base_seqs=BENCH_BASE_SEQS,
+            seed=42,
+            tok_mod=BENCH_TOK_MOD,
+            n_shards=16,
+        )
+        open(marker, "w").write("ok")
+    return sorted(
+        os.path.join(BENCH_SF_DIR, f)
+        for f in os.listdir(BENCH_SF_DIR)
+        if f.endswith(".parquet")
+    )
+
+
+def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    import pyarrow.compute as pc
+
+    from workbook_exporter_fe_ray.pipelines import events as ev
+    from workbook_exporter_fe_ray.sources import read_points_input
+    from workbook_exporter_fe_ray.stages.compress import compress_chunks
+    from workbook_exporter_fe_ray.stages.points import derive_points
+    from workbook_exporter_fe_ray.stages.rollup import cascade_rollup
+
+    paths = ensure_bench_table()
+    queries: dict[str, float] = {}
+    meta = {"points": 0, "compressed_bytes": 0, "tier_rows": 0}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # 1) flagship: synthetic tokenized-sequence cascade (1 shuffle, 4 tiers)
+    def _cascade():
+        rolled = cascade_rollup(derive_points(read_points_input(paths))).materialize()
+        meta["tier_rows"] = rolled.count()
+        return rolled
+
+    timed("synthetic_cascade_4tiers", _cascade)
+
+    # 2) flagship compression: Gorilla chunks over the same points
+    def _compress():
+        chunks = compress_chunks(
+            derive_points(read_points_input(paths)), concurrency=(1, max(2, num_cpus // 2))
+        ).materialize()
+        stats = chunks.map_batches(
+            lambda b: {
+                "n": [int(pc.sum(b["n_points"]).as_py() or 0)],
+                "bts": [
+                    sum(len(x) for x in b["ts_dod_bytes"].to_pylist())
+                    + sum(len(x) for x in b["val_xor_bytes"].to_pylist())
+                ],
+            },
+            batch_format="pyarrow",
+        ).to_pandas()
+        meta["points"] = int(stats["n"].sum())
+        meta["compressed_bytes"] = int(stats["bts"].sum())
+        return chunks
+
+    timed("synthetic_compress_gorilla", _compress)
+
+    # 3) events tiered cascade + gap-fill + compression at $GRAFT_SF_DIR
+    timed("events_cascade_all_tiers", lambda: ev.events_flagship(sf_dir).materialize())
+    timed("events_gapfill_locf_1h", lambda: ev.gapfill_events_1h(sf_dir).materialize())
+    timed("events_compress_gorilla", lambda: ev.compress_events(sf_dir).materialize())
+
+    # 4) training-data ops over documents/embeddings
+    import __ray_entry__ as em
+
+    timed("docs_minhash_pairs", lambda: em.queries()["minhash_pairs"](sf_dir).materialize())
+    timed("docs_text_analysis", lambda: em.queries()["quality_score"](sf_dir).materialize())
+    timed("ann_topk", lambda: em.queries()["ann_topk"](sf_dir).materialize())
+
+    total = round(sum(queries.values()), 3)
+    comp_secs = queries["synthetic_compress_gorilla"]
+    roll_secs = queries["synthetic_cascade_4tiers"]
+    return {
+        "metric": "headline_pipelines_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "points": meta["points"],
+        "tier_rows": meta["tier_rows"],
+        "compressed_bytes": meta["compressed_bytes"],
+        "points_per_s": round(meta["points"] / roll_secs, 1) if roll_secs else None,
+        "compressed_bytes_per_s": round(meta["compressed_bytes"] / comp_secs, 1)
+        if comp_secs
+        else None,
+    }
+
+
+def run_scaling_child(num_cpus: int) -> dict:
+    """One fresh-process flagship run (cascade + compress) for --scaling."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import pyarrow.compute as pc
+
+    from workbook_exporter_fe_ray.sources import read_points_input
+    from workbook_exporter_fe_ray.stages.compress import compress_chunks
+    from workbook_exporter_fe_ray.stages.points import derive_points
+    from workbook_exporter_fe_ray.stages.rollup import cascade_rollup
+
+    paths = ensure_bench_table()
+    t0 = time.perf_counter()
+    rolled = cascade_rollup(derive_points(read_points_input(paths))).materialize()
+    tier_rows = rolled.count()
+    chunks = compress_chunks(
+        derive_points(read_points_input(paths)), concurrency=(1, max(2, num_cpus // 2))
+    ).materialize()
+    stats = chunks.map_batches(
+        lambda b: {
+            "n": [int(pc.sum(b["n_points"]).as_py() or 0)],
+            "bts": [
+                sum(len(x) for x in b["ts_dod_bytes"].to_pylist())
+                + sum(len(x) for x in b["val_xor_bytes"].to_pylist())
+            ],
+        },
+        batch_format="pyarrow",
+    ).to_pandas()
+    wall = time.perf_counter() - t0
+    points = int(stats["n"].sum())
+    ray.shutdown()
+    return {
+        "num_cpus": num_cpus,
+        "wall_s": round(wall, 3),
+        "points": points,
+        "tier_rows": tier_rows,
+        "compressed_bytes": int(stats["bts"].sum()),
+        "points_per_s": round(points / wall, 1),
+        "compressed_bytes_per_s": round(int(stats["bts"].sum()) / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling-child" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--scaling-child") + 1])
+        print(json.dumps(run_scaling_child(cpus)))
+        return
+
+    if "--scaling" in sys.argv:
+        ensure_bench_table()  # generate once outside the timed children
+        runs = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=3600,
+            )
+            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(f"scaling child {cpus} failed: {out.stderr[-2000:]}")
+            runs[cpus] = json.loads(lines[-1])
+        eff = (runs[32]["points_per_s"] / runs[8]["points_per_s"]) / 4
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_8_to_32_cpus",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "runs": runs,
+                    "sf": BENCH_SF_DIR,
+                }
+            )
+        )
+        return
+
+    import ray
+
+    result = run_benchmarks(sf_dir, num_cpus)
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

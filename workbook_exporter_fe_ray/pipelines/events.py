@@ -1,0 +1,106 @@
+"""Events-table pipeline: the driver's `events` stream mapped onto the
+point schema (source=event_type, ts, value) and run through the same
+rollup / cascade / gap-fill / compression machinery.
+
+Float policy for oracle-checked results: ``value`` is scaled to exact
+integer cents (``round(value * 100)`` — the corpus is 2-decimal) so
+every sum is an exact int64 and every mean is a single int→float
+division; this makes the Ray results hash-identical to the DuckDB
+oracle regardless of summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..stages.compress import compress_chunks
+from ..stages.gapfill import gapfill
+from ..stages.rollup import cascade_from_tier, rollup_tier
+
+FINAL_COLS = ["source", "bucket_ts", "n_points", "sum_cents", "min_cents", "max_cents", "mean_cents"]
+
+
+def read_event_points(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def _derive(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        return pa.table(
+            {"source": b["event_type"], "ts": b["ts"], "value_cents": cents}
+        )
+
+    return ds.map_batches(_derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _to_final(tier: ray.data.Dataset) -> ray.data.Dataset:
+    """Rename engine rollup columns to the oracle-shared names and derive
+    mean_cents = CAST(sum AS DOUBLE)/count (identical op on both sides)."""
+
+    def _f(b: pa.Table) -> pa.Table:
+        s = b["sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": pc.cast(b["bucket_ts"], pa.timestamp("us")),
+                "n_points": b["count"],
+                "sum_cents": pa.array(s, pa.int64()),
+                "min_cents": pc.cast(b["min"], pa.int64()),
+                "max_cents": pc.cast(b["max"], pa.int64()),
+                "mean_cents": pa.array(s.astype(np.float64) / c.astype(np.float64)),
+            }
+        )
+
+    return tier.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rollup_events(sf_dir: str, bucket_s: int, salt_mod: int | None = None) -> ray.data.Dataset:
+    pts = read_event_points(sf_dir)
+    return _to_final(rollup_tier(pts, bucket_s, value_col="value_cents", salt_mod=salt_mod))
+
+
+def rollup_events_cascade(sf_dir: str, fine_bucket_s: int, coarse_bucket_s: int) -> ray.data.Dataset:
+    """Coarse tier genuinely built from the fine tier's partials."""
+    pts = read_event_points(sf_dir)
+    fine = rollup_tier(pts, fine_bucket_s, value_col="value_cents")
+    return _to_final(cascade_from_tier(fine, coarse_bucket_s))
+
+
+def gapfill_events_1h(sf_dir: str, strategy: str = "locf") -> ray.data.Dataset:
+    t1h = rollup_events(sf_dir, 3600)
+    return gapfill(t1h, 3600, strategy=strategy, value_col="mean_cents")
+
+
+def events_flagship(sf_dir: str) -> ray.data.Dataset:
+    """Full cascade 1m→5m→1h→1d over events, all tiers tagged + unioned
+    (the smoke-check pipeline for entry())."""
+    pts = read_event_points(sf_dir)
+    t1m = rollup_tier(pts, 60, value_col="value_cents").materialize()
+    t5m = cascade_from_tier(t1m, 300).materialize()
+    t1h = cascade_from_tier(t5m, 3600).materialize()
+    t1d = cascade_from_tier(t1h, 86_400)
+
+    def _tag(name):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column("tier", pa.array([name] * len(b), pa.string()))
+        return f
+
+    tagged = [
+        _to_final(t).map_batches(_tag(n), batch_format="pyarrow")
+        for n, t in [("1m", t1m), ("5m", t5m), ("1h", t1h), ("1d", t1d)]
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.union(t)
+    return out
+
+
+def compress_events(sf_dir: str) -> ray.data.Dataset:
+    """Gorilla chunks over the raw event value series (per event_type/day)."""
+    pts = read_event_points(sf_dir)
+    return compress_chunks(pts, value_col="value_cents")

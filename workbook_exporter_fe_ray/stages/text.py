@@ -1,0 +1,146 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Reference parity: the reference's string toolkit (split-on-comma
+``/root/reference/workbook_exporter-fe.py:660``, lowercase+substring
+classify ``:1006-1011``, f-string keys ``:282`` — SURVEY.md §2.8) maps
+to the vectorized kernels here; the substring classifier F9 is the
+direct ancestor of ``lang_id`` (derive a label from content).
+
+All kernels are batch-vectorized (pyarrow.compute where the op exists,
+numpy otherwise); compiled state (stopword tables, BPE-ish regex) is
+built once per actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# whitespace-token split is the contract shared with the SQL oracle
+# (string_split(text, ' ')); \S+ on single-space-joined corpora is identical
+_BPE_ISH = re.compile(r"\w+|[^\w\s]+")
+
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"},
+    "fr": {"le", "la", "et", "les", "des", "est", "un", "une", "dans"},
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count per document (matches string_split(text,' '))."""
+    toks = pc.split_pattern(batch[text_col], " ")
+    return batch.append_column("n_tokens", pc.cast(pc.list_value_length(toks), pa.int64()))
+
+
+class TokenCounter:
+    """Actor-pool stage: BPE-ish regex token counting (regex compiled once
+    per actor — the stateful-setup template)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.pattern = _BPE_ISH  # compiled at import; held per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = [
+            len(self.pattern.findall(t)) for t in batch[self.text_col].to_pylist()
+        ]
+        return batch.append_column("n_bpe_tokens", pa.array(counts, pa.int64()))
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality features: word count, avg word length, stopword ratio.
+
+    avg_word_len = chars-without-spaces / words as one float64 division of
+    exact ints — deterministic and SQL-reproducible.
+    """
+    text = batch[text_col]
+    toks = pc.split_pattern(text, " ")
+    n_words = pc.cast(pc.list_value_length(toks), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    nospace = pc.cast(
+        pc.utf8_length(pc.replace_substring(text, " ", "")), pa.int64()
+    )
+    avg_word_len = pc.divide(
+        pc.cast(nospace, pa.float64()), pc.cast(n_words, pa.float64())
+    )
+
+    stop_en = _STOPWORDS["en"]
+    n_stop = []
+    for words in toks.to_pylist():
+        n_stop.append(sum(1 for w in words if w in stop_en))
+    stop_ratio = pc.divide(
+        pc.cast(pa.array(n_stop, pa.int64()), pa.float64()),
+        pc.cast(n_words, pa.float64()),
+    )
+    out = batch
+    for name, col in [
+        ("n_words", n_words),
+        ("n_chars_text", n_chars),
+        ("avg_word_len", avg_word_len),
+        ("stopword_ratio", stop_ratio),
+    ]:
+        out = out.append_column(name, col)
+    return out
+
+
+class LangId:
+    """Heuristic language ID: stopword hit-rate per language (actor-pool
+    stage; tables built once per actor). Deterministic tie-break by
+    language code; 'und' when nothing matches."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.tables = {k: frozenset(v) for k, v in sorted(_STOPWORDS.items())}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = []
+        for t in batch[self.text_col].to_pylist():
+            words = t.lower().split()
+            best_lang, best = "und", 0
+            for lang, table in self.tables.items():
+                score = sum(1 for w in words if w in table)
+                if score > best:
+                    best_lang, best = lang, score
+            langs.append(best_lang)
+        return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Two fingerprints per doc: md5 hex (exact, SQL-matchable) and a
+    64-bit Karp–Rabin rolling hash (base 257 mod 2^61-1) over bytes."""
+    MOD = (1 << 61) - 1
+    BASE = 257
+    md5s, rolls = [], []
+    for t in batch[text_col].to_pylist():
+        data = t.encode("utf-8")
+        md5s.append(hashlib.md5(data).hexdigest())
+        h = 0
+        for b in data:
+            h = (h * BASE + b) % MOD
+        rolls.append(h)
+    out = batch.append_column("md5", pa.array(md5s, pa.string()))
+    return out.append_column(
+        "rolling_hash", pa.array(np.array(rolls, dtype=np.uint64).view(np.int64))
+    )
+
+
+def analyze_documents(
+    ds: ray.data.Dataset, text_col: str = "text", concurrency=(1, 4)
+) -> ray.data.Dataset:
+    """Full text-analysis pipeline: counts + quality + lang + fingerprints."""
+    out = ds.map_batches(
+        lambda b: token_count_batch(b, text_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = out.map_batches(lambda b: quality_batch(b, text_col), batch_format="pyarrow")
+    out = out.map_batches(
+        LangId, fn_constructor_args=(text_col,), batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return out.map_batches(lambda b: fingerprint_batch(b, text_col), batch_format="pyarrow")
