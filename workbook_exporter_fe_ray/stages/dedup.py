@@ -9,14 +9,21 @@ family (MinHash/SimHash/Jaccard) is new capability for training-data
 pipelines at 100 TB scale.
 
 Scale notes:
-- exact dedup shuffles only (key_hash, tie, payload-cols) — dedup on a
-  long text column hashes it first so the shuffle moves 16-byte keys,
-  not documents.
-- MinHash+LSH is the classic shingle→signature→band→bucket pipeline:
-  signatures are computed embarrassingly parallel in ``map_batches``;
-  only (band_hash, doc_id, signature) rows shuffle — bounded by
-  num_perm × 8 bytes per doc regardless of document size; candidate
-  verification happens inside each band bucket group.
+- exact dedup shuffles only (key_hash, id) — dedup on a long text
+  column hashes it first so the shuffle moves 16-byte keys, not
+  documents, and the reduce is a plain associative ``Min`` aggregate
+  (no per-group UDF calls).
+- MinHash+LSH is the classic shingle→signature→band→bucket pipeline.
+  Signatures AND shingle-hash sets are computed once, embarrassingly
+  parallel, in an actor-pool ``map_batches``; raw text never enters the
+  shuffle — band rows carry (bucket, id, shingle-hashes). Candidate
+  verification is exact Jaccard over the precomputed shingle-hash sets
+  (uint64 CRC+mix hashes; collision probability ~2^-64 per gram pair).
+- Bucket groups are processed via a COARSE partition key
+  (``bucket % num_partitions``) so the engine runs ``num_partitions``
+  vectorized group tasks instead of one Python UDF call per LSH bucket
+  (millions at scale); inside a partition, buckets are contiguous runs
+  of a sort and are swept with NumPy.
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from ray.data.aggregate import Max, Min
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
@@ -37,6 +45,16 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return z ^ (z >> np.uint64(31))
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount for uint64 (numpy<2 has no bitwise_count)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
 # ---------------------------------------------------------------------------
@@ -61,7 +79,8 @@ def exact_dedup_by_content_hash(
     ds: ray.data.Dataset, text_col: str, id_col: str
 ) -> ray.data.Dataset:
     """Exact-content dedup on md5(text): returns (id_col=min id, content
-    hash) per distinct content. The shuffle moves hashes, not documents."""
+    hash) per distinct content. The shuffle moves hashes, not documents,
+    and the reduce is an associative Min aggregate (no group UDFs)."""
 
     def _hash(batch: pa.Table) -> pa.Table:
         hashes = [
@@ -71,16 +90,14 @@ def exact_dedup_by_content_hash(
         return pa.table({id_col: batch[id_col], "content_hash": pa.array(hashes)})
 
     hashed = ds.map_batches(_hash, batch_format="pyarrow", zero_copy_batch=True)
+    agg = hashed.groupby("content_hash").aggregate(Min(id_col))
 
-    def _min_id(group: pa.Table) -> pa.Table:
+    def _rename(b: pa.Table) -> pa.Table:
         return pa.table(
-            {
-                id_col: [pc.min(group[id_col]).as_py()],
-                "content_hash": [group["content_hash"][0].as_py()],
-            }
+            {id_col: b[f"min({id_col})"], "content_hash": b["content_hash"]}
         )
 
-    return hashed.groupby("content_hash").map_groups(_min_id, batch_format="pyarrow")
+    return agg.map_batches(_rename, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -104,12 +121,21 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    """Stable uint64 hashes of word n-gram shingles."""
-    grams = sorted(word_ngrams(text, n))
+    """Stable sorted-unique uint64 hashes of word n-gram shingles."""
+    grams = word_ngrams(text, n)
     if not grams:
         return np.array([0], dtype=np.uint64)
-    crcs = np.array([zlib.crc32(g.encode("utf-8")) for g in grams], dtype=np.uint64)
-    return _splitmix64(crcs)
+    crcs = np.fromiter(
+        (zlib.crc32(g.encode("utf-8")) for g in grams), np.uint64, len(grams)
+    )
+    return np.unique(_splitmix64(crcs))
+
+
+def hashed_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique shingle-hash arrays."""
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
 
 
 def minhash_signature(text: str, num_perm: int, shingle_n: int, seed: int) -> np.ndarray:
@@ -127,7 +153,9 @@ def simhash64(text: str) -> int:
     words = text.split()
     if not words:
         return 0
-    crcs = np.array([zlib.crc32(w.encode("utf-8")) for w in words], dtype=np.uint64)
+    crcs = np.fromiter(
+        (zlib.crc32(w.encode("utf-8")) for w in words), np.uint64, len(words)
+    )
     feats = _splitmix64(crcs)
     bits = (feats[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
     counts = bits.sum(axis=0)
@@ -141,26 +169,61 @@ def simhash64(text: str) -> int:
 
 
 class _SignatureStage:
-    """Actor-pool stage: signature params fixed once per actor."""
+    """Actor-pool stage: per doc, ONE pass computes the sorted-unique
+    shingle-hash set and the MinHash signature (batch-vectorized: all
+    docs' shingles are concatenated and every permutation is reduced
+    with one ``np.minimum.reduceat``). Text is dropped here — it never
+    enters a shuffle."""
 
     def __init__(self, text_col: str, id_col: str, num_perm: int, shingle_n: int, seed: int):
         self.text_col, self.id_col = text_col, id_col
-        self.num_perm, self.shingle_n, self.seed = num_perm, shingle_n, seed
+        self.num_perm, self.shingle_n = num_perm, shingle_n
+        with np.errstate(over="ignore"):
+            self.salts = _splitmix64(
+                np.arange(num_perm, dtype=np.uint64) + np.uint64(seed)
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [
-            minhash_signature(t, self.num_perm, self.shingle_n, self.seed)
-            for t in batch[self.text_col].to_pylist()
-        ]
+        texts = batch[self.text_col].to_pylist()
+        shingles = [_shingle_hashes(t, self.shingle_n) for t in texts]
+        lens = np.array([len(s) for s in shingles], dtype=np.int64)
+        flat = (
+            np.concatenate(shingles) if shingles else np.array([], dtype=np.uint64)
+        )
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        with np.errstate(over="ignore"):
+            perm = _splitmix64(flat[:, None] ^ self.salts[None, :])  # (S_total, P)
+        sigs = (
+            np.minimum.reduceat(perm, starts, axis=0)
+            if len(flat)
+            else np.empty((0, self.num_perm), np.uint64)
+        )
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                self.text_col: batch[self.text_col],
-                "signature": pa.array(
-                    [s.astype(np.int64) for s in sigs], pa.list_(pa.int64())
+                "signature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1).view(np.int64)), self.num_perm
+                ),
+                "shingles": pa.array(
+                    [s.view(np.int64) for s in shingles], pa.list_(pa.int64())
                 ),
             }
         )
+
+
+def _band_buckets(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) uint64 signatures → (n, bands) int64 bucket keys.
+    Vectorized mixing fold over each band's rows + the band index."""
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    banded = sigs.reshape(n, bands, r)
+    with np.errstate(over="ignore"):
+        acc = np.full((n, bands), _GOLD, dtype=np.uint64)
+        for i in range(r):
+            acc = _splitmix64(acc ^ banded[:, :, i])
+        acc = _splitmix64(acc ^ np.arange(bands, dtype=np.uint64)[None, :])
+    return acc.view(np.int64)
 
 
 def minhash_lsh_pairs(
@@ -173,59 +236,90 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     concurrency: int | tuple[int, int] = (1, 4),
+    num_partitions: int = 64,
+    max_bucket: int = 64,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
-    shingle → MinHash signature (actor pool) → per-band bucket groupby →
-    exact n-gram Jaccard verification of in-bucket candidates → distinct
-    pairs. Every step is deterministic (seeded)."""
+    shingle+MinHash signature (actor pool, one pass, text dropped) →
+    band rows (bucket, id, shingle-hashes) → coarse-partition groupby
+    (``bucket % num_partitions`` → vectorized bucket sweep per
+    partition, not per-bucket UDF calls) → exact Jaccard verification
+    over shingle-hash sets → associative Max-merge for distinct pairs.
+    Every step is deterministic (seeded). Buckets larger than
+    ``max_bucket`` (degenerate near-constant content) are skipped."""
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
 
     signed = ds.map_batches(
         _SignatureStage,
         fn_constructor_args=(text_col, id_col, num_perm, shingle_n, seed),
         batch_format="pyarrow",
+        batch_size=512,
         concurrency=concurrency,
     )
 
     def _band_rows(batch: pa.Table) -> pa.Table:
-        ids, texts, bkeys = [], [], []
-        sig_list = batch["signature"].to_pylist()
-        id_list = batch[id_col].to_pylist()
-        text_list = batch[text_col].to_pylist()
-        for rid, rtext, sig in zip(id_list, text_list, sig_list):
-            s = np.asarray(sig, dtype=np.int64).view(np.uint64)
-            for b in range(bands):
-                band = s[b * rows_per_band : (b + 1) * rows_per_band]
-                bh = hashlib.blake2b(
-                    band.tobytes() + b.to_bytes(2, "little"), digest_size=8
-                ).hexdigest()
-                ids.append(rid)
-                texts.append(rtext)
-                bkeys.append(bh)
+        n = len(batch)
+        sig = batch["signature"]
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        num_perm_local = sig.type.list_size
+        sigs = sig.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+        sigs = sigs.reshape(n, num_perm_local)
+        buckets = _band_buckets(sigs, bands)  # (n, bands)
+        part = (buckets.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        rep = np.repeat(np.arange(n), bands)
+        ids = batch[id_col].take(pa.array(rep))
+        sh = batch["shingles"].take(pa.array(rep))
         return pa.table(
-            {"bucket": pa.array(bkeys), id_col: pa.array(ids), text_col: pa.array(texts)}
+            {
+                "part": pa.array(part.reshape(-1)),
+                "bucket": pa.array(buckets.reshape(-1)),
+                id_col: ids,
+                "shingles": sh,
+            }
         )
 
     banded = signed.map_batches(_band_rows, batch_format="pyarrow")
 
-    def _bucket_pairs(group: pa.Table) -> pa.Table:
-        n = len(group)
-        out_a, out_b, out_j = [], [], []
-        if 1 < n <= 64:  # skip degenerate giant buckets (logged upstream)
-            ids = group[id_col].to_pylist()
-            texts = group[text_col].to_pylist()
-            order = np.argsort(ids, kind="stable")
-            for i in range(n):
-                for j in range(i + 1, n):
-                    a, b = order[i], order[j]
-                    if ids[a] == ids[b]:
+    def _part_pairs(group: pa.Table) -> pa.Table:
+        """One coarse partition: sort by bucket, sweep bucket runs, verify
+        candidate pairs with exact hashed-shingle Jaccard. Vectorized
+        bookkeeping; the pair loop touches only in-bucket candidates."""
+        order = pc.sort_indices(group, sort_keys=[("bucket", "ascending")])
+        g = group.take(order)
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        sh_col = g["shingles"]
+        if isinstance(sh_col, pa.ChunkedArray):
+            sh_col = sh_col.combine_chunks()
+        flat = sh_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+        offs = sh_col.offsets.to_numpy(zero_copy_only=False)
+
+        starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        ends = np.r_[starts[1:], len(buckets)]
+        seen: set[tuple[int, int]] = set()
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_j: list[float] = []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > max_bucket:
+                continue
+            sub = np.argsort(ids[s:e], kind="stable") + s
+            for x in range(m):
+                a = sub[x]
+                sa = flat[offs[a] : offs[a + 1]]
+                for y in range(x + 1, m):
+                    b = sub[y]
+                    ia, ib = int(ids[a]), int(ids[b])
+                    if ia == ib or (ia, ib) in seen:
                         continue
-                    jac = ngram_jaccard(texts[a], texts[b], shingle_n)
+                    jac = hashed_jaccard(sa, flat[offs[b] : offs[b + 1]])
                     if jac >= threshold:
-                        out_a.append(ids[a])
-                        out_b.append(ids[b])
+                        seen.add((ia, ib))
+                        out_a.append(ia)
+                        out_b.append(ib)
                         out_j.append(jac)
         return pa.table(
             {
@@ -235,10 +329,45 @@ def minhash_lsh_pairs(
             }
         )
 
-    pairs = banded.groupby("bucket").map_groups(_bucket_pairs, batch_format="pyarrow")
-    # distinct pairs (a pair can surface from several bands)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    pairs = banded.groupby("part").map_groups(_part_pairs, batch_format="pyarrow")
+    # a pair can surface from several bands → different partitions; the
+    # global distinct is an associative Max (jaccard identical per pair)
+    agg = pairs.groupby(["id_a", "id_b"]).aggregate(Max("jaccard"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"id_a": b["id_a"], "id_b": b["id_b"], "jaccard": b["max(jaccard)"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard all-pairs (within LSH candidate buckets)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+    **kw,
+) -> ray.data.Dataset:
+    """Near-dup pairs by exact word-n-gram Jaccard. Same engine as
+    :func:`minhash_lsh_pairs` (the verification step IS exact n-gram
+    Jaccard over the shingle sets) but tuned for recall: more
+    permutations and narrower bands so lower-similarity pairs still
+    collide in some band."""
+    return minhash_lsh_pairs(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        num_perm=kw.pop("num_perm", 128),
+        bands=kw.pop("bands", 64),
+        shingle_n=shingle_n,
+        threshold=threshold,
+        **kw,
     )
 
 
@@ -252,10 +381,13 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    num_partitions: int = 64,
+    max_bucket: int = 256,
 ) -> ray.data.Dataset:
     """Near-dup pairs by 64-bit SimHash, banded into 4×16-bit exact-match
     buckets (any pair within hamming ≤ 3 shares ≥1 exact band by
-    pigeonhole when 4 bands ≥ max_hamming+1)."""
+    pigeonhole when 4 bands ≥ max_hamming+1). Bucket sweep runs per
+    coarse partition with a vectorized XOR-popcount kernel."""
 
     def _sig(batch: pa.Table) -> pa.Table:
         sigs = [simhash64(t) for t in batch[text_col].to_pylist()]
@@ -270,49 +402,86 @@ def simhash_pairs(
 
     def _bands(batch: pa.Table) -> pa.Table:
         sig = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        ids = batch[id_col]
-        tables = []
-        for b in range(4):
-            band_val = ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            tables.append(
-                pa.table(
-                    {
-                        "bucket": pa.array(band_val + (b << 16) * 65536),
-                        id_col: ids,
-                        "simhash": batch["simhash"],
-                    }
-                )
-            )
-        return pa.concat_tables(tables)
-
-    banded = signed.map_batches(_bands, batch_format="pyarrow")
-
-    def _pairs(group: pa.Table) -> pa.Table:
-        out_a, out_b, out_d = [], [], []
-        n = len(group)
-        if 1 < n <= 256:
-            ids = group[id_col].to_pylist()
-            sigs = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-            order = np.argsort(ids, kind="stable")
-            for i in range(n):
-                for j in range(i + 1, n):
-                    a, b = order[i], order[j]
-                    if ids[a] == ids[b]:
-                        continue
-                    d = int(bin(int(sigs[a]) ^ int(sigs[b])).count("1"))
-                    if d <= 3:
-                        out_a.append(ids[a])
-                        out_b.append(ids[b])
-                        out_d.append(d)
+        n = len(sig)
+        b_idx = np.arange(4, dtype=np.uint64)
+        band_val = ((sig[:, None] >> (np.uint64(16) * b_idx)) & np.uint64(0xFFFF)).astype(
+            np.int64
+        )
+        bucket = band_val + (b_idx.astype(np.int64) << 32)[None, :]
+        part = (bucket % num_partitions).astype(np.int32)
+        rep = np.repeat(np.arange(n), 4)
         return pa.table(
             {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "hamming": pa.array(out_d, pa.int32()),
+                "part": pa.array(part.reshape(-1)),
+                "bucket": pa.array(bucket.reshape(-1)),
+                id_col: batch[id_col].take(pa.array(rep)),
+                "simhash": batch["simhash"].take(pa.array(rep)),
             }
         )
 
-    pairs = banded.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    banded = signed.map_batches(_bands, batch_format="pyarrow")
+
+    def _part_pairs(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("bucket", "ascending")])
+        g = group.take(order)
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        sigs = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        ends = np.r_[starts[1:], len(buckets)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        seen: set[tuple[int, int]] = set()
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > max_bucket:
+                continue
+            sub = np.argsort(ids[s:e], kind="stable") + s
+            sv = sigs[sub]
+            iv = ids[sub]
+            # vectorized pairwise hamming for the bucket
+            ham = _popcount64(sv[:, None] ^ sv[None, :])
+            ai, bi = np.nonzero(np.triu(ham <= max_hamming, k=1))
+            if not len(ai):
+                continue
+            keep = iv[ai] != iv[bi]
+            fa, fb, fd = iv[ai[keep]], iv[bi[keep]], ham[ai[keep], bi[keep]]
+            mask = np.ones(len(fa), dtype=bool)
+            for i, (x, y) in enumerate(zip(fa, fb)):
+                key = (int(x), int(y))
+                if key in seen:
+                    mask[i] = False
+                else:
+                    seen.add(key)
+            out_a.append(fa[mask])
+            out_b.append(fb[mask])
+            out_d.append(fd[mask].astype(np.int32))
+        if out_a:
+            aa = np.concatenate(out_a)
+            bb = np.concatenate(out_b)
+            dd = np.concatenate(out_d)
+        else:
+            aa = np.array([], np.int64)
+            bb = np.array([], np.int64)
+            dd = np.array([], np.int32)
+        return pa.table(
+            {
+                "id_a": pa.array(aa, pa.int64()),
+                "id_b": pa.array(bb, pa.int64()),
+                "hamming": pa.array(dd, pa.int32()),
+            }
+        )
+
+    pairs = banded.groupby("part").map_groups(_part_pairs, batch_format="pyarrow")
+    agg = pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": b["id_a"],
+                "id_b": b["id_b"],
+                "hamming": pc.cast(b["min(hamming)"], pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
     )
