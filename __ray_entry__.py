@@ -29,15 +29,21 @@ import ray.data
 
 
 def _events(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    from workbook_exporter_fe_ray.sources import read_table
+
+    return read_table(f"{sf_dir}/events.parquet")
 
 
 def _documents(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    from workbook_exporter_fe_ray.sources import read_table
+
+    return read_table(f"{sf_dir}/documents.parquet")
 
 
 def _embeddings(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from workbook_exporter_fe_ray.sources import read_table
+
+    return read_table(f"{sf_dir}/embeddings.parquet")
 
 
 # --------------------------------------------------------------------------

@@ -16,6 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..sources import read_table
 from ..stages.compress import compress_chunks
 from ..stages.gapfill import gapfill
 from ..stages.rollup import cascade_from_tier, rollup_tier
@@ -24,9 +25,7 @@ FINAL_COLS = ["source", "bucket_ts", "n_points", "sum_cents", "min_cents", "max_
 
 
 def read_event_points(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
-    )
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
 
     def _derive(b: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())

@@ -1,3 +1,15 @@
-from .parquet import read_input, read_points_input, read_tier
+from .parquet import (
+    good_num_blocks,
+    read_input,
+    read_points_input,
+    read_table,
+    read_tier,
+)
 
-__all__ = ["read_input", "read_points_input", "read_tier"]
+__all__ = [
+    "good_num_blocks",
+    "read_input",
+    "read_points_input",
+    "read_table",
+    "read_tier",
+]

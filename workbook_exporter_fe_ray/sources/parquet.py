@@ -10,7 +10,40 @@ column never leaves storage unless a stage actually needs it.
 
 from __future__ import annotations
 
+import os
+
+import ray
 import ray.data
+
+# ~128 MB compressed per block: big enough that per-task scheduling
+# overhead is noise, small enough that a block × concurrency fits a
+# worker heap and stragglers stay short.
+TARGET_BLOCK_BYTES = 128 * 1024 * 1024
+
+
+def good_num_blocks(paths: str | list[str], min_per_cpu: int = 2) -> int | None:
+    """Size-aware block count: max(min_per_cpu × CPUs, bytes/128 MB).
+
+    On tiny inputs this stops Ray from fragmenting the read into
+    hundreds of sub-MB blocks (pure scheduling overhead); at 100 TB the
+    bytes/128 MB term dominates and matches Ray's own sizing, so this
+    is a no-op at scale. Returns None when sizes can't be determined
+    (remote paths) — Ray's defaults apply.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    total = 0
+    try:
+        for p in paths:
+            if os.path.isdir(p):
+                for f in os.listdir(p):
+                    total += os.path.getsize(os.path.join(p, f))
+            else:
+                total += os.path.getsize(p)
+    except OSError:
+        return None
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(min_per_cpu * cpus, total // TARGET_BLOCK_BYTES)
 
 
 def read_input(paths: str | list[str], columns: list[str] | None = None) -> ray.data.Dataset:
@@ -24,7 +57,18 @@ def read_points_input(paths: str | list[str]) -> ray.data.Dataset:
     The ``tokens`` column (≫99% of input bytes) is pruned at the
     row-group reader — this is the single biggest IO win at 100 TB.
     """
-    return ray.data.read_parquet(paths, columns=["doc_id", "n_tok", "source"])
+    nb = good_num_blocks(paths)
+    kw = {"override_num_blocks": nb} if nb else {}
+    return ray.data.read_parquet(paths, columns=["doc_id", "n_tok", "source"], **kw)
+
+
+def read_table(
+    path: str | list[str], columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """General parquet read with projection pushdown + sized blocks."""
+    nb = good_num_blocks(path)
+    kw = {"override_num_blocks": nb} if nb else {}
+    return ray.data.read_parquet(path, columns=columns, **kw)
 
 
 def read_tier(tier_dir: str) -> ray.data.Dataset:
