@@ -253,8 +253,12 @@ def _q_cosine_neardup(sf_dir: str):
     from workbook_exporter_fe_ray.stages.similarity import cosine_neardup_pairs
 
     # the driver corpus is near-random (max pairwise cosine ≈ 0.51);
-    # 0.4 exercises the real pair-emitting path
-    return cosine_neardup_pairs(_embeddings(sf_dir), threshold=0.4)
+    # 0.4 exercises the real pair-emitting path. Only the id pair is
+    # compared against the oracle: the cosine VALUE depends on dot-
+    # product summation order, which no two engines share bit-for-bit.
+    return cosine_neardup_pairs(_embeddings(sf_dir), threshold=0.4).select_columns(
+        ["id_a", "id_b"]
+    )
 
 
 def _q_gapfill_linear(sf_dir: str):
@@ -304,6 +308,87 @@ def _q_flagship_synthetic(sf_dir: str):
     return cascade_rollup(derive_points(read_points_input(paths)))
 
 
+def _q_json_extract(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import json_extract_k
+
+    return json_extract_k(_events(sf_dir))
+
+
+def _q_classify(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import classify_by_substring
+
+    return classify_by_substring(_documents(sf_dir))
+
+
+def _q_probe_fanout(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import probe_fanout
+
+    return probe_fanout(_events(sf_dir))
+
+
+def _q_retention(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import retention_filter
+
+    return retention_filter(_events(sf_dir))
+
+
+def _q_first_event(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import first_event_per_user
+
+    return first_event_per_user(_events(sf_dir))
+
+
+def _q_anti_join(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import broadcast_anti_join
+
+    return broadcast_anti_join(_events(sf_dir))
+
+
+def _q_sessionize(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import sessionize
+
+    return sessionize(_events(sf_dir))
+
+
+def _q_compress_roundtrip(sf_dir: str):
+    """Gorilla encode → decode roundtrip over the events value series;
+    the driver's oracle compares it against the raw table — an
+    end-to-end bit-exactness proof of both codecs."""
+    from workbook_exporter_fe_ray.pipelines.events import compress_events
+    from workbook_exporter_fe_ray.stages.compress import decompress_chunks
+
+    dec = decompress_chunks(compress_events(sf_dir))
+
+    def _cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "ts": b["ts"],
+                "value_cents": pc.cast(b["value"], pa.int64()),
+            }
+        )
+
+    return dec.map_batches(_cast, batch_format="pyarrow")
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_documents(sf_dir), threshold=0.3)
+
+
+def _q_lsh_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.stages.similarity import lsh_bucket_topk
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qrow = qtbl.filter(pc.equal(qtbl["vec_id"], 0))
+    query = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    top = lsh_bucket_topk(_embeddings(sf_dir), query, k=10)
+    return top.select_columns(["vec_id", "cosine"])
+
+
 def _q_multimodal(sf_dir: str):
     from workbook_exporter_fe_ray.stages.multimodal import (
         decode_pipeline,
@@ -341,13 +426,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_linear_1h": _q_gapfill_linear,
         "compress_chunks_events": _q_compress_chunks,
         "flagship_synthetic_cascade": _q_flagship_synthetic,
+        "compress_roundtrip": _q_compress_roundtrip,
+        "retention_filter": _q_retention,
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
+        "probe_fanout": _q_probe_fanout,              # F8 conditional multi-emit
+        "classify_docs": _q_classify,                 # F9 substring classifier
+        "json_extract_props": _q_json_extract,        # §2.8 scalar parsing
         "topk_sources": _q_topk_sources,              # O1 sort + limit
         "group_users": _q_group_users,                # A1/A2 group + distinct
+        "first_event_per_user": _q_first_event,       # A3 grouped first pick
         "dedup_first_event": _q_dedup_first_event,    # ST2/J1 first-per-key
         "dedup_exact_text": _q_dedup_exact_text,      # exact content dedup
+        "anti_join_resume": _q_anti_join,             # J1 broadcast anti-join
+        "sessionize_1h": _q_sessionize,               # windowed custom op
         # --- training-data ops ---
         "token_count": _q_token_count,
         "quality_score": _q_quality,
@@ -355,8 +448,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "cosine_neardup": _q_cosine_neardup,
         "ann_topk": _q_ann_topk,
+        "lsh_topk": _q_lsh_topk,
         "multimodal_decode": _q_multimodal,
     }
 
@@ -401,6 +496,94 @@ SELECT source, bucket_ts,
          OVER (PARTITION BY source ORDER BY bucket_ts) AS value,
        filled
 FROM j
+""",
+        "gapfill_linear_1h": f"""
+WITH t AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts,
+         CAST(CAST(sum({_CENTS}) AS BIGINT) AS DOUBLE) / count(*) AS mean_cents
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT source, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM t GROUP BY 1),
+grid AS (
+  SELECT b.source, gs.ts AS bucket_ts
+  FROM bounds b, LATERAL unnest(generate_series(b.lo, b.hi, INTERVAL '1 hour')) AS gs(ts)),
+j AS (
+  SELECT g.source, g.bucket_ts, t.mean_cents, t.bucket_ts IS NULL AS filled
+  FROM grid g LEFT JOIN t ON g.source = t.source AND g.bucket_ts = t.bucket_ts),
+w AS (
+  SELECT source, bucket_ts, mean_cents, filled,
+    last_value(mean_cents IGNORE NULLS) OVER
+      (PARTITION BY source ORDER BY bucket_ts
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN mean_cents IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER
+      (PARTITION BY source ORDER BY bucket_ts
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+    first_value(mean_cents IGNORE NULLS) OVER
+      (PARTITION BY source ORDER BY bucket_ts
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN mean_cents IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER
+      (PARTITION BY source ORDER BY bucket_ts
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM j)
+SELECT source, bucket_ts,
+  CASE WHEN NOT filled THEN mean_cents
+       ELSE prev_v + (next_v - prev_v) *
+            (CAST(epoch_us(bucket_ts) - epoch_us(prev_t) AS DOUBLE)
+             / CAST(epoch_us(next_t) - epoch_us(prev_t) AS DOUBLE))
+  END AS value, filled
+FROM w
+""",
+        "compress_roundtrip": f"""
+SELECT event_type AS source, ts, {_CENTS} AS value_cents FROM events
+""",
+        "retention_filter": """
+SELECT event_id, user_id, ts FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+""",
+        "probe_fanout": """
+SELECT event_id, 'icmp' AS module FROM events
+UNION ALL SELECT event_id, 'http' AS module FROM events WHERE value >= 50
+UNION ALL SELECT event_id, 'ssh' AS module FROM events WHERE event_type = 'error'
+""",
+        "classify_docs": """
+SELECT CASE WHEN source LIKE '%1%' THEN 'lsp'
+            WHEN source LIKE '%2%' THEN 'ess' ELSE 'acm' END AS class,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+""",
+        "json_extract_props": """
+SELECT event_type AS source, count(*) AS n,
+       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1
+""",
+        "first_event_per_user": """
+SELECT user_id, min(ts) AS first_ts, min_by(event_type, ts) AS first_type
+FROM events GROUP BY 1
+""",
+        "anti_join_resume": """
+SELECT event_id FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM events x
+                  WHERE x.user_id = e.user_id AND x.event_type = 'error'
+                    AND x.ts < TIMESTAMP '2024-01-02 00:00:00')
+""",
+        "sessionize_1h": """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s2 AS (
+  SELECT user_id, sum(new_s) OVER
+    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM s),
+per_sess AS (SELECT user_id, sess_id, count(*) AS n FROM s2 GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(max(n) AS BIGINT) AS max_session_events,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM per_sess GROUP BY 1
+""",
+        "cosine_neardup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """,
         "filter_project": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
         "explode_tokens": "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents",

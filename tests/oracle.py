@@ -85,7 +85,13 @@ def gapfill_locf(tier: pd.DataFrame, bucket_s: int) -> pd.DataFrame:
 
 
 def gapfill_linear(tier: pd.DataFrame, bucket_s: int) -> pd.DataFrame:
-    """Per-source dense grid, linear interpolation between real points."""
+    """Per-source dense grid, linear interpolation between real points.
+
+    Spec'd arithmetic (shared with the engine AND the SQL oracle so all
+    three are bit-identical): for a filled bucket at t between real
+    neighbors (t0, v0) and (t1, v1),
+        v = v0 + (v1 - v0) * (float64(t - t0) / float64(t1 - t0))
+    — each step one correctly-rounded IEEE op in this exact order."""
     bucket_us = bucket_s * US
     frames = []
     for src, g in tier.groupby("source", sort=True):
@@ -93,13 +99,19 @@ def gapfill_linear(tier: pd.DataFrame, bucket_s: int) -> pd.DataFrame:
         grid = np.arange(
             g["bucket_ts_us"].min(), g["bucket_ts_us"].max() + bucket_us, bucket_us
         )
-        x = g["bucket_ts_us"].to_numpy(np.float64)
+        x = g["bucket_ts_us"].to_numpy(np.int64)
         y = g["mean"].to_numpy(np.float64)
-        vals = np.interp(grid.astype(np.float64), x, y)
-        filled = ~np.isin(grid, g["bucket_ts_us"].to_numpy())
-        # keep real points bit-exact (np.interp at a knot returns the knot value,
-        # but be explicit)
-        vals[~filled] = y[np.searchsorted(x, grid[~filled].astype(np.float64))]
+        pos = np.searchsorted(x, grid, side="right") - 1
+        filled = x[pos] != grid
+        vals = y[pos]
+        f = np.flatnonzero(filled)
+        if len(f):
+            p = pos[f]
+            frac = (grid[f] - x[p]).astype(np.float64) / (
+                x[p + 1] - x[p]
+            ).astype(np.float64)
+            vals = vals.copy()
+            vals[f] = y[p] + (y[p + 1] - y[p]) * frac
         frames.append(
             pd.DataFrame(
                 {"source": src, "bucket_ts_us": grid, "value": vals, "filled": filled}

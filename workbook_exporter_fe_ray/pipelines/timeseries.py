@@ -68,7 +68,7 @@ class TimeseriesJob:
     value_col: str = "n_tok"
     input_kind: str = "sequences"  # "sequences" (doc_id/n_tok) | "points" (source/ts/value)
     now_us: int | None = None  # retention anchor; None → retention disabled
-    compressor_concurrency: Any = (1, 8)
+    compressor_concurrency: Any = None  # None -> task-based merge (autoscales); tuple -> actor pool
     extra_metadata: dict[str, Any] = field(default_factory=dict)
 
 

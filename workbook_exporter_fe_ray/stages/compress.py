@@ -31,62 +31,72 @@ from ..schema import US, CHUNK_SCHEMA
 DAY_S = 86_400
 
 
+def merge_encode_chunk(group: pa.Table) -> pa.Table:
+    """One (source, chunk-window) segment group → one chunk row. The
+    group arrives PACKED (per-block delta-encoded segment fragments from
+    the rollup combiner — see ``rollup._pack_day_segments``), so the
+    exchange that fed this stage moved ~12 B/point in a handful of rows,
+    not raw point rows."""
+    from .rollup import decode_segments
+
+    ts, raw = decode_segments(group)
+    val = raw.astype(np.float64)
+    chunk_start = int(group["day"][0].as_py())
+    return pa.table(
+        {
+            "source": pa.array([group["source"][0].as_py()], pa.string()),
+            "chunk_start_ts": pa.array([chunk_start], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "n_points": pa.array([len(ts)], pa.int32()),
+            "ts_dod_bytes": pa.array([gorilla.encode_dod(ts)], pa.binary()),
+            "val_xor_bytes": pa.array([gorilla.encode_xor(val)], pa.binary()),
+            "first_ts": pa.array([int(ts[0])], pa.int64()),
+            "first_val": pa.array([float(val[0])], pa.float64()),
+        },
+        schema=CHUNK_SCHEMA,
+    )
+
+
 class ChunkCompressor:
-    """Actor-pool callable: one (source, chunk_window) group → one chunk row.
+    """Actor-pool variant of :func:`merge_encode_chunk` — the template
+    for stages with real once-per-actor setup (models, dictionaries).
+    The Gorilla codec itself holds only per-chunk scratch state, so the
+    default task-based path parallelizes better (tasks autoscale to all
+    cores; a fixed pool caps the stage). Pass ``concurrency=`` to
+    :func:`compress_chunks` to force the pool."""
 
-    Once-per-actor setup happens in ``__init__`` (the actor-pool template
-    for model-loading-style stages); per-chunk codec state is scratch.
-    """
-
-    def __init__(self, value_col: str = "n_tok") -> None:
-        self._value_col = value_col
+    def __init__(self) -> None:
+        pass
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        ts = pc.cast(group["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        val = group[self._value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        order = np.argsort(ts, kind="stable")
-        ts, val = ts[order], val[order]
-        keep = np.ones(len(ts), dtype=bool)
-        keep[1:] = ts[1:] != ts[:-1]
-        ts, val = ts[keep], val[keep]
-
-        chunk_start = int(group["chunk_window"][0].as_py())
-        return pa.table(
-            {
-                "source": pa.array([group["source"][0].as_py()], pa.string()),
-                "chunk_start_ts": pa.array([chunk_start], pa.int64()).cast(
-                    pa.timestamp("us")
-                ),
-                "n_points": pa.array([len(ts)], pa.int32()),
-                "ts_dod_bytes": pa.array([gorilla.encode_dod(ts)], pa.binary()),
-                "val_xor_bytes": pa.array([gorilla.encode_xor(val)], pa.binary()),
-                "first_ts": pa.array([int(ts[0])], pa.int64()),
-                "first_val": pa.array([float(val[0])], pa.float64()),
-            },
-            schema=CHUNK_SCHEMA,
-        )
+        return merge_encode_chunk(group)
 
 
 def compress_chunks(
     points: ray.data.Dataset,
     chunk_s: int = DAY_S,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     value_col: str = "n_tok",
 ) -> ray.data.Dataset:
-    """Points (source, ts, <value_col>) → chunk rows (CHUNK_SCHEMA)."""
+    """Points (source, ts, <value_col>) → chunk rows (CHUNK_SCHEMA).
+
+    Pipeline: per-block segment packing (combiner — the cheap exchange)
+    → groupby (source, window) → merge + Gorilla encode (tasks by
+    default; pass ``concurrency`` for an actor pool)."""
+    from .rollup import _pack_day_segments
+
     chunk_us = chunk_s * US
-
-    def _add_window(b: pa.Table) -> pa.Table:
-        ts_us = pc.cast(b["ts"], pa.int64())
-        w = pc.multiply(pc.divide(ts_us, chunk_us), chunk_us)
-        return b.append_column("chunk_window", pc.cast(w, pa.int64()))
-
-    windowed = points.map_batches(_add_window, batch_format="pyarrow", zero_copy_batch=True)
-    return windowed.groupby(["source", "chunk_window"]).map_groups(
-        ChunkCompressor,
+    segs = points.map_batches(
+        lambda b: _pack_day_segments(b, value_col, chunk_us),
         batch_format="pyarrow",
-        concurrency=concurrency,
-        fn_constructor_args=(value_col,),
+        zero_copy_batch=True,
+    )
+    grouped = segs.groupby(["source", "day"])
+    if concurrency is None:
+        return grouped.map_groups(merge_encode_chunk, batch_format="pyarrow")
+    return grouped.map_groups(
+        ChunkCompressor, batch_format="pyarrow", concurrency=concurrency
     )
 
 

@@ -43,8 +43,20 @@ def _fill_group(
     if strategy == "locf":
         out = val[pos]
     elif strategy == "linear":
-        out = np.interp(grid.astype(np.float64), ts.astype(np.float64), val)
-        out[~filled] = val[pos[~filled]]  # real points stay bit-exact
+        # explicit prev/next arithmetic (not np.interp) so each step is
+        # one correctly-rounded IEEE op in a fixed order:
+        #   v = v0 + (v1 - v0) * ((t - t0) / (t1 - t0))
+        # — bit-identical to the equivalent SQL expression. Grid spans
+        # ts[0]..ts[-1], so every filled bucket has both neighbors.
+        out = val[pos]  # real points (and LOCF base) stay bit-exact
+        f = np.flatnonzero(filled)
+        if len(f):
+            p = pos[f]
+            t0, v0 = ts[p], val[p]
+            t1, v1 = ts[p + 1], val[p + 1]
+            frac = (grid[f] - t0).astype(np.float64) / (t1 - t0).astype(np.float64)
+            out = out.copy()
+            out[f] = v0 + (v1 - v0) * frac
     else:
         raise ValueError(f"unknown gap-fill strategy: {strategy!r}")
 

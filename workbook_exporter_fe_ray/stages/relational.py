@@ -1,0 +1,240 @@
+"""Relational / per-record operators from the reference's transform
+semantics (SURVEY.md §2.2/§2.3/§2.4) re-expressed as vectorized Ray
+Data stages over the driver's `events` / `documents` tables.
+
+Each operator cites the reference behavior it mirrors:
+
+- :func:`json_extract_k` — the reference's delimited list-in-string
+  parsing (``/root/reference/workbook_exporter-fe.py:658-671`` splits
+  ``jmx_ports``); here a JSON-ish ``props`` string column is parsed
+  with one compiled-regex Arrow kernel per batch (§2.8 scalar funcs).
+- :func:`classify_by_substring` — the hostname-substring classifier
+  (``:1006-1011``: 'lsp' in name → lsp, 'ess' → ess, else acm; F9).
+- :func:`probe_fanout` — the blackbox probe fan-out (``:270-314``: one
+  row conditionally emits up to 4 probe entries tagged with a module;
+  F8 flat-map semantics).
+- :func:`retention_filter` — the retention cut of the north rule's
+  tiered retention windows (drop points older than the tier keeps).
+- :func:`first_event_per_user` — grouped first-row pick
+  (``exporter_weblm``, ``:1049`` takes ``.iloc[0]``; A3).
+- :func:`broadcast_anti_join` — the resume anti-join done right:
+  the reference re-reads the output file per row
+  (``ip_exists_in_yaml``, ``:1741-1754``; ST2/J1); here the small
+  "already done" key set is put in the object store ONCE and each
+  batch filters against it vectorized (never re-shipped per batch).
+- :func:`sessionize` — gap-based session windows per user: the
+  windowed-aggregate custom operator the Dataset API lacks, built as
+  groupby + vectorized group kernel. Partitioning assumption: one
+  user's events fit one group (true by construction for bounded
+  per-user activity; salt by (user, week) for unbounded histories).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+US = 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# scalar parsing / classification
+# ---------------------------------------------------------------------------
+
+
+def json_extract_k(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Parse ``props`` ('{"k": N}') and aggregate per event_type:
+    (source, n, sum_k). Regex runs as one Arrow kernel per batch."""
+    from ray.data.aggregate import Count, Sum
+
+    def _parse(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": b["event_type"], "k": k})
+
+    parsed = events.map_batches(_parse, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parsed.groupby("event_type").aggregate(Count(), Sum("k"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["event_type"],
+                "n": pc.cast(b["count()"], pa.int64()),
+                "sum_k": pc.cast(b["sum(k)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def classify_by_substring(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Substring classifier (reference F9): source containing '1' →
+    'lsp', containing '2' → 'ess', else 'acm'; per class count + chars."""
+    from ray.data.aggregate import Count, Sum
+
+    def _classify(b: pa.Table) -> pa.Table:
+        src = b["source"]
+        cls = pc.if_else(
+            pc.match_substring(src, "1"),
+            pa.scalar("lsp"),
+            pc.if_else(pc.match_substring(src, "2"), pa.scalar("ess"), pa.scalar("acm")),
+        )
+        return pa.table({"class": cls, "n_chars": b["n_chars"]})
+
+    classified = docs.map_batches(_classify, batch_format="pyarrow", zero_copy_batch=True)
+    agg = classified.groupby("class").aggregate(Count(), Sum("n_chars"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "class": b["class"],
+                "n_docs": pc.cast(b["count()"], pa.int64()),
+                "total_chars": pc.cast(b["sum(n_chars)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# fan-out / filters
+# ---------------------------------------------------------------------------
+
+
+def probe_fanout(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Conditional multi-emit (reference F8): every event emits an
+    'icmp' probe; value ≥ 50 also emits 'http'; event_type == 'error'
+    also emits 'ssh'. One row → 1-3 rows, all inside one map_batches."""
+
+    def _fan(b: pa.Table) -> pa.Table:
+        eid = b["event_id"]
+        parts = [pa.table({"event_id": eid, "module": pa.array(["icmp"] * len(b))})]
+        http = pc.greater_equal(b["value"], 50.0)
+        he = eid.filter(http)
+        parts.append(pa.table({"event_id": he, "module": pa.array(["http"] * len(he))}))
+        ssh = pc.equal(b["event_type"], "error")
+        se = eid.filter(ssh)
+        parts.append(pa.table({"event_id": se, "module": pa.array(["ssh"] * len(se))}))
+        return pa.concat_tables(parts)
+
+    return events.map_batches(_fan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def retention_filter(
+    events: ray.data.Dataset, cutoff_iso: str = "2024-01-15"
+) -> ray.data.Dataset:
+    """Retention cut: keep rows with ts >= cutoff (per-tier retention
+    windows drop expired buckets the same way — a pushdown-able mask)."""
+    import datetime as dt
+
+    cutoff = dt.datetime.fromisoformat(cutoff_iso)
+
+    def _keep(b: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(b["ts"], pa.scalar(cutoff, pa.timestamp("us")))
+        return b.filter(mask).select(["event_id", "user_id", "ts"])
+
+    return events.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# grouped picks / anti-join / sessions
+# ---------------------------------------------------------------------------
+
+
+def first_event_per_user(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Grouped first-row pick (reference A3): per user the earliest
+    event's (ts, type). Deterministic tie-break (ts, event_id)."""
+
+    def _first(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        row = g.take(idx[:1])
+        return pa.table(
+            {
+                "user_id": row["user_id"],
+                "first_ts": row["ts"],
+                "first_type": row["event_type"],
+            }
+        )
+
+    return events.groupby("user_id").map_groups(_first, batch_format="pyarrow")
+
+
+def broadcast_anti_join(
+    events: ray.data.Dataset,
+    exclude_type: str = "error",
+    exclude_before_iso: str = "2024-01-02",
+) -> ray.data.Dataset:
+    """Resume anti-join (reference ST2/J1 done right): drop ALL events
+    of users who produced an ``exclude_type`` event before the cutoff
+    (the "already processed" seed set of a resumed run). The excluded
+    key set is computed once, ``ray.put`` once, and read zero-copy in
+    every filter task — not re-read per row like the reference, not
+    re-shipped per batch."""
+    import datetime as dt
+
+    cutoff = dt.datetime.fromisoformat(exclude_before_iso)
+
+    def _seed(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(b["event_type"], exclude_type),
+            pc.less(b["ts"], pa.scalar(cutoff, pa.timestamp("us"))),
+        )
+        return b.filter(mask).select(["user_id"])
+
+    done = events.map_batches(_seed, batch_format="pyarrow", zero_copy_batch=True)
+    done_ids = np.unique(
+        np.concatenate(
+            [
+                b["user_id"].to_numpy(zero_copy_only=False)
+                for b in done.iter_batches(batch_size=None, batch_format="pyarrow")
+            ]
+            or [np.array([], np.int64)]
+        )
+    )
+    ref = ray.put(done_ids)
+
+    class _AntiFilter:
+        def __init__(self, ids_ref):
+            self.ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            uid = b["user_id"].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(uid, self.ids)
+            return b.filter(pa.array(keep)).select(["event_id"])
+
+    return events.map_batches(
+        _AntiFilter,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def sessionize(
+    events: ray.data.Dataset, gap_s: int = 3600
+) -> ray.data.Dataset:
+    """Gap-based sessionization per user: a new session starts when the
+    gap to the previous event exceeds ``gap_s``. Returns per user:
+    (user_id, n_sessions, max_session_events, n_events)."""
+    gap_us = gap_s * US
+
+    def _sess(g: pa.Table) -> pa.Table:
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        ts = np.sort(ts)
+        new_s = np.r_[True, np.diff(ts) > gap_us]
+        starts = np.flatnonzero(new_s)
+        counts = np.diff(np.r_[starts, len(ts)])
+        return pa.table(
+            {
+                "user_id": g["user_id"][:1],
+                "n_sessions": pa.array([len(starts)], pa.int64()),
+                "max_session_events": pa.array([int(counts.max())], pa.int64()),
+                "n_events": pa.array([len(ts)], pa.int64()),
+            }
+        )
+
+    return events.groupby("user_id").map_groups(_sess, batch_format="pyarrow")

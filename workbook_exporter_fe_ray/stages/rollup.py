@@ -142,15 +142,201 @@ def _cascade_group(
     )
 
 
+def _cascade_arrays(
+    ts: np.ndarray,
+    val: np.ndarray,
+    source: str,
+    tiers: Sequence[TierSpec],
+    minmax_type: pa.DataType,
+    sum_type: pa.DataType,
+) -> pa.Table:
+    """Tier cascade over one group's deduplicated ts-sorted arrays."""
+    out_tier: list[str] = []
+    out_bucket: list[np.ndarray] = []
+    out_count: list[np.ndarray] = []
+    out_sum: list[np.ndarray] = []
+    out_min: list[np.ndarray] = []
+    out_max: list[np.ndarray] = []
+
+    p_bucket, p_count, p_sum, p_min, p_max = (
+        ts,
+        np.ones(len(ts), dtype=np.int64),
+        val,
+        val,
+        val,
+    )
+    for spec in tiers:
+        b = (p_bucket // spec.bucket_us) * spec.bucket_us
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        p_bucket = b[starts]
+        p_count = np.add.reduceat(p_count, starts)
+        p_sum = np.add.reduceat(p_sum, starts)
+        p_min = np.minimum.reduceat(p_min, starts)
+        p_max = np.maximum.reduceat(p_max, starts)
+        out_tier.append(spec.name)
+        out_bucket.append(p_bucket)
+        out_count.append(p_count)
+        out_sum.append(p_sum)
+        out_min.append(p_min)
+        out_max.append(p_max)
+
+    n_rows = [len(b) for b in out_bucket]
+    tier_col = pa.array(np.repeat(np.arange(len(tiers)), n_rows)).cast(pa.int8())
+    tier_names = pa.DictionaryArray.from_arrays(
+        tier_col, pa.array([t.name for t in tiers])
+    ).cast(pa.string())
+    bucket = np.concatenate(out_bucket)
+    cnt = np.concatenate(out_count)
+    s = np.concatenate(out_sum)
+    return pa.table(
+        {
+            "tier": tier_names,
+            "source": pa.array([source] * int(sum(n_rows)), pa.string()),
+            "bucket_ts": pa.array(bucket).cast(pa.timestamp("us")),
+            "count": pa.array(cnt, pa.int64()),
+            "sum": pa.array(s, sum_type),
+            "min": pa.array(np.concatenate(out_min), minmax_type),
+            "max": pa.array(np.concatenate(out_max), minmax_type),
+            # the ONLY float op: one division of exact int64s → bit-deterministic
+            "mean": pa.array(s.astype(np.float64) / cnt.astype(np.float64)),
+        }
+    )
+
+
+def _pack_day_segments(
+    batch: pa.Table, value_col: str, window_us: int = DAY_US
+) -> pa.Table:
+    """Per-block combiner: pack the block's points into one row per
+    (source, day) — ``first_ts`` + delta-encoded timestamps + raw values
+    as list columns. In-block duplicates on (source, ts) are dropped
+    (duplicate rows are byte-identical, so block-local dedup is exact;
+    cross-block dups fall out in the merge).
+
+    This is what makes the flagship's single exchange cheap at 100 TB:
+    ~12 B/point in a few segment rows per block instead of ~31 B/point
+    in one row per point, so the all-to-all moves 2.5× fewer bytes and
+    ~1000× fewer rows."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "day": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int32()),
+                "first_ts": pa.array([], pa.int64()),
+                "ts_deltas": pa.array([], pa.list_(pa.int64())),
+                "vals": pa.array([], pa.list_(batch.schema.field(value_col).type)),
+            }
+        )
+    idx = pc.sort_indices(
+        batch.select(["source", "ts"]),
+        sort_keys=[("source", "ascending"), ("ts", "ascending")],
+    )
+    sorted_b = batch.take(idx)
+    ts = pc.cast(sorted_b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    val = sorted_b[value_col].to_numpy(zero_copy_only=False)
+    src = sorted_b["source"]
+
+    # block-local exact dedup on (source, ts)
+    src_codes = pc.dictionary_encode(
+        src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+    )
+    codes = np.asarray(src_codes.indices)
+    keep = np.ones(len(ts), dtype=bool)
+    keep[1:] = (ts[1:] != ts[:-1]) | (codes[1:] != codes[:-1])
+    ts, val, codes = ts[keep], val[keep], codes[keep]
+
+    day = (ts // window_us) * window_us
+    starts = np.flatnonzero(np.r_[True, (codes[1:] != codes[:-1]) | (day[1:] != day[:-1])])
+    n = np.diff(np.r_[starts, len(ts)]).astype(np.int32)
+
+    # first element of each run carries its ts in first_ts; its delta slot is 0
+    first_ts = ts[starts]
+    deltas_full = np.empty(len(ts), dtype=np.int64)
+    deltas_full[0] = 0
+    deltas_full[1:] = np.diff(ts)
+    deltas_full[starts] = 0
+
+    offsets = pa.array(np.r_[starts, len(ts)].astype(np.int32))
+    src_names = src_codes.dictionary.take(pa.array(codes[starts])).cast(pa.string())
+    return pa.table(
+        {
+            "source": src_names,
+            "day": pa.array(day[starts], pa.int64()),
+            "n": pa.array(n, pa.int32()),
+            "first_ts": pa.array(first_ts, pa.int64()),
+            "ts_deltas": pa.ListArray.from_arrays(
+                offsets, pa.array(deltas_full, pa.int64())
+            ),
+            "vals": pa.ListArray.from_arrays(offsets, pa.array(val)),
+        }
+    )
+
+
+def decode_segments(group: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one group's segment fragments (vectorized cumsum over the
+    flattened delta lists), merge fragments, exact-dedup on ts.
+    Returns (ts µs int64 sorted unique, raw values in input dtype)."""
+    td = group["ts_deltas"]
+    if isinstance(td, pa.ChunkedArray):
+        td = td.combine_chunks()
+    vl = group["vals"]
+    if isinstance(vl, pa.ChunkedArray):
+        vl = vl.combine_chunks()
+    flat_d = td.flatten().to_numpy(zero_copy_only=False)
+    offs = td.offsets.to_numpy(zero_copy_only=False)
+    starts = offs[:-1]
+    first_ts = group["first_ts"].to_numpy(zero_copy_only=False)
+    lens = np.diff(offs)
+
+    # decode: within-fragment cumsum with per-fragment base, vectorized
+    cum = np.cumsum(flat_d)
+    base_at_start = cum[starts]  # cumsum value AT each fragment's first slot
+    ts = cum - np.repeat(base_at_start, lens) + np.repeat(first_ts, lens)
+    raw = vl.flatten().to_numpy(zero_copy_only=False)
+
+    order = np.argsort(ts, kind="stable")
+    ts, raw = ts[order], raw[order]
+    keep = np.ones(len(ts), dtype=bool)
+    keep[1:] = ts[1:] != ts[:-1]
+    return ts[keep], raw[keep]
+
+
+def _merge_cascade_group(
+    group: pa.Table, tiers: Sequence[TierSpec]
+) -> pa.Table:
+    """Reduce side of the packed cascade: decode + merge + tier cascade."""
+    ts, raw = decode_segments(group)
+    is_int = np.issubdtype(raw.dtype, np.integer)
+    val = raw.astype(np.int64 if is_int else np.float64)
+    minmax_type = pa.int32() if is_int else pa.float64()
+    sum_type = pa.int64() if is_int else pa.float64()
+    source = group["source"][0].as_py()
+    return _cascade_arrays(ts, val, source, tiers, minmax_type, sum_type)
+
+
 def cascade_rollup(
     points: ray.data.Dataset,
     tiers: Sequence[TierSpec] = DEFAULT_TIERS,
     value_col: str = "n_tok",
+    packed: bool = True,
 ) -> ray.data.Dataset:
     """Points → all-tier rollup rows (tier, source, bucket_ts, count, sum,
-    min, max, mean) in one shuffle. Includes exact dedup on (source, ts)."""
+    min, max, mean) in one shuffle. Includes exact dedup on (source, ts).
+
+    ``packed=True`` (default) runs the per-block segment-packing combiner
+    before the exchange; ``packed=False`` shuffles raw point rows (kept
+    for A/B testing and as the semantics oracle)."""
     if not tiers:
         raise ValueError("cascade_rollup requires at least one TierSpec")
+    if packed:
+        segs = points.map_batches(
+            lambda b: _pack_day_segments(b, value_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return segs.groupby(["source", "day"]).map_groups(
+            lambda g: _merge_cascade_group(g, tiers), batch_format="pyarrow"
+        )
     with_day = points.map_batches(_add_day, batch_format="pyarrow", zero_copy_batch=True)
     return with_day.groupby(["source", "day"]).map_groups(
         lambda g: _cascade_group(g, tiers, value_col), batch_format="pyarrow"
