@@ -204,7 +204,31 @@ def _q_quality(sf_dir: str):
     scored = _documents(sf_dir).map_batches(
         lambda b: quality_batch(b), batch_format="pyarrow", zero_copy_batch=True
     )
-    return scored.select_columns(["doc_id", "n_words", "avg_word_len"])
+    return scored.select_columns(
+        ["doc_id", "n_words", "avg_word_len", "stopword_ratio"]
+    )
+
+
+def _q_bpe_token_count(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from workbook_exporter_fe_ray.stages.text import TokenCounter
+
+    counted = _documents(sf_dir).map_batches(
+        TokenCounter, batch_format="pyarrow", concurrency=2
+    )
+    agg = counted.groupby("source").aggregate(Count(), Sum("n_bpe_tokens"))
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_docs": pc.cast(b["count()"], pa.int64()),
+                "total_bpe_tokens": pc.cast(b["sum(n_bpe_tokens)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_rename, batch_format="pyarrow")
 
 
 def _q_fingerprint(sf_dir: str):
@@ -389,6 +413,18 @@ def _q_lsh_topk(sf_dir: str):
     return top.select_columns(["vec_id", "cosine"])
 
 
+def _q_ivf_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.stages.similarity import ivf_topk
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qrow = qtbl.filter(pc.equal(qtbl["vec_id"], 0))
+    query = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    top = ivf_topk(_embeddings(sf_dir), query, k=10)
+    return top.select_columns(["vec_id", "cosine"])
+
+
 def _q_multimodal(sf_dir: str):
     from workbook_exporter_fe_ray.stages.multimodal import (
         decode_pipeline,
@@ -443,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_1h": _q_sessionize,               # windowed custom op
         # --- training-data ops ---
         "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_token_count,
         "quality_score": _q_quality,
         "doc_fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
@@ -452,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_neardup": _q_cosine_neardup,
         "ann_topk": _q_ann_topk,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "multimodal_decode": _q_multimodal,
     }
 
@@ -613,8 +651,18 @@ FROM documents GROUP BY source
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
        CAST(length(replace(text, ' ', '')) AS DOUBLE)
-         / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_word_len
+         / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_word_len,
+       CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN ('the','a','of','and','to','in','is','it','that','for')))
+            AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
 FROM documents
+""",
+        "bpe_token_count": """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]+'))) AS BIGINT)
+         AS total_bpe_tokens
+FROM documents GROUP BY source
 """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "ann_topk": """

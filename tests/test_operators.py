@@ -1,0 +1,121 @@
+"""Operator-level tests: relational ops vs a DuckDB oracle at sf0.001,
+ANN variants' recall vs exact brute force, near-dup determinism.
+
+Mirrors the driver's correctness gate (value comparison against SQL on
+the same parquet) but runs in-repo so regressions surface in pytest
+before a driver round. Ray session comes from the conftest fixture.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.sql(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "probe_fanout",
+        "classify_docs",
+        "json_extract_props",
+        "retention_filter",
+        "first_event_per_user",
+        "anti_join_resume",
+        "sessionize_1h",
+        "compress_roundtrip",
+        "gapfill_linear_1h",
+        "bpe_token_count",
+        "quality_score",
+    ],
+)
+def test_query_matches_oracle(name, ray_session):
+    got = _canon(entrymod.queries()[name](SF).to_pandas())
+    want = _canon(_duck(entrymod.oracle_sql()[name]))
+    assert len(got) == len(want), name
+    assert list(got.columns) == list(want.columns), name
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if g.dtype == np.float64:
+            # bit-identical floats, the north-rule contract
+            np.testing.assert_array_equal(g.view(np.int64), w.view(np.int64))
+        else:
+            assert (g == w).all(), (name, c)
+
+
+def _query_vec(k: int = 0) -> np.ndarray:
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    import pyarrow.compute as pc
+
+    row = tbl.filter(pc.equal(tbl["vec_id"], k))
+    return np.asarray(row["embedding"][0].as_py(), dtype=np.float64)
+
+
+def test_ann_variants_recall(ray_session):
+    """LSH and IVF prefilters must recover most of the exact top-10."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.similarity import (
+        ivf_topk,
+        lsh_bucket_topk,
+        topk_cosine,
+    )
+
+    q = _query_vec()
+    ds = read_table(f"{SF}/embeddings.parquet")
+    exact = set(topk_cosine(ds, q, k=10).to_pandas()["vec_id"])
+    lsh = set(lsh_bucket_topk(ds, q, k=10).to_pandas()["vec_id"])
+    ivf = set(ivf_topk(ds, q, k=10).to_pandas()["vec_id"])
+    assert len(exact) == 10
+    # the corpus is near-random noise, the hardest case for ANN — require
+    # the query's own vector (cosine 1.0) plus non-trivial overlap
+    assert 0 in lsh and 0 in ivf
+    assert len(exact & lsh) >= 3
+    assert len(exact & ivf) >= 3
+
+
+def test_ann_deterministic(ray_session):
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.similarity import ivf_topk
+
+    q = _query_vec()
+    ds = read_table(f"{SF}/embeddings.parquet")
+    a = ivf_topk(ds, q, k=10).to_pandas()["vec_id"].tolist()
+    b = ivf_topk(ds, q, k=10).to_pandas()["vec_id"].tolist()
+    assert a == b
+
+
+def test_neardup_pairs_deterministic(ray_session):
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = read_table(f"{SF}/documents.parquet")
+    a = minhash_lsh_pairs(ds, threshold=0.2).to_pandas()
+    b = minhash_lsh_pairs(ds, threshold=0.2).to_pandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )

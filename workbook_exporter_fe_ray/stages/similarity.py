@@ -128,6 +128,57 @@ def lsh_bucket_topk(
     return topk_cosine(bucketed, query, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+    kmeans_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Approximate top-k via IVF (inverted-file) prefilter: k-means-lite
+    centroids trained on a bounded sample (the standard IVF recipe — at
+    100 TB you train on a sample too), then only vectors whose nearest
+    centroid is among the query's ``nprobe`` closest lists are scored
+    exactly. Deterministic: seeded init, fixed iteration count.
+
+    The centroid matrix is broadcast once (``ray.put``) and read
+    zero-copy in every assignment task."""
+    query = np.atleast_2d(np.asarray(query, dtype=np.float64))
+
+    # --- train on a bounded sample (driver-side; sample is small by design)
+    sample_tbl = ds.select_columns([vec_col]).limit(train_sample).to_pandas()
+    sample = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sample @ cents.T, axis=1)  # cosine on normalized
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    cents_ref = ray.put(cents)
+
+    qn = query / np.linalg.norm(query, axis=1, keepdims=True)
+    probe = set(np.argsort(-(qn @ cents.T))[0][:nprobe].tolist())
+
+    def _assign_filter(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _batch_matrix(batch, vec_col)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        a = np.argmax(mn @ c.T, axis=1)
+        return batch.filter(pa.array(np.isin(a, list(probe))))
+
+    bucketed = ds.map_batches(_assign_filter, batch_format="pyarrow", zero_copy_batch=True)
+    return topk_cosine(bucketed, query, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def cosine_neardup_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.95,
