@@ -77,26 +77,35 @@ def gapfill_events_1h(sf_dir: str, strategy: str = "locf") -> ray.data.Dataset:
 
 def events_flagship(sf_dir: str) -> ray.data.Dataset:
     """Full cascade 1m→5m→1h→1d over events, all tiers tagged + unioned
-    (the smoke-check pipeline for entry())."""
+    (the smoke-check pipeline for entry()).
+
+    Runs on the single packed exchange (`cascade_rollup`): tier t+1 is
+    still genuinely built from tier t's partials, but inside one reduce
+    task per (source, day) instead of four chained shuffles. The
+    four-shuffle variant survives as `rollup_events` /
+    `rollup_events_cascade` (oracle-checked per tier)."""
+    from ..stages.rollup import cascade_rollup
+
     pts = read_event_points(sf_dir)
-    t1m = rollup_tier(pts, 60, value_col="value_cents").materialize()
-    t5m = cascade_from_tier(t1m, 300).materialize()
-    t1h = cascade_from_tier(t5m, 3600).materialize()
-    t1d = cascade_from_tier(t1h, 86_400)
+    rolled = cascade_rollup(pts, value_col="value_cents")
 
-    def _tag(name):
-        def f(b: pa.Table) -> pa.Table:
-            return b.append_column("tier", pa.array([name] * len(b), pa.string()))
-        return f
+    def _final_tagged(b: pa.Table) -> pa.Table:
+        s = b["sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": pc.cast(b["bucket_ts"], pa.timestamp("us")),
+                "n_points": b["count"],
+                "sum_cents": pa.array(s, pa.int64()),
+                "min_cents": pc.cast(b["min"], pa.int64()),
+                "max_cents": pc.cast(b["max"], pa.int64()),
+                "mean_cents": pa.array(s.astype(np.float64) / c.astype(np.float64)),
+                "tier": b["tier"],
+            }
+        )
 
-    tagged = [
-        _to_final(t).map_batches(_tag(n), batch_format="pyarrow")
-        for n, t in [("1m", t1m), ("5m", t5m), ("1h", t1h), ("1d", t1d)]
-    ]
-    out = tagged[0]
-    for t in tagged[1:]:
-        out = out.union(t)
-    return out
+    return rolled.map_batches(_final_tagged, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def compress_events(sf_dir: str) -> ray.data.Dataset:

@@ -308,7 +308,7 @@ def _merge_cascade_group(
     ts, raw = decode_segments(group)
     is_int = np.issubdtype(raw.dtype, np.integer)
     val = raw.astype(np.int64 if is_int else np.float64)
-    minmax_type = pa.int32() if is_int else pa.float64()
+    minmax_type = pa.from_numpy_dtype(raw.dtype) if is_int else pa.float64()
     sum_type = pa.int64() if is_int else pa.float64()
     source = group["source"][0].as_py()
     return _cascade_arrays(ts, val, source, tiers, minmax_type, sum_type)
