@@ -175,7 +175,11 @@ def encode_xor_naive(vals) -> bytes:
         s = _b(x, 64)
         lz = min(len(s) - len(s.lstrip("0")), 31)
         tz = len(s) - len(s.rstrip("0")) if x else 64
-        if plz >= 0 and lz >= plz and tz >= ptz:
+        # spec'd encoder policy (shared with the engine): reuse the
+        # window only while (lz, tz) is EXACTLY unchanged; any change
+        # opens a new window. (Greedy Gorilla would also reuse on
+        # strictly-narrower values — either stream decodes identically.)
+        if plz >= 0 and lz == plz and tz == ptz:
             out.append("10" + _b(x >> ptz, 64 - plz - ptz))
         else:
             mlen = 64 - lz - tz
