@@ -97,3 +97,25 @@ def test_cascade_from_tier_associativity(engine_rollup, oracle_tiers):
         oracle_tiers["1h"],
         "1h-from-5m",
     )
+
+
+def test_packed_equals_unpacked(sf_test_paths):
+    """The segment-packed exchange must be bit-identical to the raw-row
+    shuffle path (same dedup, same cascade) — the A/B guard for the
+    combiner that carries the 100 TB design."""
+    pts = derive_points(read_points_input(sf_test_paths))
+    a = _tier_to_df(cascade_rollup(pts, packed=True))
+    b = _tier_to_df(cascade_rollup(pts, packed=False))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_block_count_invariance(sf_test_paths, oracle_tiers):
+    """Same input at different block counts (the knob parallelism turns)
+    must produce bit-identical tiers — cross-block duplicate rows and
+    fragment merges included (SURVEY §5.2 #6)."""
+    for nb in (1, 3, 17):
+        pts = derive_points(
+            read_points_input(sf_test_paths).repartition(nb)
+        )
+        got = _tier_to_df(split_tiers(cascade_rollup(pts).materialize())["1m"])
+        _assert_bit_identical(got, oracle_tiers["1m"], f"nb={nb}")
