@@ -1,0 +1,60 @@
+"""Per-row token-array invariant (BASELINE.json input_hint): every input
+row's ``tokens`` list survives the pipeline byte-for-byte.
+
+Two independent checks:
+1. carried-through: full-schema rows run through the engine's point
+   derivation with tokens carried; Arrow list equality vs the raw file.
+2. re-derived: tokens recomputed from the (seed, source, seq) spec
+   (tests/oracle-side derivation, independent of the generator's output)
+   must equal what the engine carried.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pyarrow as pa
+
+from workbook_exporter_fe_ray import datagen
+from workbook_exporter_fe_ray.sources import read_input
+from workbook_exporter_fe_ray.stages.points import derive_points_carry_tokens
+
+SEED = 42  # conftest generates sf_test with this seed
+
+
+def _sorted_tokens(df: pd.DataFrame) -> list[list[int]]:
+    df = df.sort_values(["doc_id"], kind="stable").reset_index(drop=True)
+    return [list(t) for t in df["tokens"]]
+
+
+def test_tokens_survive_pipeline(sf_test_paths, ray_session):
+    raw = pa.concat_tables([pq.read_table(p) for p in sf_test_paths])
+    carried = derive_points_carry_tokens(read_input(sf_test_paths)).to_pandas()
+
+    raw_df = raw.select(["doc_id", "tokens"]).to_pandas()
+    assert len(carried) == len(raw_df)
+    got = _sorted_tokens(carried)
+    want = _sorted_tokens(raw_df)
+    assert got == want  # exact token-array equality, duplicates included
+
+
+def test_tokens_match_spec_rederivation(sf_test_paths, ray_session):
+    """Independent re-derivation: tokens[j] = mix(seed, src, seq,
+    TOKENS_SALT)-seeded splitmix stream, per FIXTURES spec."""
+    carried = derive_points_carry_tokens(read_input(sf_test_paths)).to_pandas()
+    carried = carried.sort_values("doc_id", kind="stable").reset_index(drop=True)
+
+    checked = 0
+    for _, row in carried.iloc[:: max(1, len(carried) // 500)].iterrows():
+        src, seq_s = row["doc_id"].rsplit("-", 1)
+        src_idx = int(src.split("-")[1])
+        seq = np.array([int(seq_s)], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h_row = datagen.mix(SEED, src_idx, seq, datagen.TOKENS_SALT)[0]
+            n = len(row["tokens"])
+            j = np.arange(n, dtype=np.uint64)
+            want = (datagen.splitmix64(h_row + j) % np.uint64(50257)).astype(np.int32)
+        np.testing.assert_array_equal(np.asarray(list(row["tokens"]), np.int32), want)
+        checked += 1
+    assert checked >= 100

@@ -35,3 +35,21 @@ def derive_points_batch(batch: pa.Table) -> pa.Table:
 def derive_points(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Dataset of input rows (tokens already pruned) → dataset of points."""
     return ds.map_batches(derive_points_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def derive_points_carry_tokens_batch(batch: pa.Table) -> pa.Table:
+    """Invariant-check path: same point derivation, but ``doc_id`` and the
+    ``tokens`` list column are carried through zero-copy so per-row
+    token-array equality against the input can be asserted downstream
+    (the input_hint's per-row invariant). Never used on the rollup path —
+    tokens are ≫99% of input bytes and are pruned at the read there."""
+    pts = derive_points_batch(batch)
+    return pts.append_column("doc_id", batch["doc_id"]).append_column(
+        "tokens", batch["tokens"]
+    )
+
+
+def derive_points_carry_tokens(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(
+        derive_points_carry_tokens_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
