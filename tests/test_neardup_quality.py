@@ -1,0 +1,78 @@
+"""Near-dup miner quality: brute-force O(n²) ground truth at sf0.001.
+
+- MinHash+LSH reported pairs must carry EXACT n-gram Jaccard values
+  (verifies the shingle-hash verification path against direct text
+  computation — catches hash-collision or kernel drift).
+- Recall: every true pair comfortably above the threshold must be found
+  (LSH is probabilistic only near the threshold boundary).
+- SimHash reported pairs must carry exact hamming distances.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from workbook_exporter_fe_ray.sources import read_table
+from workbook_exporter_fe_ray.stages.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash64,
+    simhash_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs() -> pd.DataFrame:
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_minhash_pairs_carry_exact_jaccard(ray_session):
+    docs = _docs()
+    text = dict(zip(docs["doc_id"], docs["text"]))
+    got = minhash_lsh_pairs(read_table(f"{SF}/documents.parquet"), threshold=0.2).to_pandas()
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        direct = ngram_jaccard(text[r["id_a"]], text[r["id_b"]], 3)
+        np.testing.assert_allclose(r["jaccard"], direct, rtol=0, atol=0)
+        assert r["jaccard"] >= 0.2
+        assert r["id_a"] < r["id_b"]
+
+
+def test_minhash_recall_on_confident_pairs(ray_session):
+    """Every true pair with jaccard ≥ 2× threshold must be found (16
+    bands × 4 rows at t=0.2 makes a miss at j≥0.4 astronomically rare)."""
+    docs = _docs()
+    ids = docs["doc_id"].to_numpy()
+    texts = docs["text"].to_numpy()
+    truth = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if ngram_jaccard(texts[i], texts[j], 3) >= 0.4:
+                truth.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    got = minhash_lsh_pairs(read_table(f"{SF}/documents.parquet"), threshold=0.2).to_pandas()
+    found = set(zip(got["id_a"], got["id_b"]))
+    missed = truth - found
+    assert not missed, f"missed confident pairs: {sorted(missed)[:5]}"
+
+
+def test_simhash_pairs_carry_exact_hamming(ray_session):
+    docs = _docs()
+    sig = {r.doc_id: simhash64(r.text) for r in docs.itertuples()}
+    got = simhash_pairs(read_table(f"{SF}/documents.parquet")).to_pandas()
+    for _, r in got.iterrows():
+        d = bin(sig[r["id_a"]] ^ sig[r["id_b"]]).count("1")
+        assert r["hamming"] == d
+        assert d <= 3
+
+    # pigeonhole completeness: 4 bands guarantee every hamming≤3 pair
+    ids = list(sig)
+    truth = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(sig[ids[i]] ^ sig[ids[j]]).count("1") <= 3:
+                truth.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    found = set(zip(got["id_a"], got["id_b"]))
+    assert truth == found
