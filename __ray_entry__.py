@@ -368,6 +368,24 @@ def _q_anti_join(sf_dir: str):
     return broadcast_anti_join(_events(sf_dir))
 
 
+def _q_hash_sample(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import hash_sample
+
+    return hash_sample(_documents(sf_dir))
+
+
+def _q_union_distinct(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import union_distinct_users
+
+    return union_distinct_users(_events(sf_dir))
+
+
+def _q_topn_per_group(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import topn_per_group
+
+    return topn_per_group(_events(sf_dir), n=2)
+
+
 def _q_sessionize(sf_dir: str):
     from workbook_exporter_fe_ray.stages.relational import sessionize
 
@@ -477,6 +495,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_text": _q_dedup_exact_text,      # exact content dedup
         "anti_join_resume": _q_anti_join,             # J1 broadcast anti-join
         "sessionize_1h": _q_sessionize,               # windowed custom op
+        "hash_sample": _q_hash_sample,                # deterministic sampling
+        "union_distinct_users": _q_union_distinct,    # §2.7 union + distinct
+        "topn_per_group": _q_topn_per_group,          # window-rank top-N
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -617,6 +638,22 @@ SELECT user_id, count(*) AS n_sessions,
        CAST(max(n) AS BIGINT) AS max_session_events,
        CAST(sum(n) AS BIGINT) AS n_events
 FROM per_sess GROUP BY 1
+""",
+        "hash_sample": """
+SELECT doc_id, source FROM documents WHERE substr(md5(text), 1, 1) = '0'
+""",
+        "union_distinct_users": """
+SELECT DISTINCT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id FROM events WHERE event_type = 'signup')
+""",
+        "topn_per_group": """
+SELECT event_type AS source, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 2
 """,
         "cosine_neardup": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b

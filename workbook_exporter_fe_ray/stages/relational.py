@@ -214,6 +214,58 @@ def broadcast_anti_join(
     )
 
 
+def hash_sample(docs: ray.data.Dataset, hex_digits: str = "0") -> ray.data.Dataset:
+    """Deterministic content-hash sampling: keep docs whose md5(text)
+    starts with one of ``hex_digits`` (~len/16 of the corpus). The
+    reproducible alternative to random sampling for training-data
+    subsetting — the same rows are kept on every engine and every run."""
+    import hashlib
+
+    digits = frozenset(hex_digits)
+
+    def _keep(b: pa.Table) -> pa.Table:
+        mask = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()[0] in digits
+            for t in b["text"].to_pylist()
+        ]
+        return b.filter(pa.array(mask)).select(["doc_id", "source"])
+
+    return docs.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def union_distinct_users(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Disjoint-source union + distinct (reference §2.7: multi-exporter
+    output is a disjoint-key union): distinct users over purchase ∪
+    signup events."""
+    a = events.filter(expr="event_type == 'purchase'").select_columns(["user_id"])
+    b = events.filter(expr="event_type == 'signup'").select_columns(["user_id"])
+    u = a.union(b)
+    agg = u.groupby("user_id").count()
+    return agg.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"]}), batch_format="pyarrow"
+    )
+
+
+def topn_per_group(events: ray.data.Dataset, n: int = 2) -> ray.data.Dataset:
+    """Top-N rows per group (window-rank semantics): the N highest-value
+    events per event_type, deterministic tie-break by event_id."""
+
+    def _top(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("value", "descending"), ("event_id", "ascending")]
+        )
+        top = g.take(idx[:n])
+        return pa.table(
+            {
+                "source": top["event_type"],
+                "event_id": top["event_id"],
+                "value": top["value"],
+            }
+        )
+
+    return events.groupby("event_type").map_groups(_top, batch_format="pyarrow")
+
+
 def sessionize(
     events: ray.data.Dataset, gap_s: int = 3600
 ) -> ray.data.Dataset:
