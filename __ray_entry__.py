@@ -386,6 +386,25 @@ def _q_topn_per_group(sf_dir: str):
     return topn_per_group(_events(sf_dir), n=2)
 
 
+def _q_asof_join(sf_dir: str):
+    """Each event joined as-of to its source's latest 1h rollup bucket —
+    the custom timeseries join composed from union + groupby + one
+    vectorized searchsorted per group."""
+    from workbook_exporter_fe_ray.pipelines.events import rollup_events
+    from workbook_exporter_fe_ray.stages.relational import asof_join
+
+    events = _events(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"source": b["event_type"], "ts": b["ts"], "event_id": b["event_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+    t1h = rollup_events(sf_dir, 3600).select_columns(
+        ["source", "bucket_ts", "mean_cents"]
+    )
+    return asof_join(events, t1h)
+
+
 def _q_sessionize(sf_dir: str):
     from workbook_exporter_fe_ray.stages.relational import sessionize
 
@@ -495,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_text": _q_dedup_exact_text,      # exact content dedup
         "anti_join_resume": _q_anti_join,             # J1 broadcast anti-join
         "sessionize_1h": _q_sessionize,               # windowed custom op
+        "asof_join_1h": _q_asof_join,                 # as-of join (custom op)
         "hash_sample": _q_hash_sample,                # deterministic sampling
         "union_distinct_users": _q_union_distinct,    # §2.7 union + distinct
         "topn_per_group": _q_topn_per_group,          # window-rank top-N
@@ -638,6 +658,16 @@ SELECT user_id, count(*) AS n_sessions,
        CAST(max(n) AS BIGINT) AS max_session_events,
        CAST(sum(n) AS BIGINT) AS n_events
 FROM per_sess GROUP BY 1
+""",
+        "asof_join_1h": f"""
+WITH t AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts,
+         CAST(CAST(sum({_CENTS}) AS BIGINT) AS DOUBLE) / count(*) AS mean_cents
+  FROM events GROUP BY 1, 2)
+SELECT e.event_type AS source, e.event_id, e.ts,
+       t.bucket_ts AS asof_ts, t.mean_cents
+FROM events e ASOF JOIN t
+  ON e.event_type = t.source AND t.bucket_ts <= e.ts
 """,
         "hash_sample": """
 SELECT doc_id, source FROM documents WHERE substr(md5(text), 1, 1) = '0'

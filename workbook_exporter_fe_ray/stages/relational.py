@@ -266,6 +266,82 @@ def topn_per_group(events: ray.data.Dataset, n: int = 2) -> ray.data.Dataset:
     return events.groupby("event_type").map_groups(_top, batch_format="pyarrow")
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str = "source",
+    left_ts: str = "ts",
+    right_ts: str = "bucket_ts",
+    value_cols: tuple[str, ...] = ("mean_cents",),
+    left_carry: tuple[str, ...] = ("event_id",),
+) -> ray.data.Dataset:
+    """As-of join: for each left row, attach the latest right row with
+    ``right_ts <= left_ts`` for the same key (inner: left rows with no
+    prior right row are dropped).
+
+    Ray Data has no co-group, so both sides are tagged into one dataset
+    with a common schema and grouped by key; inside each group one
+    vectorized ``searchsorted`` matches every left ts against the sorted
+    right timestamps. Partitioning assumption (documented per the
+    brief): one key's rows fit one group — for unbounded histories,
+    window by (key, day) and carry each window's last right-row into the
+    next window (same look-back trick as gap-fill).
+    """
+
+    def _tag_left(b: pa.Table) -> pa.Table:
+        cols = {
+            key: b[key],
+            "__ts": pc.cast(b[left_ts], pa.int64()),
+            "__kind": pa.array(np.ones(len(b), dtype=np.int8)),
+        }
+        for c in left_carry:
+            cols[c] = b[c]
+        for c in value_cols:
+            cols[c] = pa.nulls(len(b), pa.float64())
+        return pa.table(cols)
+
+    def _tag_right(b: pa.Table) -> pa.Table:
+        cols = {
+            key: b[key],
+            "__ts": pc.cast(b[right_ts], pa.int64()),
+            "__kind": pa.array(np.zeros(len(b), dtype=np.int8)),
+        }
+        for c in left_carry:
+            cols[c] = pa.nulls(len(b), pa.int64())
+        for c in value_cols:
+            cols[c] = pc.cast(b[c], pa.float64())
+        return pa.table(cols)
+
+    tagged = left.map_batches(_tag_left, batch_format="pyarrow").union(
+        right.map_batches(_tag_right, batch_format="pyarrow")
+    )
+
+    def _join_group(g: pa.Table) -> pa.Table:
+        kind = g["__kind"].to_numpy(zero_copy_only=False)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        is_l = kind == 1
+        r_ts = ts[~is_l]
+        order_r = np.argsort(r_ts, kind="stable")
+        r_ts = r_ts[order_r]
+        out_cols: dict[str, pa.Array] = {}
+        l_ts = ts[is_l]
+        # latest right index with r_ts <= l_ts
+        pos = np.searchsorted(r_ts, l_ts, side="right") - 1
+        keep = pos >= 0
+        l_idx = np.flatnonzero(is_l)[keep]
+        r_idx = np.flatnonzero(~is_l)[order_r][pos[keep]]
+        out_cols[key] = g[key].take(pa.array(l_idx))
+        for c in left_carry:
+            out_cols[c] = g[c].take(pa.array(l_idx))
+        out_cols["ts"] = pa.array(l_ts[keep]).cast(pa.timestamp("us"))
+        out_cols["asof_ts"] = pa.array(ts[r_idx]).cast(pa.timestamp("us"))
+        for c in value_cols:
+            out_cols[c] = g[c].take(pa.array(r_idx))
+        return pa.table(out_cols)
+
+    return tagged.groupby(key).map_groups(_join_group, batch_format="pyarrow")
+
+
 def sessionize(
     events: ray.data.Dataset, gap_s: int = 3600
 ) -> ray.data.Dataset:
