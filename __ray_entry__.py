@@ -405,6 +405,13 @@ def _q_asof_join(sf_dir: str):
     return asof_join(events, t1h)
 
 
+def _q_moving_window(sf_dir: str):
+    from workbook_exporter_fe_ray.pipelines.events import rollup_events
+    from workbook_exporter_fe_ray.stages.relational import moving_window_agg
+
+    return moving_window_agg(rollup_events(sf_dir, 3600), window=3)
+
+
 def _q_sessionize(sf_dir: str):
     from workbook_exporter_fe_ray.stages.relational import sessionize
 
@@ -515,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_resume": _q_anti_join,             # J1 broadcast anti-join
         "sessionize_1h": _q_sessionize,               # windowed custom op
         "asof_join_1h": _q_asof_join,                 # as-of join (custom op)
+        "moving_avg_1h": _q_moving_window,            # sliding-window aggregate
         "hash_sample": _q_hash_sample,                # deterministic sampling
         "union_distinct_users": _q_union_distinct,    # §2.7 union + distinct
         "topn_per_group": _q_topn_per_group,          # window-rank top-N
@@ -658,6 +666,20 @@ SELECT user_id, count(*) AS n_sessions,
        CAST(max(n) AS BIGINT) AS max_session_events,
        CAST(sum(n) AS BIGINT) AS n_events
 FROM per_sess GROUP BY 1
+""",
+        "moving_avg_1h": f"""
+WITH t AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS n_points, CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1, 2)
+SELECT source, bucket_ts,
+       CAST(sum(sum_cents) OVER w AS BIGINT) AS w_sum,
+       CAST(sum(n_points) OVER w AS BIGINT) AS w_count,
+       CAST(CAST(sum(sum_cents) OVER w AS BIGINT) AS DOUBLE)
+         / CAST(sum(n_points) OVER w AS BIGINT) AS w_mean
+FROM t
+WINDOW w AS (PARTITION BY source ORDER BY bucket_ts
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """,
         "asof_join_1h": f"""
 WITH t AS (

@@ -342,6 +342,48 @@ def asof_join(
     return tagged.groupby(key).map_groups(_join_group, batch_format="pyarrow")
 
 
+def moving_window_agg(
+    tier: ray.data.Dataset,
+    window: int = 3,
+    key: str = "source",
+    ts_col: str = "bucket_ts",
+    sum_col: str = "sum_cents",
+    count_col: str = "n_points",
+) -> ray.data.Dataset:
+    """Sliding-window aggregate over a rolled-up tier: per key, ordered
+    by bucket, the trailing-``window``-bucket sum/count/mean (ROWS
+    window, not RANGE — matches SQL ``ROWS BETWEEN w-1 PRECEDING AND
+    CURRENT ROW``). Sums stay exact int64; the mean is one int→float
+    division, so floats are bit-deterministic.
+
+    Vectorized per group via prefix sums; the streaming-window custom
+    operator from the brief, expressed as groupby + group kernel."""
+
+    def _win(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(ts_col, "ascending")])
+        g = g.take(idx)
+        s = g[sum_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(s)])
+        cc = np.concatenate([[0], np.cumsum(c)])
+        lo = np.maximum(np.arange(len(s)) - (window - 1), 0)
+        msum = cs[1 + np.arange(len(s))] - cs[lo]
+        mcount = cc[1 + np.arange(len(s))] - cc[lo]
+        return pa.table(
+            {
+                key: g[key],
+                ts_col: g[ts_col],
+                "w_sum": pa.array(msum, pa.int64()),
+                "w_count": pa.array(mcount, pa.int64()),
+                "w_mean": pa.array(
+                    msum.astype(np.float64) / mcount.astype(np.float64)
+                ),
+            }
+        )
+
+    return tier.groupby(key).map_groups(_win, batch_format="pyarrow")
+
+
 def sessionize(
     events: ray.data.Dataset, gap_s: int = 3600
 ) -> ray.data.Dataset:
