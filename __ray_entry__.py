@@ -626,9 +626,11 @@ SELECT event_type AS source, ts, {_CENTS} AS value_cents FROM events
 SELECT event_id, user_id, ts FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
 """,
         "probe_fanout": """
-SELECT event_id, 'icmp' AS module FROM events
-UNION ALL SELECT event_id, 'http' AS module FROM events WHERE value >= 50
-UNION ALL SELECT event_id, 'ssh' AS module FROM events WHERE event_type = 'error'
+SELECT event_id, 'icmp' AS module, event_id::VARCHAR || ':icmp' AS probe_key FROM events
+UNION ALL SELECT event_id, 'http' AS module, event_id::VARCHAR || ':http' AS probe_key
+  FROM events WHERE value >= 50
+UNION ALL SELECT event_id, 'ssh' AS module, event_id::VARCHAR || ':ssh' AS probe_key
+  FROM events WHERE event_type = 'error'
 """,
         "classify_docs": """
 SELECT CASE WHEN source LIKE '%1%' THEN 'lsp'

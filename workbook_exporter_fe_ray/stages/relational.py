@@ -107,15 +107,20 @@ def probe_fanout(events: ray.data.Dataset) -> ray.data.Dataset:
     'icmp' probe; value ≥ 50 also emits 'http'; event_type == 'error'
     also emits 'ssh'. One row → 1-3 rows, all inside one map_batches."""
 
+    def _one(eid: pa.ChunkedArray | pa.Array, module: str) -> pa.Table:
+        mod = pa.array([module] * len(eid))
+        # probe key '<id>:<module>' — the reference's f'{ip}:{port}' key
+        # concat (:282), vectorized
+        key = pc.binary_join_element_wise(
+            pc.cast(eid, pa.string()), mod, ":"
+        )
+        return pa.table({"event_id": eid, "module": mod, "probe_key": key})
+
     def _fan(b: pa.Table) -> pa.Table:
         eid = b["event_id"]
-        parts = [pa.table({"event_id": eid, "module": pa.array(["icmp"] * len(b))})]
-        http = pc.greater_equal(b["value"], 50.0)
-        he = eid.filter(http)
-        parts.append(pa.table({"event_id": he, "module": pa.array(["http"] * len(he))}))
-        ssh = pc.equal(b["event_type"], "error")
-        se = eid.filter(ssh)
-        parts.append(pa.table({"event_id": se, "module": pa.array(["ssh"] * len(se))}))
+        parts = [_one(eid, "icmp")]
+        parts.append(_one(eid.filter(pc.greater_equal(b["value"], 50.0)), "http"))
+        parts.append(_one(eid.filter(pc.equal(b["event_type"], "error")), "ssh"))
         return pa.concat_tables(parts)
 
     return events.map_batches(_fan, batch_format="pyarrow", zero_copy_batch=True)
