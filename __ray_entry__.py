@@ -51,11 +51,11 @@ def _embeddings(sf_dir: str) -> ray.data.Dataset:
 # --------------------------------------------------------------------------
 
 
-def _q_rollup(bucket_s: int):
+def _q_rollup(bucket_s: int, salt_mod: int | None = None):
     def f(sf_dir: str):
         from workbook_exporter_fe_ray.pipelines.events import rollup_events
 
-        return rollup_events(sf_dir, bucket_s)
+        return rollup_events(sf_dir, bucket_s, salt_mod=salt_mod)
 
     return f
 
@@ -499,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
         "rollup_1m": _q_rollup(60),
+        "rollup_1m_salted": _q_rollup(60, salt_mod=8),  # skew path, same oracle
         "rollup_5m": _q_rollup(300),
         "rollup_1h_cascade": _q_rollup_cascade(60, 3600),
         "rollup_1d_cascade": _q_rollup_cascade(3600, 86_400),
@@ -563,6 +564,9 @@ GROUP BY 1, 2
 def oracle_sql() -> dict[str, str]:
     return {
         "rollup_1m": _rollup_sql("date_trunc('minute', ts)"),
+        # the salted two-phase path must produce EXACTLY the same values
+        # (associative partials make salting routing-only)
+        "rollup_1m_salted": _rollup_sql("date_trunc('minute', ts)"),
         "rollup_5m": _rollup_sql("time_bucket(INTERVAL '5 minutes', ts)"),
         "rollup_1h_cascade": _rollup_sql("date_trunc('hour', ts)"),
         "rollup_1d_cascade": _rollup_sql("date_trunc('day', ts)"),
