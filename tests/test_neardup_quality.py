@@ -76,3 +76,33 @@ def test_simhash_pairs_carry_exact_hamming(ray_session):
                 truth.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
     found = set(zip(got["id_a"], got["id_b"]))
     assert truth == found
+
+
+def test_minhash_partition_invariance(ray_session):
+    """Pairs must not depend on the coarse-partition count (P is a
+    routing knob, like cluster size)."""
+    ds = read_table(f"{SF}/documents.parquet")
+    key = ["id_a", "id_b"]
+    a = (
+        minhash_lsh_pairs(ds, threshold=0.2, num_partitions=16)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        minhash_lsh_pairs(ds, threshold=0.2, num_partitions=64)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_simhash_partition_invariance(ray_session):
+    ds = read_table(f"{SF}/documents.parquet")
+    key = ["id_a", "id_b"]
+    a = (
+        simhash_pairs(ds, num_partitions=16)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        simhash_pairs(ds, num_partitions=64)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
