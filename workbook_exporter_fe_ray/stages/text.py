@@ -114,17 +114,18 @@ class LangId:
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Two fingerprints per doc: md5 hex (exact, SQL-matchable) and a
-    64-bit Karp–Rabin rolling hash (base 257 mod 2^61-1) over bytes."""
+    Karp–Rabin rolling hash (base 256 mod 2^61-1) over bytes.
+
+    Base 256 makes the polynomial equal the document's big-endian
+    integer value, so the whole hash is ONE C-speed big-int modulo
+    instead of a per-byte Python loop; the rolling update property
+    (h' = (h*256 + b) mod p) is unchanged."""
     MOD = (1 << 61) - 1
-    BASE = 257
     md5s, rolls = [], []
     for t in batch[text_col].to_pylist():
         data = t.encode("utf-8")
         md5s.append(hashlib.md5(data).hexdigest())
-        h = 0
-        for b in data:
-            h = (h * BASE + b) % MOD
-        rolls.append(h)
+        rolls.append(int.from_bytes(data, "big") % MOD)
     out = batch.append_column("md5", pa.array(md5s, pa.string()))
     return out.append_column(
         "rolling_hash", pa.array(np.array(rolls, dtype=np.uint64).view(np.int64))
