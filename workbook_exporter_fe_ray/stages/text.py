@@ -33,6 +33,24 @@ _STOPWORDS = {
 }
 
 
+def _count_in_set_per_doc(toks: pa.Array | pa.ChunkedArray, words: set[str]) -> np.ndarray:
+    """Per-document count of tokens in ``words`` — one vectorized
+    ``is_in`` over the flattened token lists + a reduceat per doc."""
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    hits = pc.is_in(flat, value_set=pa.array(sorted(words))).to_numpy(
+        zero_copy_only=False
+    )
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    out = np.zeros(len(toks), dtype=np.int64)
+    nonempty = np.diff(offs) > 0
+    if hits.size:
+        sums = np.add.reduceat(hits.astype(np.int64), offs[:-1][nonempty])
+        out[nonempty] = sums
+    return out
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count per document (matches string_split(text,' '))."""
     toks = pc.split_pattern(batch[text_col], " ")
@@ -71,10 +89,7 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         pc.cast(nospace, pa.float64()), pc.cast(n_words, pa.float64())
     )
 
-    stop_en = _STOPWORDS["en"]
-    n_stop = []
-    for words in toks.to_pylist():
-        n_stop.append(sum(1 for w in words if w in stop_en))
+    n_stop = _count_in_set_per_doc(toks, _STOPWORDS["en"])
     stop_ratio = pc.divide(
         pc.cast(pa.array(n_stop, pa.int64()), pa.float64()),
         pc.cast(n_words, pa.float64()),
@@ -100,16 +115,17 @@ class LangId:
         self.tables = {k: frozenset(v) for k, v in sorted(_STOPWORDS.items())}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs = []
-        for t in batch[self.text_col].to_pylist():
-            words = t.lower().split()
-            best_lang, best = "und", 0
-            for lang, table in self.tables.items():
-                score = sum(1 for w in words if w in table)
-                if score > best:
-                    best_lang, best = lang, score
-            langs.append(best_lang)
-        return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        toks = pc.split_pattern(pc.utf8_lower(batch[self.text_col]), " ")
+        names = list(self.tables)  # sorted at construction
+        scores = np.stack(
+            [_count_in_set_per_doc(toks, self.tables[lang]) for lang in names]
+        )  # (n_langs, n_docs)
+        best = scores.argmax(axis=0)  # first max wins → tie-break by code
+        langs = np.array(names, dtype=object)[best]
+        langs[scores.max(axis=0) == 0] = "und"
+        return batch.append_column(
+            "lang_pred", pa.array(langs.tolist(), pa.string())
+        )
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
