@@ -120,15 +120,44 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    """Stable sorted-unique uint64 hashes of word n-gram shingles."""
-    grams = word_ngrams(text, n)
-    if not grams:
-        return np.array([0], dtype=np.uint64)
-    crcs = np.fromiter(
-        (zlib.crc32(g.encode("utf-8")) for g in grams), np.uint64, len(grams)
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_C3 = np.uint64(0x165667B19E3779F9)
+
+
+def _word_hash(words: list[str]) -> np.ndarray:
+    return _splitmix64(
+        np.fromiter(
+            (zlib.crc32(w.encode("utf-8")) for w in words), np.uint64, len(words)
+        )
     )
-    return np.unique(_splitmix64(crcs))
+
+
+def _combine3(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit combine of three token hashes — the shingle
+    hash of the trigram (a,b,c) without building the gram string."""
+    with np.errstate(over="ignore"):
+        return _splitmix64(a * _C1 ^ b * _C2 ^ c * _C3)
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Stable sorted-unique uint64 hashes of word n-gram shingles.
+
+    Hash = order-sensitive combine of per-word crc+mix hashes (n==3) or
+    the combined hash of all words (short docs) — a pure function of
+    the gram, so Jaccard over these sets equals Jaccard over the grams
+    themselves (collisions ~2^-64)."""
+    words = text.split()
+    if not words:
+        return np.array([0], dtype=np.uint64)
+    h = _word_hash(words)
+    if len(words) < n:
+        acc = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for x in h:
+                acc = _splitmix64(np.array([acc * _C1 ^ x]))[0]
+        return np.array([acc], dtype=np.uint64)
+    return np.unique(_combine3(h[:-2], h[1:-1], h[2:]))
 
 
 def hashed_jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -168,6 +197,74 @@ def simhash64(text: str) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _batch_shingles(texts: pa.Array, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted-unique shingle hashes for a whole batch, with NO
+    per-gram Python work: tokens are split once with an Arrow kernel,
+    the (small) token VOCABULARY is hashed once, and n-gram hashes are
+    an order-sensitive vectorized combine of adjacent token hashes.
+    Returns (flat uint64 hashes, int64 doc-start offsets of len n_docs+1).
+    Semantics identical to :func:`_shingle_hashes` per doc."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    toks = pc.split_pattern_regex(texts, r"\s+")
+    flat_tok = toks.flatten()
+    raw_counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+    # .split() semantics: drop empty tokens (leading/trailing whitespace)
+    nonempty = pc.greater(pc.utf8_length(flat_tok), 0)
+    ne = nonempty.to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(n_docs), raw_counts)[ne]
+    flat_tok = flat_tok.filter(nonempty)
+    counts = np.bincount(doc_of, minlength=n_docs)
+
+    # hash the vocabulary once, broadcast through dictionary indices
+    enc = pc.dictionary_encode(flat_tok)
+    vocab = enc.dictionary.to_pylist()
+    vh = _word_hash(vocab) if vocab else np.array([], dtype=np.uint64)
+    th = vh[np.asarray(enc.indices)] if len(flat_tok) else np.array([], np.uint64)
+
+    long_doc = counts >= n  # vectorized trigram path
+    grams: list[np.ndarray] = []
+    out_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    if long_doc.any() and len(th) >= n:
+        tri = _combine3(th[:-2], th[1:-1], th[2:])
+        valid = doc_of[:-2] == doc_of[2:]
+        tri, tri_doc = tri[valid], doc_of[:-2][valid]
+        # sorted-unique per doc: lexsort then drop run duplicates
+        order = np.lexsort((tri, tri_doc))
+        tri, tri_doc = tri[order], tri_doc[order]
+        keep = np.ones(len(tri), dtype=bool)
+        keep[1:] = (tri[1:] != tri[:-1]) | (tri_doc[1:] != tri_doc[:-1])
+        tri, tri_doc = tri[keep], tri_doc[keep]
+    else:
+        tri = np.array([], np.uint64)
+        tri_doc = np.array([], np.int64)
+
+    # short docs (<n tokens): one combined-hash shingle ([0] when empty)
+    per_doc: list[np.ndarray] = [None] * n_docs  # type: ignore[list-item]
+    tok_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=tok_offs[1:])
+    tri_counts = np.bincount(tri_doc, minlength=n_docs)
+    tri_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(tri_counts, out=tri_offs[1:])
+    for d in range(n_docs):
+        if long_doc[d]:
+            per_doc[d] = tri[tri_offs[d] : tri_offs[d + 1]]
+        elif counts[d] == 0:
+            per_doc[d] = np.array([0], dtype=np.uint64)
+        else:
+            h = th[tok_offs[d] : tok_offs[d + 1]]
+            acc = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for x in h:
+                    acc = _splitmix64(np.array([acc * _C1 ^ x]))[0]
+            per_doc[d] = np.array([acc], dtype=np.uint64)
+    lens = np.array([len(s) for s in per_doc], dtype=np.int64)
+    np.cumsum(lens, out=out_offs[1:])
+    flat = np.concatenate(per_doc) if per_doc else np.array([], np.uint64)
+    return flat, out_offs
+
+
 class _SignatureStage:
     """Actor-pool stage: per doc, ONE pass computes the sorted-unique
     shingle-hash set and the MinHash signature (batch-vectorized: all
@@ -184,14 +281,14 @@ class _SignatureStage:
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        shingles = [_shingle_hashes(t, self.shingle_n) for t in texts]
-        lens = np.array([len(s) for s in shingles], dtype=np.int64)
-        flat = (
-            np.concatenate(shingles) if shingles else np.array([], dtype=np.uint64)
+        col = batch[self.text_col]
+        flat, offs = _batch_shingles(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col,
+            self.shingle_n,
         )
-        starts = np.zeros(len(lens), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
+        lens = np.diff(offs)
+        shingles = [flat[offs[d] : offs[d + 1]] for d in range(len(batch))]
+        starts = offs[:-1]
         with np.errstate(over="ignore"):
             perm = _splitmix64(flat[:, None] ^ self.salts[None, :])  # (S_total, P)
         sigs = (
