@@ -119,3 +119,34 @@ def test_neardup_pairs_deterministic(ray_session):
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_normalize_schema(ray_session):
+    """Reference F4: schema widening with default fill — missing columns
+    appear with defaults, present ones cast, extras drop, nulls coalesce."""
+    import pyarrow as pa
+    import ray.data
+
+    from workbook_exporter_fe_ray.sources import normalize_schema
+
+    target = pa.schema(
+        [
+            pa.field("id", pa.int64()),
+            pa.field("port", pa.int32()),
+            pa.field("flag", pa.bool_()),
+        ]
+    )
+    src = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int32()),        # needs cast
+            "port": pa.array([80, None, 443], pa.int64()), # null -> default
+            "extra": pa.array(["x", "y", "z"]),            # dropped
+        }
+    )
+    out = normalize_schema(
+        ray.data.from_arrow(src), target, defaults={"port": 6001, "flag": False}
+    ).to_pandas()
+    assert list(out.columns) == ["id", "port", "flag"]
+    assert out["port"].tolist() == [80, 6001, 443]
+    assert out["flag"].tolist() == [False, False, False]
+    assert out["id"].tolist() == [1, 2, 3]

@@ -1,5 +1,6 @@
 from .parquet import (
     good_num_blocks,
+    normalize_schema,
     read_input,
     read_points_input,
     read_table,
@@ -8,6 +9,7 @@ from .parquet import (
 
 __all__ = [
     "good_num_blocks",
+    "normalize_schema",
     "read_input",
     "read_points_input",
     "read_table",

@@ -71,6 +71,43 @@ def read_table(
     return ray.data.read_parquet(path, columns=columns, **kw)
 
 
+def normalize_schema(
+    ds: ray.data.Dataset,
+    schema: "pa.Schema",
+    defaults: dict[str, object] | None = None,
+) -> ray.data.Dataset:
+    """Schema widening with default fill (reference F4: missing optional
+    columns are materialized with defaults, ``/root/reference/
+    workbook_exporter-fe.py:229-236``; null coalesce ``:200``):
+    every field of ``schema`` exists afterwards — missing columns are
+    appended as the default (or null), present columns are cast, and
+    extra columns are dropped. Runs as one vectorized map_batches."""
+    import pyarrow as pa
+
+    defaults = defaults or {}
+
+    def _norm(b: "pa.Table") -> "pa.Table":
+        cols = {}
+        for field in schema:
+            if field.name in b.column_names:
+                col = b[field.name].cast(field.type)
+                if field.name in defaults:
+                    import pyarrow.compute as pc
+
+                    col = pc.fill_null(col, pa.scalar(defaults[field.name], field.type))
+            else:
+                d = defaults.get(field.name)
+                col = (
+                    pa.nulls(len(b), field.type)
+                    if d is None
+                    else pa.array([d] * len(b), field.type)
+                )
+            cols[field.name] = col
+        return pa.table(cols, schema=schema)
+
+    return ds.map_batches(_norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def read_tier(tier_dir: str) -> ray.data.Dataset:
     """Read a previously-materialized tier (cascade input / resume)."""
     return ray.data.read_parquet(tier_dir)

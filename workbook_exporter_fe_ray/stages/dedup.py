@@ -286,7 +286,6 @@ class _SignatureStage:
             col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col,
             self.shingle_n,
         )
-        lens = np.diff(offs)
         shingles = [flat[offs[d] : offs[d + 1]] for d in range(len(batch))]
         starts = offs[:-1]
         with np.errstate(over="ignore"):
