@@ -106,3 +106,17 @@ def test_simhash_partition_invariance(ray_session):
         .to_pandas().sort_values(key).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_minhash_estimate_mode(ray_session):
+    """Signature-only verification (the fixed-bytes-per-doc scale path):
+    every exact pair with jaccard ≥ 0.5 must also surface in estimate
+    mode at a slack threshold, and estimates must track exact values."""
+    ds = read_table(f"{SF}/documents.parquet")
+    exact = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    est = minhash_lsh_pairs(ds, threshold=0.3, verify="estimate").to_pandas()
+    est_pairs = dict(zip(zip(est["id_a"], est["id_b"]), est["jaccard"]))
+    for _, r in exact.iterrows():
+        key = (r["id_a"], r["id_b"])
+        assert key in est_pairs, key
+        assert abs(est_pairs[key] - r["jaccard"]) < 0.35

@@ -334,17 +334,28 @@ def minhash_lsh_pairs(
     concurrency: int | tuple[int, int] = (1, 4),
     num_partitions: int = 64,
     max_bucket: int = 64,
+    verify: str = "exact",
 ) -> ray.data.Dataset:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
     shingle+MinHash signature (actor pool, one pass, text dropped) →
-    band rows (bucket, id, shingle-hashes) → coarse-partition groupby
-    (``bucket % num_partitions`` → vectorized bucket sweep per
-    partition, not per-bucket UDF calls) → exact Jaccard verification
-    over shingle-hash sets → associative Max-merge for distinct pairs.
+    band rows → coarse-partition groupby (``bucket % num_partitions`` →
+    vectorized bucket sweep per partition, not per-bucket UDF calls) →
+    Jaccard verification → associative Max-merge for distinct pairs.
     Every step is deterministic (seeded). Buckets larger than
-    ``max_bucket`` (degenerate near-constant content) are skipped."""
+    ``max_bucket`` (degenerate near-constant content) are skipped.
+
+    ``verify``:
+    - ``"exact"``: exact n-gram Jaccard over the per-doc shingle-hash
+      sets; band rows carry the shingle sets, so the exchange is
+      O(doc shingles × bands) — right when verified precision matters.
+    - ``"estimate"``: standard MinHash estimate (fraction of equal
+      signature components); band rows carry only the fixed-size
+      signature (num_perm × 8 B), so the exchange is O(1) per doc per
+      band regardless of document size — the 100 TB default."""
     assert num_perm % bands == 0
+    if verify not in ("exact", "estimate"):
+        raise ValueError(f"unknown verify mode: {verify!r}")
 
     signed = ds.map_batches(
         _SignatureStage,
@@ -366,13 +377,16 @@ def minhash_lsh_pairs(
         part = (buckets.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
         rep = np.repeat(np.arange(n), bands)
         ids = batch[id_col].take(pa.array(rep))
-        sh = batch["shingles"].take(pa.array(rep))
+        payload_col = "shingles" if verify == "exact" else "signature"
+        payload = batch[payload_col].take(pa.array(rep))
+        if verify == "estimate":
+            payload = payload.cast(pa.list_(pa.int64()))
         return pa.table(
             {
                 "part": pa.array(part.reshape(-1)),
                 "bucket": pa.array(buckets.reshape(-1)),
                 id_col: ids,
-                "shingles": sh,
+                "shingles": payload,
             }
         )
 
@@ -411,7 +425,11 @@ def minhash_lsh_pairs(
                     ia, ib = int(ids[a]), int(ids[b])
                     if ia == ib or (ia, ib) in seen:
                         continue
-                    jac = hashed_jaccard(sa, flat[offs[b] : offs[b + 1]])
+                    sb = flat[offs[b] : offs[b + 1]]
+                    if verify == "exact":
+                        jac = hashed_jaccard(sa, sb)
+                    else:  # MinHash estimate: equal-component fraction
+                        jac = float(np.mean(sa == sb))
                     if jac >= threshold:
                         seen.add((ia, ib))
                         out_a.append(ia)
