@@ -213,15 +213,39 @@ def main() -> None:
 
     if "--scaling-child" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--scaling-child") + 1])
-        print(json.dumps(run_scaling_child(cpus)))
+        reps = (
+            int(sys.argv[sys.argv.index("--reps") + 1])
+            if "--reps" in sys.argv
+            else 5
+        )
+        print(json.dumps(run_scaling_child(cpus, reps=reps)))
         return
 
     if "--scaling" in sys.argv:
+        # optional pair override: --scaling N M  (default 8 32). The
+        # N→4N-node criterion is proxied by two CPU levels; on ONE box
+        # the high-core pair (8→32) shares a single memory subsystem
+        # (real nodes each bring their own bandwidth), so the low-core
+        # pair (2→8) is also worth measuring — see BASELINE.md.
+        i = sys.argv.index("--scaling")
+        try:
+            pair = (int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        except (IndexError, ValueError):
+            pair = (8, 32)
+        factor = pair[1] / pair[0]
         ensure_scale_table()  # generate once outside the timed children
         runs = {}
-        for cpus in (8, 32):
+        for cpus in pair:
+            reps = "3" if cpus <= 4 else "5"  # low-cpu child walls are long
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--scaling-child",
+                    str(cpus),
+                    "--reps",
+                    reps,
+                ],
                 capture_output=True,
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -231,11 +255,11 @@ def main() -> None:
             if not lines:
                 raise RuntimeError(f"scaling child {cpus} failed: {out.stderr[-2000:]}")
             runs[cpus] = json.loads(lines[-1])
-        eff = (runs[32]["points_per_s"] / runs[8]["points_per_s"]) / 4
+        eff = (runs[pair[1]]["points_per_s"] / runs[pair[0]]["points_per_s"]) / factor
         print(
             json.dumps(
                 {
-                    "metric": "scaling_efficiency_8_to_32_cpus",
+                    "metric": f"scaling_efficiency_{pair[0]}_to_{pair[1]}_cpus",
                     "value": round(eff, 3),
                     "unit": "ratio",
                     "runs": runs,
