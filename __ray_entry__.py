@@ -252,6 +252,18 @@ def _q_ann_topk(sf_dir: str):
     return top.select_columns(["vec_id"])
 
 
+def _q_text_analysis_full(sf_dir: str):
+    """Composite 4-stage text pipeline: token counts → quality features
+    → language ID (actor pool) → fingerprints, chained over one read."""
+    from workbook_exporter_fe_ray.stages.text import analyze_documents
+
+    out = analyze_documents(_documents(sf_dir))
+    return out.select_columns(
+        ["doc_id", "n_tokens", "n_words", "avg_word_len", "stopword_ratio",
+         "lang_pred", "md5", "rolling_hash"]
+    )
+
+
 def _q_lang_id(sf_dir: str):
     from workbook_exporter_fe_ray.stages.text import LangId
 
@@ -533,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "doc_fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
+        "text_analysis_full": _q_text_analysis_full,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
