@@ -5,10 +5,12 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "points_per_s": ..., "compressed_bytes_per_s": ...}
 
---scaling: runs the flagship job twice in fresh subprocesses
-(num_cpus=8 then 32) on the same input and reports both throughputs
-plus scaling_efficiency = (thr_32 / thr_8) / 4 — the sandbox stand-in
-for the north rule's N→4N-node criterion (see BASELINE.md).
+--scaling [N M]: runs the flagship job in two fresh subprocesses at two
+CPU levels (default 8 then 32; pass e.g. ``--scaling 2 8``) on the same
+input and reports both throughputs plus
+scaling_efficiency = (thr_M / thr_N) / (M/N) — the sandbox stand-in for
+the north rule's N→4N-node criterion (see BASELINE.md for both measured
+pairs and the single-box bandwidth-ceiling caveat).
 """
 
 from __future__ import annotations
