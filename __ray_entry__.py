@@ -430,6 +430,33 @@ def _q_sessionize(sf_dir: str):
     return sessionize(_events(sf_dir))
 
 
+def _q_range_join(sf_dir: str):
+    """Interval join: per event_type, the 5 earliest events each open a
+    37-minute window; count events falling in each window. Broadcast
+    small side + two searchsorted per batch — no big-side shuffle."""
+    from workbook_exporter_fe_ray.stages.relational import range_join_window_counts
+
+    return range_join_window_counts(_events(sf_dir))
+
+
+def _q_grouped_quantiles(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.sketch import grouped_quantiles
+
+    return grouped_quantiles(_documents(sf_dir))
+
+
+def _q_heavy_hitters(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.sketch import heavy_hitters
+
+    return heavy_hitters(_documents(sf_dir), col="lang", phi=0.2)
+
+
+def _q_hll_distinct(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.sketch import hll_distinct
+
+    return hll_distinct(_events(sf_dir))
+
+
 def _q_compress_roundtrip(sf_dir: str):
     """Gorilla encode → decode roundtrip over the events value series;
     the driver's oracle compares it against the raw table — an
@@ -535,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_resume": _q_anti_join,             # J1 broadcast anti-join
         "sessionize_1h": _q_sessionize,               # windowed custom op
         "asof_join_1h": _q_asof_join,                 # as-of join (custom op)
+        "range_join_windows": _q_range_join,          # interval join (custom op)
         "moving_avg_1h": _q_moving_window,            # sliding-window aggregate
         "hash_sample": _q_hash_sample,                # deterministic sampling
         "union_distinct_users": _q_union_distinct,    # §2.7 union + distinct
@@ -554,6 +582,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "multimodal_decode": _q_multimodal,
+        # --- sketches / bounded-state aggregates (100 TB scale path) ---
+        "grouped_quantiles": _q_grouped_quantiles,    # exact histogram quantiles
+        "heavy_hitters_lang": _q_heavy_hitters,       # Misra-Gries + rescore
+        "hll_distinct_users": _q_hll_distinct,        # HyperLogLog (rows-only)
     }
 
 
@@ -709,6 +741,33 @@ SELECT e.event_type AS source, e.event_id, e.ts,
        t.bucket_ts AS asof_ts, t.mean_cents
 FROM events e ASOF JOIN t
   ON e.event_type = t.source AND t.bucket_ts <= e.ts
+""",
+        "range_join_windows": """
+WITH ranked AS (
+  SELECT event_type, ts, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+windows AS (
+  SELECT event_type, ts AS w_start, ts + INTERVAL 37 MINUTES AS w_end
+  FROM ranked WHERE rn <= 5)
+SELECT w.event_type AS event_type, w.w_start AS w_start,
+       count(*) AS n_matched
+FROM windows w JOIN events e
+  ON e.event_type = w.event_type
+ AND e.ts >= w.w_start AND e.ts <= w.w_end
+GROUP BY 1, 2
+""",
+        "grouped_quantiles": """
+SELECT source,
+       quantile_disc(n_chars, 0.50) AS p50,
+       quantile_disc(n_chars, 0.90) AS p90,
+       count(*) AS n_rows
+FROM documents GROUP BY source
+""",
+        "heavy_hitters_lang": """
+SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang
+HAVING count(*) > 0.2 * (SELECT count(*) FROM documents)
 """,
         "hash_sample": """
 SELECT doc_id, source FROM documents WHERE substr(md5(text), 1, 1) = '0'

@@ -50,6 +50,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "gapfill_linear_1h",
         "bpe_token_count",
         "quality_score",
+        "range_join_windows",
+        "grouped_quantiles",
+        "heavy_hitters_lang",
     ],
 )
 def test_query_matches_oracle(name, ray_session):

@@ -1,0 +1,120 @@
+"""Sketch-operator tests: HLL error bound vs exact, the quantile index
+convention vs DuckDB on adversarial group sizes, Misra-Gries'
+no-false-negative guarantee, and heavy-hitter partition invariance.
+
+The SQL-value parity of grouped_quantiles / heavy_hitters /
+range_join_windows runs in test_operators.py's oracle parametrize; here
+are the properties SQL can't express.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from workbook_exporter_fe_ray.stages.sketch import (
+    _mg_summarize,
+    grouped_quantiles,
+    heavy_hitters,
+    hll_distinct,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_relative_error(ray_session):
+    """p=12 HLL (4096 registers) on small true cardinalities sits in the
+    linear-counting regime — expect ≤2% error vs the exact distinct."""
+    from workbook_exporter_fe_ray.sources import read_table
+
+    got = (
+        hll_distinct(read_table(f"{SF}/events.parquet"))
+        .to_pandas()
+        .set_index("event_type")["approx_distinct"]
+    )
+    exact = (
+        duckdb.sql(
+            f"SELECT event_type, count(DISTINCT user_id) c "
+            f"FROM read_parquet('{SF}/events.parquet') GROUP BY 1"
+        )
+        .df()
+        .set_index("event_type")["c"]
+    )
+    assert set(got.index) == set(exact.index)
+    for k in exact.index:
+        assert abs(got[k] - exact[k]) <= max(0.02 * exact[k], 1), (k, got[k], exact[k])
+
+
+def test_quantile_convention_matches_duckdb(ray_session):
+    """Adversarial group sizes (1..40, heavy duplicates) — the integer
+    ceil(p*n/100)-1 index must agree with quantile_disc everywhere,
+    including exact rational boundaries (n=20 & p=90 etc.)."""
+    rng = np.random.default_rng(7)
+    keys, vals = [], []
+    for gi, n in enumerate([1, 2, 3, 4, 5, 10, 19, 20, 21, 25, 40]):
+        keys += [f"g{gi:02d}"] * n
+        vals += rng.integers(0, 6, size=n).tolist()
+    tbl = pa.table(
+        {"source": pa.array(keys), "n_chars": pa.array(vals, pa.int64())}
+    )
+    got = (
+        grouped_quantiles(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.sql(
+        "SELECT source, quantile_disc(n_chars, 0.50) p50,"
+        " quantile_disc(n_chars, 0.90) p90, count(*) n_rows"
+        " FROM t GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert got["p50"].tolist() == want["p50"].tolist()
+    assert got["p90"].tolist() == want["p90"].tolist()
+    assert got["n_rows"].tolist() == want["n_rows"].tolist()
+
+
+def test_mg_no_false_negatives():
+    """Chunked Misra-Gries summaries, summed, must retain every item
+    with true frequency > n/k (the classic deficit bound)."""
+    rng = np.random.default_rng(11)
+    k = 5
+    stream = rng.zipf(1.5, size=20_000) % 100  # skewed item ids
+    n = len(stream)
+    true_vals, true_cnts = np.unique(stream, return_counts=True)
+    must_keep = set(true_vals[true_cnts > n / k].tolist())
+    merged: dict[int, int] = {}
+    for chunk in np.array_split(stream, 37):  # uneven block boundaries
+        v, c = np.unique(chunk, return_counts=True)
+        v, c = _mg_summarize(v, c, k)
+        for vi, ci in zip(v.tolist(), c.tolist()):
+            merged[vi] = merged.get(vi, 0) + ci
+    assert must_keep <= set(merged), (must_keep, set(merged))
+
+
+def test_heavy_hitters_partition_invariance(ray_session):
+    """Same exact answer regardless of block layout (per-block MG
+    summaries differ, the rescored output must not)."""
+    tbl = pq.read_table(f"{SF}/documents.parquet")
+    outs = []
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        df = (
+            heavy_hitters(ds, col="lang", phi=0.2)
+            .to_pandas()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    want = duckdb.sql(
+        f"SELECT lang, count(*) n FROM read_parquet('{SF}/documents.parquet') "
+        f"GROUP BY 1 HAVING n > 0.2 * (SELECT count(*) FROM "
+        f"read_parquet('{SF}/documents.parquet')) ORDER BY lang"
+    ).df()
+    assert outs[0]["lang"].tolist() == want["lang"].tolist()
+    assert outs[0]["n_rows"].tolist() == want["n"].tolist()

@@ -1,0 +1,242 @@
+"""Sketch-style distributive operators for the 100 TB scale path.
+
+The reference has only exact, single-process aggregation (SURVEY §2.5);
+these add the bounded-state summaries a web-scale training-data pipeline
+needs, each designed so the exchange moves a FIXED number of bytes per
+key/block instead of the raw stream:
+
+- :func:`grouped_quantiles` — EXACT grouped discrete quantiles via a
+  value-histogram: per batch, rows pre-aggregate to ``(key, value,
+  cnt)``; the shuffle moves only distinct (key, value) pairs (bounded
+  by value cardinality, not row count). Index convention =
+  ``ceil(q*n) - 1`` computed in integer arithmetic — empirically
+  matched to DuckDB ``quantile_disc`` (so the driver's SQL oracle is
+  bit-exact, no float index drift at rational boundaries).
+- :func:`hll_distinct` — HyperLogLog distinct-count per key: each
+  batch emits one ``2^p``-byte register row per key present; merge is
+  an elementwise max. Approximate by design → rows-only driver check;
+  the pytest asserts relative error vs the exact distinct count.
+- :func:`heavy_hitters` — Misra-Gries candidates + exact rescore.
+  The MG merge guarantees no item with true frequency > n/k is
+  dropped, so after the broadcast rescore the output is EXACTLY the
+  items with ``count > phi*n`` — an approximate sketch that still
+  passes a strict SQL value-hash oracle, without ever shuffling the
+  full per-item count table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+# ---------------------------------------------------------------------------
+# exact grouped quantiles (histogram exchange)
+# ---------------------------------------------------------------------------
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    key: str = "source",
+    value_col: str = "n_chars",
+    percents: tuple[int, ...] = (50, 90),
+) -> ray.data.Dataset:
+    """Exact per-key discrete quantiles of an integer column.
+
+    ``percents`` are integer percentiles; the selected element is the
+    one at sorted index ``ceil(p*n/100) - 1`` (DuckDB
+    ``quantile_disc`` convention), computed as
+    ``(p*n + 99) // 100 - 1`` so boundaries are exact.
+    """
+
+    def _hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key], value_col: pc.cast(b[value_col], pa.int64())})
+        g = t.group_by([key, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key, value_col, "cnt"])
+
+    hist = (
+        ds.map_batches(_hist_partial, batch_format="pyarrow")
+        .groupby([key, value_col])
+        .sum("cnt")
+    )
+
+    def _quantiles(g: pa.Table) -> pa.Table:
+        v = g[value_col].to_numpy(zero_copy_only=False)
+        c = g["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(v, kind="stable")
+        v, c = v[o], c[o]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        cols: dict[str, pa.Array] = {key: g[key][:1]}
+        for p in percents:
+            kidx = max((p * n + 99) // 100 - 1, 0)
+            pos = int(np.searchsorted(cum, kidx, side="right"))
+            cols[f"p{p}"] = pa.array([int(v[pos])], pa.int64())
+        cols["n_rows"] = pa.array([n], pa.int64())
+        return pa.table(cols)
+
+    return hist.groupby(key).map_groups(_quantiles, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct count per key
+# ---------------------------------------------------------------------------
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 — the standard public-domain 64-bit mixer."""
+    with np.errstate(over="ignore"):
+        z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(
+            0xFFFFFFFFFFFFFFFF
+        )
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def hll_distinct(
+    ds: ray.data.Dataset,
+    key: str = "event_type",
+    value_col: str = "user_id",
+    p: int = 12,
+) -> ray.data.Dataset:
+    """Approximate distinct ``value_col`` per ``key`` via HyperLogLog
+    (Flajolet et al. 2007, with the small-range linear-counting
+    correction). Fixed ``2^p`` bytes per (key, block) cross the
+    exchange regardless of row count — the 100 TB COUNT DISTINCT."""
+    m = 1 << p
+    low_bits = 64 - p
+    low_mask = np.uint64((1 << low_bits) - 1)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        vals = pc.cast(b[value_col], pa.int64()).to_numpy(zero_copy_only=False)
+        h = _splitmix64(vals.view(np.uint64))
+        idx = (h >> np.uint64(low_bits)).astype(np.int64)
+        w = h & low_mask
+        # rank = leading zeros of the low bits + 1 = low_bits - bit_length(w) + 1;
+        # bit_length via frexp exponent (w < 2^52 for p >= 12 → exact in float64)
+        bl = np.frexp(w.astype(np.float64))[1]
+        rank = (low_bits - bl + 1).astype(np.uint8)
+        ks = b[key].to_numpy(zero_copy_only=False)
+        out_k, out_regs = [], []
+        for k in np.unique(ks):
+            regs = np.zeros(m, dtype=np.uint8)
+            sel = ks == k
+            np.maximum.at(regs, idx[sel], rank[sel])
+            out_k.append(k)
+            out_regs.append(regs.tobytes())
+        return pa.table(
+            {key: pa.array(out_k, pa.string()), "regs": pa.array(out_regs, pa.binary())}
+        )
+
+    def _merge(g: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.uint8)
+        for buf in g["regs"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(buf, dtype=np.uint8))
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int(np.count_nonzero(regs == 0))
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)
+        return pa.table(
+            {
+                key: g[key][:1],
+                "approx_distinct": pa.array([int(round(est))], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(_merge, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: Misra-Gries candidates + exact rescore
+# ---------------------------------------------------------------------------
+
+
+def _mg_summarize(vals: np.ndarray, cnts: np.ndarray, k: int):
+    """Reduce exact (value, count) pairs to a Misra-Gries summary of at
+    most ``k`` counters: subtract the (k+1)-th largest count from all
+    and drop the non-positive. Classic guarantee: every item keeps
+    ``count - true_count <= 0`` and loses at most total/(k+1)."""
+    if len(vals) <= k:
+        return vals, cnts
+    order = np.argsort(cnts, kind="stable")[::-1]
+    dec = cnts[order[k]]
+    keep = cnts > dec
+    return vals[keep], cnts[keep] - dec
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str = "lang",
+    phi: float = 0.2,
+) -> ray.data.Dataset:
+    """Items of ``col`` with frequency > ``phi`` of all rows, EXACT.
+
+    Pass 1 streams batches into per-block Misra-Gries summaries with
+    ``k = ceil(1/phi)`` counters (per-batch exact counts via one sort,
+    then the MG decrement); the union of summaries (≤ k rows per
+    block) reduces in a tiny groupby. MG's deficit bound means any
+    item with true count > n/k survives into the candidate set.
+    Pass 2 broadcasts the candidates (``ray.put`` once) and computes
+    their EXACT counts with per-batch partials, then filters
+    ``count > phi * n`` — so the result is identical to the full
+    groupby answer while the exchange stays O(k) per block.
+    """
+    k = int(np.ceil(1.0 / phi))
+
+    def _mg_partial(b: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(b[col].to_numpy(zero_copy_only=False), return_counts=True)
+        vals, cnts = _mg_summarize(vals, cnts, k)
+        return pa.table(
+            {col: pa.array(vals, pa.string()), "mg": pa.array(cnts, pa.int64())}
+        )
+
+    merged = (
+        ds.map_batches(_mg_partial, batch_format="pyarrow").groupby(col).sum("mg")
+    )
+    cand = {r[col] for r in merged.take_all()}
+    n_total = ds.count()
+    cand_ref = ray.put(cand)
+
+    class _Rescore:
+        def __init__(self, ref):
+            self.cand = np.array(sorted(ray.get(ref)), dtype=object)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vals, cnts = np.unique(
+                b[col].to_numpy(zero_copy_only=False), return_counts=True
+            )
+            keep = np.isin(vals, self.cand)
+            return pa.table(
+                {
+                    col: pa.array(vals[keep], pa.string()),
+                    "c": pa.array(cnts[keep], pa.int64()),
+                }
+            )
+
+    exact = (
+        ds.map_batches(
+            _Rescore,
+            fn_constructor_args=(cand_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        .groupby(col)
+        .sum("c")
+    )
+
+    def _filter(b: pa.Table) -> pa.Table:
+        cnt = pc.cast(b["sum(c)"], pa.int64())
+        keep = pc.greater(pc.cast(cnt, pa.float64()), phi * n_total)
+        t = pa.table({col: b[col], "n_rows": cnt})
+        return t.filter(keep)
+
+    return exact.map_batches(_filter, batch_format="pyarrow")
