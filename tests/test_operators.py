@@ -153,3 +153,33 @@ def test_normalize_schema(ray_session):
     assert out["port"].tolist() == [80, 6001, 443]
     assert out["flag"].tolist() == [False, False, False]
     assert out["id"].tolist() == [1, 2, 3]
+
+
+def test_read_auto_csv_matches_parquet(ray_session, tmp_path):
+    """Extension dispatch (reference read_input_file parity): the same
+    documents table read via CSV must agree with the Parquet read on
+    rows, per-source token totals and quoted-text round-tripping."""
+    import pyarrow.csv as pacsv
+
+    from workbook_exporter_fe_ray.sources import read_auto
+
+    tbl = pq.read_table(f"{SF}/documents.parquet")
+    csv_path = str(tmp_path / "documents.csv")
+    pacsv.write_csv(tbl, csv_path)
+    via_csv = read_auto(csv_path).to_pandas()
+    via_pq = read_auto(f"{SF}/documents.parquet").to_pandas()
+    assert len(via_csv) == len(via_pq)
+    key = ["doc_id"]
+    a = via_csv.sort_values(key).reset_index(drop=True)
+    b = via_pq.sort_values(key).reset_index(drop=True)
+    assert a["text"].tolist() == b["text"].tolist()  # quoting survived
+    assert a["n_chars"].tolist() == b["n_chars"].tolist()
+
+
+def test_read_auto_dispatch_errors(ray_session):
+    from workbook_exporter_fe_ray.sources import read_auto
+
+    with pytest.raises(NotImplementedError):
+        read_auto("/tmp/whatever.xlsx")
+    with pytest.raises(ValueError):
+        read_auto("/tmp/whatever.yaml")

@@ -1,3 +1,4 @@
+from .formats import read_auto
 from .parquet import (
     good_num_blocks,
     normalize_schema,
@@ -9,6 +10,7 @@ from .parquet import (
 
 __all__ = [
     "good_num_blocks",
+    "read_auto",
     "normalize_schema",
     "read_input",
     "read_points_input",
