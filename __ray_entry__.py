@@ -430,6 +430,95 @@ def _q_sessionize(sf_dir: str):
     return sessionize(_events(sf_dir))
 
 
+def _q_revenue_by_brand(sf_dir: str):
+    """Fact-dim broadcast join: lineitem (fact, streamed, projected to
+    2 columns at the read) ⋈ part (dim, ray.put once) → per-brand
+    revenue, pre-aggregated per batch before a tiny groupby-sum.
+    Revenue in integer cents so the sum is exact int64."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import broadcast_dim_join
+
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    )
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    joined = broadcast_dim_join(li, part, "l_partkey", "p_partkey", ("p_brand",))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        t = pa.table({"p_brand": b["p_brand"], "cents": cents})
+        g = t.group_by("p_brand").aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["p_brand", "cents", "n"])
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .sum(["cents", "n"])
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "p_brand": b["p_brand"],
+                "n_lines": pc.cast(b["sum(n)"], pa.int64()),
+                "revenue_cents": pc.cast(b["sum(cents)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_customers_by_region(sf_dir: str):
+    """Snowflake broadcast join: customer ⋈ nation ⋈ region — the two
+    dim tables compose driver-side into one nationkey→region map, so
+    the fact side needs a single lookup stage."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import broadcast_dim_join
+
+    cust = read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rmap = {
+        r["r_regionkey"]: r["r_name"] for r in region.to_pylist()
+    }
+    dim = pa.table(
+        {
+            "n_nationkey": nation["n_nationkey"],
+            "r_name": pa.array(
+                [rmap[k] for k in nation["n_regionkey"].to_pylist()], pa.string()
+            ),
+        }
+    )
+    joined = broadcast_dim_join(cust, dim, "c_nationkey", "n_nationkey", ("r_name",))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["c_acctbal"], 100.0)), pa.int64())
+        t = pa.table({"r_name": b["r_name"], "cents": cents})
+        g = t.group_by("r_name").aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["r_name", "cents", "n"])
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .sum(["cents", "n"])
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "r_name": b["r_name"],
+                "n_customers": pc.cast(b["sum(n)"], pa.int64()),
+                "acctbal_cents": pc.cast(b["sum(cents)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_range_join(sf_dir: str):
     """Interval join: per event_type, the 5 earliest events each open a
     37-minute window; count events falling in each window. Broadcast
@@ -563,6 +652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_1h": _q_sessionize,               # windowed custom op
         "asof_join_1h": _q_asof_join,                 # as-of join (custom op)
         "range_join_windows": _q_range_join,          # interval join (custom op)
+        "revenue_by_brand": _q_revenue_by_brand,      # fact-dim broadcast join
+        "customers_by_region": _q_customers_by_region,  # snowflake dim compose
         "moving_avg_1h": _q_moving_window,            # sliding-window aggregate
         "hash_sample": _q_hash_sample,                # deterministic sampling
         "union_distinct_users": _q_union_distinct,    # §2.7 union + distinct
@@ -741,6 +832,22 @@ SELECT e.event_type AS source, e.event_id, e.ts,
        t.bucket_ts AS asof_ts, t.mean_cents
 FROM events e ASOF JOIN t
   ON e.event_type = t.source AND t.bucket_ts <= e.ts
+""",
+        "revenue_by_brand": """
+SELECT p.p_brand AS p_brand, count(*) AS n_lines,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+""",
+        "customers_by_region": """
+SELECT r.r_name AS r_name, count(*) AS n_customers,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
 """,
         "range_join_windows": """
 WITH ranked AS (

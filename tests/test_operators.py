@@ -21,7 +21,16 @@ SF = "/root/testdata/sf0.001"
 
 def _duck(sql: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings"):
+    for t in (
+        "events",
+        "documents",
+        "embeddings",
+        "lineitem",
+        "part",
+        "customer",
+        "nation",
+        "region",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -53,6 +62,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "range_join_windows",
         "grouped_quantiles",
         "heavy_hitters_lang",
+        "revenue_by_brand",
+        "customers_by_region",
     ],
 )
 def test_query_matches_oracle(name, ray_session):

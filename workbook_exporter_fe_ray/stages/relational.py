@@ -347,6 +347,54 @@ def asof_join(
     return tagged.groupby(key).map_groups(_join_group, batch_format="pyarrow")
 
 
+def broadcast_dim_join(
+    big: ray.data.Dataset,
+    dim: pa.Table,
+    big_key: str,
+    dim_key: str,
+    carry: tuple[str, ...],
+) -> ray.data.Dataset:
+    """Map-side (broadcast) equi-join: the dimension table is put in
+    the object store ONCE and every batch resolves its keys with one
+    vectorized ``searchsorted`` against the sorted dim keys — the big
+    side streams through with NO shuffle. Inner semantics: rows whose
+    key has no dim match are dropped.
+
+    Partitioning assumption (documented per the brief): ``dim`` is
+    dimension-sized (fits one worker's heap — nation/region/part
+    class). A fact-fact join must instead co-partition both sides by
+    key hash; that path is the packed exchange in
+    ``pipelines/events.py``.
+    """
+    order = pc.sort_indices(dim[dim_key])
+    dim = dim.take(order)
+    keys_np = dim[dim_key].to_numpy(zero_copy_only=False)
+    carry_np = {c: dim[c].to_numpy(zero_copy_only=False) for c in carry}
+    dim_ref = ray.put((keys_np, carry_np))
+
+    class _Lookup:
+        def __init__(self, ref):
+            self.keys, self.carry = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            bk = b[big_key].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, bk)
+            pos_c = np.minimum(pos, len(self.keys) - 1)
+            hit = self.keys[pos_c] == bk
+            b = b.filter(pa.array(hit))
+            pos_c = pos_c[hit]
+            for c, arr in self.carry.items():
+                b = b.append_column(c, pa.array(arr[pos_c]))
+            return b
+
+    return big.map_batches(
+        _Lookup,
+        fn_constructor_args=(dim_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
 def range_join_window_counts(
     events: ray.data.Dataset,
     key: str = "event_type",
