@@ -519,6 +519,109 @@ def _q_customers_by_region(sf_dir: str):
     )
 
 
+def _q_revenue_by_priority(sf_dir: str):
+    """Fact-fact shuffle join: lineitem ⋈ orders on orderkey via
+    hash-bucket co-partition (neither side broadcastable at real
+    scale), then partial-agg → tiny groupby on priority."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import hash_bucket_join
+
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = hash_bucket_join(
+        li,
+        orders.map_batches(
+            lambda b: pa.table(
+                {"l_orderkey": b["o_orderkey"], "o_orderpriority": b["o_orderpriority"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        key="l_orderkey",
+        left_carry=("cents",),
+        right_carry=("o_orderpriority",),
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"o_orderpriority": b["o_orderpriority"], "cents": b["cents"]})
+            .group_by("o_orderpriority")
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["o_orderpriority", "cents", "n"])
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum(["cents", "n"])
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_lines": pc.cast(b["sum(n)"], pa.int64()),
+                "revenue_cents": pc.cast(b["sum(cents)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_suppliers_by_nation(sf_dir: str):
+    """Supplier ⋈ nation broadcast join (completes coverage of every
+    driver table through the engine's join operators)."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import broadcast_dim_join
+
+    sup = read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_acctbal"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    joined = broadcast_dim_join(sup, nation, "s_nationkey", "n_nationkey", ("n_name",))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["s_acctbal"], 100.0)), pa.int64())
+        g = (
+            pa.table({"n_name": b["n_name"], "cents": cents})
+            .group_by("n_name")
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["n_name", "cents", "n"])
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .sum(["cents", "n"])
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "n_name": b["n_name"],
+                "n_suppliers": pc.cast(b["sum(n)"], pa.int64()),
+                "acctbal_cents": pc.cast(b["sum(cents)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_range_join(sf_dir: str):
     """Interval join: per event_type, the 5 earliest events each open a
     37-minute window; count events falling in each window. Broadcast
@@ -654,6 +757,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_windows": _q_range_join,          # interval join (custom op)
         "revenue_by_brand": _q_revenue_by_brand,      # fact-dim broadcast join
         "customers_by_region": _q_customers_by_region,  # snowflake dim compose
+        "revenue_by_priority": _q_revenue_by_priority,  # fact-fact shuffle join
+        "suppliers_by_nation": _q_suppliers_by_nation,  # dim join (supplier)
         "moving_avg_1h": _q_moving_window,            # sliding-window aggregate
         "hash_sample": _q_hash_sample,                # deterministic sampling
         "union_distinct_users": _q_union_distinct,    # §2.7 union + distinct
@@ -847,6 +952,20 @@ SELECT r.r_name AS r_name, count(*) AS n_customers,
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+""",
+        "revenue_by_priority": """
+SELECT o.o_orderpriority AS o_orderpriority, count(*) AS n_lines,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+        "suppliers_by_nation": """
+SELECT n.n_name AS n_name, count(*) AS n_suppliers,
+       CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY 1
 """,
         "range_join_windows": """

@@ -30,6 +30,8 @@ def _duck(sql: str) -> pd.DataFrame:
         "customer",
         "nation",
         "region",
+        "orders",
+        "supplier",
     ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
@@ -64,6 +66,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "heavy_hitters_lang",
         "revenue_by_brand",
         "customers_by_region",
+        "revenue_by_priority",
+        "suppliers_by_nation",
     ],
 )
 def test_query_matches_oracle(name, ray_session):
@@ -194,3 +198,51 @@ def test_read_auto_dispatch_errors(ray_session):
         read_auto("/tmp/whatever.xlsx")
     with pytest.raises(ValueError):
         read_auto("/tmp/whatever.yaml")
+
+
+def test_hash_bucket_join_invariance(ray_session):
+    """The bucket join must be insensitive to block layout and bucket
+    count, and agree with a pandas merge."""
+    import pyarrow as pa
+    import ray.data
+
+    from workbook_exporter_fe_ray.stages.relational import hash_bucket_join
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    right = pa.table(
+        {"l_orderkey": orders["o_orderkey"], "o_orderpriority": orders["o_orderpriority"]}
+    )
+    left = pa.table(
+        {
+            "l_orderkey": li["l_orderkey"],
+            "cents": li["l_linenumber"].cast(pa.int64()),
+        }
+    )
+    want = (
+        left.to_pandas()
+        .merge(right.to_pandas(), on="l_orderkey")
+        .sort_values(["l_orderkey", "cents"], kind="stable")
+        .reset_index(drop=True)
+    )
+    for nblocks, nbuckets in ((1, 64), (5, 64), (5, 7)):  # 7: non-power-of-2 mod path
+        got = (
+            hash_bucket_join(
+                ray.data.from_arrow(left).repartition(nblocks),
+                ray.data.from_arrow(right).repartition(max(nblocks - 1, 1)),
+                key="l_orderkey",
+                left_carry=("cents",),
+                right_carry=("o_orderpriority",),
+                n_buckets=nbuckets,
+            )
+            .to_pandas()
+            .sort_values(["l_orderkey", "cents"], kind="stable")
+            .reset_index(drop=True)
+        )
+        assert got[["l_orderkey", "cents", "o_orderpriority"]].equals(
+            want[["l_orderkey", "cents", "o_orderpriority"]]
+        ), (nblocks, nbuckets)

@@ -395,6 +395,82 @@ def broadcast_dim_join(
     )
 
 
+def hash_bucket_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    left_carry: tuple[str, ...],
+    right_carry: tuple[str, ...],
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Fact-fact equi-join by hash-bucket co-partition — the shuffle
+    join for when neither side is dimension-sized (the brief's "bucket
+    by key hash when you must co-locate"). Right side must be unique
+    per key (primary-key join, e.g. orders on o_orderkey).
+
+    Both sides are tagged into one stream with a ``__bucket = key mod
+    n_buckets`` column; ONE groupby co-locates each bucket, and the
+    per-bucket kernel does a vectorized sorted-merge lookup
+    (searchsorted) across the many keys it holds — thousands of keys
+    per group call, so the per-group Python overhead that makes
+    per-key map_groups slow at scale never appears. ``n_buckets``
+    bounds peak per-task memory: size it so fact_bytes / n_buckets
+    fits a worker heap.
+    """
+
+    def _tag(is_left: bool):
+        def _t(b: pa.Table) -> pa.Table:
+            k = pc.cast(b[key], pa.int64())
+            if (n_buckets & (n_buckets - 1)) == 0:
+                bucket = pc.cast(pc.bit_wise_and(k, n_buckets - 1), pa.int32())
+            else:  # pyarrow has no mod kernel; numpy on the int64 view
+                bucket = pa.array(
+                    np.mod(k.to_numpy(zero_copy_only=False), n_buckets).astype(
+                        np.int32
+                    )
+                )
+            cols: dict[str, object] = {
+                key: k,
+                "__bucket": bucket,
+                "__kind": pa.array(
+                    np.full(len(b), 1 if is_left else 0, dtype=np.int8)
+                ),
+            }
+            for c in left_carry:
+                cols[c] = b[c] if is_left else pa.nulls(len(b), pa.int64())
+            for c in right_carry:
+                cols[c] = pa.nulls(len(b), pa.string()) if is_left else b[c]
+            return pa.table(cols)
+
+        return _t
+
+    tagged = left.map_batches(_tag(True), batch_format="pyarrow").union(
+        right.map_batches(_tag(False), batch_format="pyarrow")
+    )
+
+    def _join_bucket(g: pa.Table) -> pa.Table:
+        kind = g["__kind"].to_numpy(zero_copy_only=False)
+        keys = g[key].to_numpy(zero_copy_only=False)
+        is_l = kind == 1
+        r_keys = keys[~is_l]
+        order_r = np.argsort(r_keys, kind="stable")
+        r_keys = r_keys[order_r]
+        l_keys = keys[is_l]
+        pos = np.searchsorted(r_keys, l_keys)
+        pos_c = np.minimum(pos, max(len(r_keys) - 1, 0))
+        hit = (r_keys[pos_c] == l_keys) if len(r_keys) else np.zeros(len(l_keys), bool)
+        l_idx = np.flatnonzero(is_l)[hit]
+        r_idx = np.flatnonzero(~is_l)[order_r][pos_c[hit]]
+        cols = {key: g[key].take(pa.array(l_idx))}
+        for c in left_carry:
+            cols[c] = g[c].take(pa.array(l_idx))
+        for c in right_carry:
+            cols[c] = g[c].take(pa.array(r_idx))
+        return pa.table(cols)
+
+    return tagged.groupby("__bucket").map_groups(_join_bucket, batch_format="pyarrow")
+
+
 def range_join_window_counts(
     events: ray.data.Dataset,
     key: str = "event_type",
