@@ -622,6 +622,18 @@ def _q_suppliers_by_nation(sf_dir: str):
     )
 
 
+def _q_pivot_counts(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import pivot_counts
+
+    return pivot_counts(_events(sf_dir))
+
+
+def _q_top_bigrams(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.text import top_bigrams
+
+    return top_bigrams(_documents(sf_dir), k=20)
+
+
 def _q_range_join(sf_dir: str):
     """Interval join: per event_type, the 5 earliest events each open a
     37-minute window; count events falling in each window. Broadcast
@@ -759,6 +771,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_by_region": _q_customers_by_region,  # snowflake dim compose
         "revenue_by_priority": _q_revenue_by_priority,  # fact-fact shuffle join
         "suppliers_by_nation": _q_suppliers_by_nation,  # dim join (supplier)
+        "pivot_event_counts": _q_pivot_counts,        # categorical pivot (F12)
+        "top_bigrams": _q_top_bigrams,                # n-gram vocabulary build
         "moving_avg_1h": _q_moving_window,            # sliding-window aggregate
         "hash_sample": _q_hash_sample,                # deterministic sampling
         "union_distinct_users": _q_union_distinct,    # §2.7 union + distinct
@@ -967,6 +981,23 @@ SELECT n.n_name AS n_name, count(*) AS n_suppliers,
          AS acctbal_cents
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY 1
+""",
+        "pivot_event_counts": """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY 1
+""",
+        "top_bigrams": """
+WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+bg AS (
+  SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS bigram
+  FROM toks)
+SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+ORDER BY n DESC, bigram LIMIT 20
 """,
         "range_join_windows": """
 WITH ranked AS (

@@ -68,6 +68,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "customers_by_region",
         "revenue_by_priority",
         "suppliers_by_nation",
+        "pivot_event_counts",
+        "top_bigrams",
     ],
 )
 def test_query_matches_oracle(name, ray_session):
@@ -246,3 +248,22 @@ def test_hash_bucket_join_invariance(ray_session):
         assert got[["l_orderkey", "cents", "o_orderpriority"]].equals(
             want[["l_orderkey", "cents", "o_orderpriority"]]
         ), (nblocks, nbuckets)
+
+
+def test_top_bigrams_boundary_mask(ray_session):
+    """Bigrams must never straddle a document boundary, and must be
+    invariant to block layout (per-block partial counts merge)."""
+    import pyarrow as pa
+    import ray.data
+
+    from workbook_exporter_fe_ray.stages.text import top_bigrams
+
+    docs = pa.table({"text": pa.array(["a b", "b c", "a b c", "x"])})
+    for nblocks in (1, 3):
+        out = (
+            top_bigrams(ray.data.from_arrow(docs).repartition(nblocks), k=10)
+            .to_pandas()
+            .set_index("bigram")["n"]
+            .to_dict()
+        )
+        assert out == {"a b": 2, "b c": 2}, (nblocks, out)  # no 'b b', no 'c a', no 'c x'

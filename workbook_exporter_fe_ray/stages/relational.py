@@ -347,6 +347,54 @@ def asof_join(
     return tagged.groupby(key).map_groups(_join_group, batch_format="pyarrow")
 
 
+def pivot_counts(
+    events: ray.data.Dataset,
+    key: str = "user_id",
+    cat_col: str = "event_type",
+    categories: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> ray.data.Dataset:
+    """Pivot a categorical column into per-category count columns
+    (``n_<cat>`` per key) — the reference's per-category variant-schema
+    fan-out (F12) turned sideways.
+
+    Wide-partial shape: each batch pivots locally (one 0/1 indicator
+    column per category, grouped by key with Arrow's hash aggregate),
+    so the shuffle carries one wide row per (key, block) and the final
+    groupby just sums int64 columns associatively — never a per-key
+    map_groups, never a row-per-(key,category) exchange.
+    """
+    cat_names = [f"n_{c}" for c in categories]
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols: dict[str, object] = {key: b[key]}
+        for c, name in zip(categories, cat_names):
+            cols[name] = pc.cast(pc.equal(b[cat_col], c), pa.int64())
+        g = (
+            pa.table(cols)
+            .group_by(key)
+            .aggregate([(n, "sum") for n in cat_names])
+        )
+        return g.rename_columns([key, *cat_names])
+
+    agg = (
+        events.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key)
+        .sum(cat_names)
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                key: b[key],
+                **{
+                    n: pc.cast(b[f"sum({n})"], pa.int64())
+                    for n in cat_names
+                },
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def broadcast_dim_join(
     big: ray.data.Dataset,
     dim: pa.Table,

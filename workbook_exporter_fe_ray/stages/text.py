@@ -161,3 +161,58 @@ def analyze_documents(
         concurrency=concurrency,
     )
     return out.map_batches(lambda b: fingerprint_batch(b, text_col), batch_format="pyarrow")
+
+
+def top_bigrams(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    k: int = 20,
+) -> "ray.data.Dataset":
+    """Vocabulary building: global top-k whitespace bigrams — the
+    n-gram-count primitive of a training-data pipeline (tokenizer vocab
+    induction, contamination screens).
+
+    Fully vectorized: one ``split_pattern`` per batch, bigrams formed by
+    joining the flattened token buffer against itself shifted by one
+    (``binary_join_element_wise``) with document-boundary positions
+    masked out via the list offsets — no per-row loop. Each batch
+    pre-aggregates its own bigram counts (the combiner), so the shuffle
+    moves distinct (bigram, n) partials, not one row per token; the
+    final top-k is a sort+limit on the aggregated vocabulary.
+    """
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1, n - 1), " "
+        )
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        mask = np.ones(n - 1, dtype=bool)
+        interior = offsets[1:-1]
+        interior = interior[(interior > 0) & (interior < n)]
+        mask[interior - 1] = False  # pairs that straddle a document boundary
+        g = (
+            pa.table({"bigram": joined.filter(pa.array(mask))})
+            .group_by("bigram")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["bigram", "n"])
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .sum("n")
+    )
+    wide = agg.map_batches(
+        lambda b: pa.table(
+            {"bigram": b["bigram"], "n": pc.cast(b["sum(n)"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return wide.sort(["n", "bigram"], descending=[True, False]).limit(k)
