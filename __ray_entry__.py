@@ -380,6 +380,12 @@ def _q_anti_join(sf_dir: str):
     return broadcast_anti_join(_events(sf_dir))
 
 
+def _q_stratified_sample(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import stratified_sample
+
+    return stratified_sample(_documents(sf_dir), n=3)
+
+
 def _q_hash_sample(sf_dir: str):
     from workbook_exporter_fe_ray.stages.relational import hash_sample
 
@@ -775,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,                # n-gram vocabulary build
         "moving_avg_1h": _q_moving_window,            # sliding-window aggregate
         "hash_sample": _q_hash_sample,                # deterministic sampling
+        "stratified_sample": _q_stratified_sample,    # per-stratum quota sampling
         "union_distinct_users": _q_union_distinct,    # §2.7 union + distinct
         "topn_per_group": _q_topn_per_group,          # window-rank top-N
         # --- training-data ops ---
@@ -1028,6 +1035,13 @@ HAVING count(*) > 0.2 * (SELECT count(*) FROM documents)
 """,
         "hash_sample": """
 SELECT doc_id, source FROM documents WHERE substr(md5(text), 1, 1) = '0'
+""",
+        "stratified_sample": """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(text), doc_id) AS rn
+  FROM documents) WHERE rn <= 3
 """,
         "union_distinct_users": """
 SELECT DISTINCT user_id FROM (

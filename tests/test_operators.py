@@ -70,6 +70,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "suppliers_by_nation",
         "pivot_event_counts",
         "top_bigrams",
+        "stratified_sample",
     ],
 )
 def test_query_matches_oracle(name, ray_session):

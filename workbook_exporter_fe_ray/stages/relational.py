@@ -648,6 +648,57 @@ def range_join_window_counts(
     return summed.map_batches(_project, batch_format="pyarrow")
 
 
+def stratified_sample(
+    docs: ray.data.Dataset,
+    key: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> ray.data.Dataset:
+    """Deterministic stratified sampling: per key, the ``n`` rows with
+    the smallest content hash (md5 hex, tie-broken by id) — the same
+    content-addressed determinism as :func:`hash_sample`, but with a
+    per-stratum quota so every key is represented regardless of skew.
+
+    Scale shape (same two-phase pick as the range-join candidate
+    stage): each batch keeps only its local top-n per key (one sort +
+    run-length cut), so the shuffle moves ≤ n × keys × blocks rows;
+    the final per-key pick is a tiny groupby.
+    """
+    import hashlib
+
+    def _partial(b: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in b[text_col].to_pylist()
+        ]
+        t = pa.table({key: b[key], "__h": pa.array(md5s, pa.string()), id_col: b[id_col]})
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(key, "ascending"), ("__h", "ascending"), (id_col, "ascending")],
+        )
+        t = t.take(idx)
+        ks = t[key].to_numpy(zero_copy_only=False)
+        if len(ks) == 0:
+            return t
+        starts = np.r_[0, 1 + np.flatnonzero(ks[1:] != ks[:-1])]
+        pos = np.arange(len(ks)) - np.repeat(starts, np.diff(np.r_[starts, len(ks)]))
+        return t.filter(pa.array(pos < n))
+
+    def _final(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("__h", "ascending"), (id_col, "ascending")]
+        )
+        g = g.take(idx[:n])
+        return pa.table({key: g[key], id_col: g[id_col]})
+
+    return (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(_final, batch_format="pyarrow")
+    )
+
+
 def moving_window_agg(
     tier: ray.data.Dataset,
     window: int = 3,
