@@ -909,9 +909,14 @@ SELECT event_type AS source, count(*) AS n,
        CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY 1
 """,
+        # explicit (ts, event_id) tie-break — matches the engine's
+        # deterministic pick even if two events of a user share a ts
         "first_event_per_user": """
-SELECT user_id, min(ts) AS first_ts, min_by(event_type, ts) AS first_type
-FROM events GROUP BY 1
+SELECT user_id, ts AS first_ts, event_type AS first_type FROM (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
 """,
         "anti_join_resume": """
 SELECT event_id FROM events e

@@ -83,11 +83,15 @@ def events_flagship(sf_dir: str) -> ray.data.Dataset:
     still genuinely built from tier t's partials, but inside one reduce
     task per (source, day) instead of four chained shuffles. The
     four-shuffle variant survives as `rollup_events` /
-    `rollup_events_cascade` (oracle-checked per tier)."""
+    `rollup_events_cascade` (oracle-checked per tier).
+
+    ``dedup=False``: the events stream has no byte-identical-duplicate
+    contract — two distinct events may legally share (event_type, ts) —
+    so every point is aggregated, matching the per-tier SQL oracles."""
     from ..stages.rollup import cascade_rollup
 
     pts = read_event_points(sf_dir)
-    rolled = cascade_rollup(pts, value_col="value_cents")
+    rolled = cascade_rollup(pts, value_col="value_cents", dedup=False)
 
     def _final_tagged(b: pa.Table) -> pa.Table:
         s = b["sum"].to_numpy(zero_copy_only=False).astype(np.int64)

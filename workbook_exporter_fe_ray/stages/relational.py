@@ -288,10 +288,16 @@ def asof_join(
     with a common schema and grouped by key; inside each group one
     vectorized ``searchsorted`` matches every left ts against the sorted
     right timestamps. Partitioning assumption (documented per the
-    brief): one key's rows fit one group — for unbounded histories,
-    window by (key, day) and carry each window's last right-row into the
-    next window (same look-back trick as gap-fill).
+    brief): one key's rows fit one group — for unbounded histories, use
+    :func:`asof_join_windowed`, which windows by (key, window) with a
+    broadcast last-row carry.
+
+    Null-column dtypes in the tagged union are derived from each side's
+    actual schema, so any carry dtype works; ``value_cols`` are cast to
+    float64 by contract (they are aggregate values).
     """
+    left_schema = left.schema().base_schema
+    carry_types = {c: left_schema.field(c).type for c in left_carry}
 
     def _tag_left(b: pa.Table) -> pa.Table:
         cols = {
@@ -312,7 +318,7 @@ def asof_join(
             "__kind": pa.array(np.zeros(len(b), dtype=np.int8)),
         }
         for c in left_carry:
-            cols[c] = pa.nulls(len(b), pa.int64())
+            cols[c] = pa.nulls(len(b), carry_types[c])
         for c in value_cols:
             cols[c] = pc.cast(b[c], pa.float64())
         return pa.table(cols)
@@ -420,11 +426,18 @@ def broadcast_dim_join(
     carry_np = {c: dim[c].to_numpy(zero_copy_only=False) for c in carry}
     dim_ref = ray.put((keys_np, carry_np))
 
+    carry_types = {c: dim.schema.field(c).type for c in carry}
+
     class _Lookup:
         def __init__(self, ref):
             self.keys, self.carry = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if len(self.keys) == 0:  # empty dim → empty inner join
+                out = b.slice(0, 0)
+                for c in carry:
+                    out = out.append_column(c, pa.array([], carry_types[c]))
+                return out
             bk = b[big_key].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(self.keys, bk)
             pos_c = np.minimum(pos, len(self.keys) - 1)
@@ -464,7 +477,15 @@ def hash_bucket_join(
     per-key map_groups slow at scale never appears. ``n_buckets``
     bounds peak per-task memory: size it so fact_bytes / n_buckets
     fits a worker heap.
+
+    Null-column dtypes in the tagged union are derived from each side's
+    actual schema (one metadata peek per side), so carry columns of any
+    dtype work.
     """
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    l_types = {c: l_schema.field(c).type for c in left_carry}
+    r_types = {c: r_schema.field(c).type for c in right_carry}
 
     def _tag(is_left: bool):
         def _t(b: pa.Table) -> pa.Table:
@@ -485,9 +506,9 @@ def hash_bucket_join(
                 ),
             }
             for c in left_carry:
-                cols[c] = b[c] if is_left else pa.nulls(len(b), pa.int64())
+                cols[c] = b[c] if is_left else pa.nulls(len(b), l_types[c])
             for c in right_carry:
-                cols[c] = pa.nulls(len(b), pa.string()) if is_left else b[c]
+                cols[c] = pa.nulls(len(b), r_types[c]) if is_left else b[c]
             return pa.table(cols)
 
         return _t

@@ -61,7 +61,10 @@ def _add_day(batch: pa.Table) -> pa.Table:
 
 
 def _cascade_group(
-    group: pa.Table, tiers: Sequence[TierSpec], value_col: str = "n_tok"
+    group: pa.Table,
+    tiers: Sequence[TierSpec],
+    value_col: str = "n_tok",
+    dedup: bool = True,
 ) -> pa.Table:
     """Dedup + full tier cascade for one (source, day) group. Vectorized.
 
@@ -79,11 +82,12 @@ def _cascade_group(
 
     order = np.argsort(ts, kind="stable")
     ts, val = ts[order], val[order]
-    # exact dedup on (source, ts): first occurrence wins (duplicate rows
-    # in the authoritative input are byte-identical, so "first" == "any")
-    keep = np.ones(len(ts), dtype=bool)
-    keep[1:] = ts[1:] != ts[:-1]
-    ts, val = ts[keep], val[keep]
+    if dedup:
+        # exact dedup on (source, ts): first occurrence wins (duplicate rows
+        # in the authoritative input are byte-identical, so "first" == "any")
+        keep = np.ones(len(ts), dtype=bool)
+        keep[1:] = ts[1:] != ts[:-1]
+        ts, val = ts[keep], val[keep]
 
     source = group["source"][0].as_py()
 
@@ -204,7 +208,7 @@ def _cascade_arrays(
 
 
 def _pack_day_segments(
-    batch: pa.Table, value_col: str, window_us: int = DAY_US
+    batch: pa.Table, value_col: str, window_us: int = DAY_US, dedup: bool = True
 ) -> pa.Table:
     """Per-block combiner: pack the block's points into one row per
     (source, day) — ``first_ts`` + delta-encoded timestamps + raw values
@@ -241,9 +245,10 @@ def _pack_day_segments(
         src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
     )
     codes = np.asarray(src_codes.indices)
-    keep = np.ones(len(ts), dtype=bool)
-    keep[1:] = (ts[1:] != ts[:-1]) | (codes[1:] != codes[:-1])
-    ts, val, codes = ts[keep], val[keep], codes[keep]
+    if dedup:
+        keep = np.ones(len(ts), dtype=bool)
+        keep[1:] = (ts[1:] != ts[:-1]) | (codes[1:] != codes[:-1])
+        ts, val, codes = ts[keep], val[keep], codes[keep]
 
     day = (ts // window_us) * window_us
     starts = np.flatnonzero(np.r_[True, (codes[1:] != codes[:-1]) | (day[1:] != day[:-1])])
@@ -272,10 +277,12 @@ def _pack_day_segments(
     )
 
 
-def decode_segments(group: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+def decode_segments(
+    group: pa.Table, dedup: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
     """Decode one group's segment fragments (vectorized cumsum over the
-    flattened delta lists), merge fragments, exact-dedup on ts.
-    Returns (ts µs int64 sorted unique, raw values in input dtype)."""
+    flattened delta lists), merge fragments, exact-dedup on ts (unless
+    ``dedup=False``). Returns (ts µs int64 sorted, raw values)."""
     td = group["ts_deltas"]
     if isinstance(td, pa.ChunkedArray):
         td = td.combine_chunks()
@@ -296,16 +303,18 @@ def decode_segments(group: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
     order = np.argsort(ts, kind="stable")
     ts, raw = ts[order], raw[order]
-    keep = np.ones(len(ts), dtype=bool)
-    keep[1:] = ts[1:] != ts[:-1]
-    return ts[keep], raw[keep]
+    if dedup:
+        keep = np.ones(len(ts), dtype=bool)
+        keep[1:] = ts[1:] != ts[:-1]
+        ts, raw = ts[keep], raw[keep]
+    return ts, raw
 
 
 def _merge_cascade_group(
-    group: pa.Table, tiers: Sequence[TierSpec]
+    group: pa.Table, tiers: Sequence[TierSpec], dedup: bool = True
 ) -> pa.Table:
     """Reduce side of the packed cascade: decode + merge + tier cascade."""
-    ts, raw = decode_segments(group)
+    ts, raw = decode_segments(group, dedup=dedup)
     is_int = np.issubdtype(raw.dtype, np.integer)
     val = raw.astype(np.int64 if is_int else np.float64)
     minmax_type = pa.from_numpy_dtype(raw.dtype) if is_int else pa.float64()
@@ -319,9 +328,17 @@ def cascade_rollup(
     tiers: Sequence[TierSpec] = DEFAULT_TIERS,
     value_col: str = "n_tok",
     packed: bool = True,
+    dedup: bool = True,
 ) -> ray.data.Dataset:
     """Points → all-tier rollup rows (tier, source, bucket_ts, count, sum,
-    min, max, mean) in one shuffle. Includes exact dedup on (source, ts).
+    min, max, mean) in one shuffle.
+
+    ``dedup=True`` (default) exact-dedups on (source, ts) — correct for
+    the authoritative tokenized-sequence input, whose contract is that
+    duplicate (source, ts) rows are byte-identical re-deliveries.
+    Point streams WITHOUT that contract (e.g. the raw events table,
+    where two distinct events could legally share (event_type, ts))
+    must pass ``dedup=False`` so every point is aggregated.
 
     ``packed=True`` (default) runs the per-block segment-packing combiner
     before the exchange; ``packed=False`` shuffles raw point rows (kept
@@ -330,16 +347,18 @@ def cascade_rollup(
         raise ValueError("cascade_rollup requires at least one TierSpec")
     if packed:
         segs = points.map_batches(
-            lambda b: _pack_day_segments(b, value_col),
+            lambda b: _pack_day_segments(b, value_col, dedup=dedup),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
         return segs.groupby(["source", "day"]).map_groups(
-            lambda g: _merge_cascade_group(g, tiers), batch_format="pyarrow"
+            lambda g: _merge_cascade_group(g, tiers, dedup=dedup),
+            batch_format="pyarrow",
         )
     with_day = points.map_batches(_add_day, batch_format="pyarrow", zero_copy_batch=True)
     return with_day.groupby(["source", "day"]).map_groups(
-        lambda g: _cascade_group(g, tiers, value_col), batch_format="pyarrow"
+        lambda g: _cascade_group(g, tiers, value_col, dedup=dedup),
+        batch_format="pyarrow",
     )
 
 

@@ -150,8 +150,15 @@ def ivf_topk(
     zero-copy in every assignment task."""
     query = np.atleast_2d(np.asarray(query, dtype=np.float64))
 
-    # --- train on a bounded sample (driver-side; sample is small by design)
-    sample_tbl = ds.select_columns([vec_col]).limit(train_sample).to_pandas()
+    # --- train on a bounded sample (driver-side; sample is small by design).
+    # Sorted by id: block arrival order is nondeterministic, and k-means
+    # init indexes into the sample, so training must not depend on it.
+    sample_tbl = (
+        ds.select_columns([id_col, vec_col])
+        .limit(train_sample)
+        .to_pandas()
+        .sort_values(id_col, kind="stable")
+    )
     sample = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -108,7 +108,16 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 class LangId:
     """Heuristic language ID: stopword hit-rate per language (actor-pool
     stage; tables built once per actor). Deterministic tie-break by
-    language code; 'und' when nothing matches."""
+    language code; 'und' when nothing matches.
+
+    Tokenization is a SINGLE-SPACE split by design — the engine-wide
+    token contract shared with the SQL oracles (``string_split(text,
+    ' ')``), NOT Python ``str.split()`` whitespace semantics: a token
+    containing tabs/newlines is not split further, so such a token
+    never matches a stopword. Corpora joined on single spaces (all
+    driver testdata) are unaffected; for raw whitespace-y text, pass it
+    through a normalizer first or use ``split_pattern_regex(r'\\s+')``
+    as :func:`..stages.dedup._batch_shingles` does."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
