@@ -1,0 +1,124 @@
+"""High-key-cardinality bench: coarse-partition sweep vs naive per-key
+map_groups (VERDICT r1 item 1 'done' evidence).
+
+Usage: python BENCH/bench_highcard.py [n_rows] [n_users]
+
+Times first_event_per_user / sessionize / grouped_quantiles on a
+synthetic corpus with many distinct keys, plus a naive
+``groupby(key).map_groups`` first-event on a smaller slice to quantify
+the per-group Python overhead the sweep removes. Prints one JSON line;
+record results in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+US = 1_000_000
+
+
+def make_ds(n_rows: int, n_users: int, blocks: int = 64) -> ray.data.Dataset:
+    rng = np.random.default_rng(7)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, n_users, n_rows).astype(np.int64)),
+            "ts": pa.array(
+                rng.integers(0, 30 * 86_400 * US, n_rows).astype(np.int64)
+            ).cast(pa.timestamp("us")),
+            "value": pa.array(rng.integers(0, 10_000, n_rows) / 100.0),
+            # bounded-cardinality int column (the grouped_quantiles
+            # histogram design envelope: distinct values ≪ rows)
+            "n_chars": pa.array(rng.integers(0, 1000, n_rows).astype(np.int64)),
+            "event_type": pa.array(
+                np.array(["t%05d" % t for t in rng.integers(0, 20_000, n_rows)])
+            ),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks).materialize()
+
+
+def naive_first_event(events: ray.data.Dataset) -> ray.data.Dataset:
+    """The round-1 shape: one Python UDF call per user (for comparison)."""
+    import pyarrow.compute as pc
+
+    def _first(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        row = g.take(idx[:1])
+        return pa.table(
+            {
+                "user_id": row["user_id"],
+                "first_ts": row["ts"],
+                "first_type": row["event_type"],
+            }
+        )
+
+    return events.groupby("user_id").map_groups(_first, batch_format="pyarrow")
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_users = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False)
+    from workbook_exporter_fe_ray.stages.relational import (
+        first_event_per_user,
+        sessionize,
+    )
+    from workbook_exporter_fe_ray.stages.sketch import grouped_quantiles
+
+    ds = make_ds(n_rows, n_users)
+    out: dict[str, float] = {}
+
+    for name, fn in [
+        ("first_event_sweep", lambda: first_event_per_user(ds, num_partitions=64)),
+        ("sessionize_sweep", lambda: sessionize(ds, num_partitions=64)),
+        (
+            "grouped_quantiles_sweep",
+            lambda: grouped_quantiles(ds, key="event_type", value_col="n_chars"),
+        ),
+    ]:
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = fn().count()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+        out[name + "_rows"] = n
+
+    # naive per-key comparison on a smaller slice (it is the slow shape)
+    small = make_ds(100_000, 20_000, blocks=16)
+    t0 = time.perf_counter()
+    out["naive_first_event_rows"] = naive_first_event(small).count()
+    out["naive_first_event_100k_20kusers"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    first_event_per_user(small, num_partitions=64).count()
+    out["sweep_first_event_100k_20kusers"] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "highcard_sweep_bench",
+                "n_rows": n_rows,
+                "n_users": n_users,
+                **out,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

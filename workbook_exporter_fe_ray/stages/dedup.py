@@ -63,16 +63,32 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def exact_dedup(
-    ds: ray.data.Dataset, keys: list[str], tie_col: str
+    ds: ray.data.Dataset, keys: list[str], tie_col: str, num_partitions: int = 64
 ) -> ray.data.Dataset:
     """Keep exactly one row per distinct ``keys`` — the one with the
-    smallest ``tie_col`` (deterministic). Hash-partition + first-in-group."""
+    smallest ``tie_col`` (deterministic).
 
-    def _first(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(tie_col, "ascending")])
-        return group.take(idx[:1])
+    Scale shape: per-block partial pick (one candidate row per key per
+    block crosses the exchange) → coarse-partition vectorized sweep
+    (``hash(keys) % P`` → ``num_partitions`` group calls total, never
+    one Python call per distinct key)."""
+    from .sweep import run_starts_table, with_part
 
-    return ds.groupby(keys).map_groups(_first, batch_format="pyarrow")
+    sort_keys = [(k, "ascending") for k in keys] + [(tie_col, "ascending")]
+
+    def _cut(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        t = t.take(idx)
+        return t.take(pa.array(run_starts_table(t, keys)))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        return with_part(_cut(b), keys, num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        return _cut(g.drop_columns(["__part"]))
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partial.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
 
 
 def exact_dedup_by_content_hash(

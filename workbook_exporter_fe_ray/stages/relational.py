@@ -147,24 +147,53 @@ def retention_filter(
 # ---------------------------------------------------------------------------
 
 
-def first_event_per_user(events: ray.data.Dataset) -> ray.data.Dataset:
+def first_event_per_user(
+    events: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
     """Grouped first-row pick (reference A3): per user the earliest
-    event's (ts, type). Deterministic tie-break (ts, event_id)."""
+    event's (ts, type). Deterministic tie-break (ts, event_id).
 
-    def _first(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    Scale shape (millions of users): per-batch partial pick collapses
+    each block to one candidate row per user BEFORE the exchange, and
+    the reduce is a coarse-partition sweep (``hash(user) % P`` →
+    ``num_partitions`` vectorized group calls total), never one Python
+    call per user."""
+    from .sweep import run_starts_table, with_part
+
+    sort_keys = [
+        ("user_id", "ascending"),
+        ("ts", "ascending"),
+        ("event_id", "ascending"),
+    ]
+
+    def _cut(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        t = t.take(idx)
+        return t.take(pa.array(run_starts_table(t, ["user_id"])))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+            }
         )
-        row = g.take(idx[:1])
+        return with_part(_cut(t), ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        first = _cut(g)
         return pa.table(
             {
-                "user_id": row["user_id"],
-                "first_ts": row["ts"],
-                "first_type": row["event_type"],
+                "user_id": first["user_id"],
+                "first_ts": first["ts"],
+                "first_type": first["event_type"],
             }
         )
 
-    return events.groupby("user_id").map_groups(_first, batch_format="pyarrow")
+    partial = events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partial.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
 
 
 def broadcast_anti_join(
@@ -251,15 +280,46 @@ def union_distinct_users(events: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def topn_per_group(events: ray.data.Dataset, n: int = 2) -> ray.data.Dataset:
+def topn_per_group(
+    events: ray.data.Dataset, n: int = 2, num_partitions: int = 64
+) -> ray.data.Dataset:
     """Top-N rows per group (window-rank semantics): the N highest-value
-    events per event_type, deterministic tie-break by event_id."""
+    events per event_type, deterministic tie-break by event_id.
 
-    def _top(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            g, sort_keys=[("value", "descending"), ("event_id", "ascending")]
+    Scale shape: per-batch partial top-n (one sort + run-length cut —
+    the shuffle moves ≤ n × keys × blocks rows), then a coarse-partition
+    sweep (``num_partitions`` group calls total, vectorized over all
+    keys a partition holds)."""
+    from .sweep import run_starts_table, with_part
+
+    sort_keys = [
+        ("event_type", "ascending"),
+        ("value", "descending"),
+        ("event_id", "ascending"),
+    ]
+
+    def _cut(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        t = t.take(idx)
+        starts = run_starts_table(t, ["event_type"])
+        if len(starts) == 0:
+            return t
+        lens = np.diff(np.r_[starts, len(t)])
+        pos = np.arange(len(t)) - np.repeat(starts, lens)
+        return t.filter(pa.array(pos < n))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "value": b["value"],
+                "event_id": b["event_id"],
+            }
         )
-        top = g.take(idx[:n])
+        return with_part(_cut(t), ["event_type"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        top = _cut(g)
         return pa.table(
             {
                 "source": top["event_type"],
@@ -268,7 +328,8 @@ def topn_per_group(events: ray.data.Dataset, n: int = 2) -> ray.data.Dataset:
             }
         )
 
-    return events.groupby("event_type").map_groups(_top, batch_format="pyarrow")
+    partial = events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partial.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
 
 
 def asof_join(
@@ -559,9 +620,10 @@ def range_join_window_counts(
     the oracle is pure SQL. Engine shape, sized for the 100 TB case:
 
     1. candidate min-n per key: per-batch partial top-n (vectorized
-       run-length over a batch sort) → tiny ``groupby.map_groups``
+       run-length over a batch sort) → coarse-partition vectorized
        final pick — the shuffle moves ≤ ``n_windows × keys × blocks``
-       rows, never the raw stream;
+       rows, never the raw stream, and the reduce runs a bounded
+       number of group calls regardless of key count;
     2. the tiny window table is ``ray.put`` ONCE and dereferenced per
        actor (broadcast, not re-shipped per batch — same pattern as
        :func:`broadcast_anti_join`);
@@ -574,6 +636,20 @@ def range_join_window_counts(
     """
     window_us = window_s * US
 
+    from .sweep import run_starts_table, with_part
+
+    num_partitions = 64
+    sort_keys = [(key, "ascending"), ("__ts", "ascending"), (id_col, "ascending")]
+
+    def _cut(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        t = t.take(idx)
+        starts = run_starts_table(t, [key])
+        if len(starts) == 0:
+            return t
+        pos = np.arange(len(t)) - np.repeat(starts, np.diff(np.r_[starts, len(t)]))
+        return t.filter(pa.array(pos < n_windows))
+
     def _partial_min(b: pa.Table) -> pa.Table:
         t = pa.table(
             {
@@ -582,28 +658,15 @@ def range_join_window_counts(
                 id_col: b[id_col],
             }
         )
-        idx = pc.sort_indices(
-            t,
-            sort_keys=[(key, "ascending"), ("__ts", "ascending"), (id_col, "ascending")],
-        )
-        t = t.take(idx)
-        ks = t[key].to_numpy(zero_copy_only=False)
-        if len(ks) == 0:
-            return t
-        starts = np.r_[0, 1 + np.flatnonzero(ks[1:] != ks[:-1])]
-        pos = np.arange(len(ks)) - np.repeat(starts, np.diff(np.r_[starts, len(ks)]))
-        return t.filter(pa.array(pos < n_windows))
+        return with_part(_cut(t), [key], num_partitions)
 
     def _final_min(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            g, sort_keys=[("__ts", "ascending"), (id_col, "ascending")]
-        )
-        g = g.take(idx[:n_windows])
+        g = _cut(g)
         return pa.table({key: g[key], "w_start": g["__ts"]})
 
     windows_tbl = pa.Table.from_pylist(
         events.map_batches(_partial_min, batch_format="pyarrow")
-        .groupby(key)
+        .groupby("__part")
         .map_groups(_final_min, batch_format="pyarrow")
         .take_all()
     )
@@ -684,9 +747,24 @@ def stratified_sample(
     Scale shape (same two-phase pick as the range-join candidate
     stage): each batch keeps only its local top-n per key (one sort +
     run-length cut), so the shuffle moves ≤ n × keys × blocks rows;
-    the final per-key pick is a tiny groupby.
+    the final per-key pick is a coarse-partition vectorized sweep
+    (``num_partitions`` group calls, not one per stratum).
     """
     import hashlib
+
+    from .sweep import run_starts_table, with_part
+
+    num_partitions = 64
+    sort_keys = [(key, "ascending"), ("__h", "ascending"), (id_col, "ascending")]
+
+    def _cut(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        t = t.take(idx)
+        starts = run_starts_table(t, [key])
+        if len(starts) == 0:
+            return t
+        pos = np.arange(len(t)) - np.repeat(starts, np.diff(np.r_[starts, len(t)]))
+        return t.filter(pa.array(pos < n))
 
     def _partial(b: pa.Table) -> pa.Table:
         md5s = [
@@ -694,29 +772,16 @@ def stratified_sample(
             for t in b[text_col].to_pylist()
         ]
         t = pa.table({key: b[key], "__h": pa.array(md5s, pa.string()), id_col: b[id_col]})
-        idx = pc.sort_indices(
-            t,
-            sort_keys=[(key, "ascending"), ("__h", "ascending"), (id_col, "ascending")],
-        )
-        t = t.take(idx)
-        ks = t[key].to_numpy(zero_copy_only=False)
-        if len(ks) == 0:
-            return t
-        starts = np.r_[0, 1 + np.flatnonzero(ks[1:] != ks[:-1])]
-        pos = np.arange(len(ks)) - np.repeat(starts, np.diff(np.r_[starts, len(ks)]))
-        return t.filter(pa.array(pos < n))
+        return with_part(_cut(t), [key], num_partitions)
 
-    def _final(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            g, sort_keys=[("__h", "ascending"), (id_col, "ascending")]
-        )
-        g = g.take(idx[:n])
+    def _sweep(g: pa.Table) -> pa.Table:
+        g = _cut(g)
         return pa.table({key: g[key], id_col: g[id_col]})
 
     return (
         docs.map_batches(_partial, batch_format="pyarrow")
-        .groupby(key)
-        .map_groups(_final, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
     )
 
 
@@ -734,19 +799,38 @@ def moving_window_agg(
     CURRENT ROW``). Sums stay exact int64; the mean is one int→float
     division, so floats are bit-deterministic.
 
-    Vectorized per group via prefix sums; the streaming-window custom
-    operator from the brief, expressed as groupby + group kernel."""
+    Vectorized prefix sums with per-key boundary resets; the
+    streaming-window custom operator from the brief. Scale shape: one
+    coarse-partition sweep (``hash(key) % P`` → ``num_partitions``
+    group calls total), not one Python call per key."""
+    from .sweep import run_starts_table, with_part
 
-    def _win(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[(ts_col, "ascending")])
+    num_partitions = 64
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {key: b[key], ts_col: b[ts_col], sum_col: b[sum_col], count_col: b[count_col]}
+        )
+        return with_part(t, [key], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), (ts_col, "ascending")]
+        )
         g = g.take(idx)
+        n = len(g)
         s = g[sum_col].to_numpy(zero_copy_only=False).astype(np.int64)
         c = g[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = run_starts_table(g, [key])
         cs = np.concatenate([[0], np.cumsum(s)])
         cc = np.concatenate([[0], np.cumsum(c)])
-        lo = np.maximum(np.arange(len(s)) - (window - 1), 0)
-        msum = cs[1 + np.arange(len(s))] - cs[lo]
-        mcount = cc[1 + np.arange(len(s))] - cc[lo]
+        ar = np.arange(n)
+        run_start = (
+            np.repeat(starts, np.diff(np.r_[starts, n])) if n else np.array([], np.int64)
+        )
+        lo = np.maximum(ar - (window - 1), run_start)
+        msum = cs[1 + ar] - cs[lo]
+        mcount = cc[1 + ar] - cc[lo]
         return pa.table(
             {
                 key: g[key],
@@ -759,30 +843,71 @@ def moving_window_agg(
             }
         )
 
-    return tier.groupby(key).map_groups(_win, batch_format="pyarrow")
+    routed = tier.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
 
 
 def sessionize(
-    events: ray.data.Dataset, gap_s: int = 3600
+    events: ray.data.Dataset, gap_s: int = 3600, num_partitions: int = 64
 ) -> ray.data.Dataset:
     """Gap-based sessionization per user: a new session starts when the
     gap to the previous event exceeds ``gap_s``. Returns per user:
-    (user_id, n_sessions, max_session_events, n_events)."""
+    (user_id, n_sessions, max_session_events, n_events).
+
+    Scale shape: the shuffle carries only (user_id, ts) keyed on
+    ``hash(user) % num_partitions``; one sweep per partition sorts by
+    (user, ts) and computes every user's sessions with vectorized
+    diff/reduceat kernels — no per-user Python calls. Partitioning
+    assumption: one PARTITION's rows fit a worker (raise
+    ``num_partitions`` for bigger corpora); a single user's history is
+    never required to fit anything smaller than a partition."""
+    from .sweep import run_starts_table, with_part
+
     gap_us = gap_s * US
 
-    def _sess(g: pa.Table) -> pa.Table:
-        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        ts = np.sort(ts)
-        new_s = np.r_[True, np.diff(ts) > gap_us]
-        starts = np.flatnonzero(new_s)
-        counts = np.diff(np.r_[starts, len(ts)])
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"user_id": b["user_id"], "ts": pc.cast(b["ts"], pa.int64())}
+        )
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]
+        )
+        g = g.take(idx)
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "max_session_events": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        ustarts = run_starts_table(g, ["user_id"])
+        new_s = np.zeros(n, dtype=bool)
+        new_s[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_s[ustarts] = True
+        sess_starts = np.flatnonzero(new_s)
+        sess_len = np.diff(np.r_[sess_starts, n])
+        # sessions are contiguous per user (both sorted by the same order)
+        sess_user = np.searchsorted(ustarts, sess_starts, side="right") - 1
+        n_users = len(ustarts)
+        n_sessions = np.bincount(sess_user, minlength=n_users)
+        sess_offs = np.r_[0, np.cumsum(n_sessions)[:-1]]
+        max_sess = np.maximum.reduceat(sess_len, sess_offs)
+        n_events = np.diff(np.r_[ustarts, n])
         return pa.table(
             {
-                "user_id": g["user_id"][:1],
-                "n_sessions": pa.array([len(starts)], pa.int64()),
-                "max_session_events": pa.array([int(counts.max())], pa.int64()),
-                "n_events": pa.array([len(ts)], pa.int64()),
+                "user_id": g["user_id"].take(pa.array(ustarts)),
+                "n_sessions": pa.array(n_sessions.astype(np.int64)),
+                "max_session_events": pa.array(max_sess.astype(np.int64)),
+                "n_events": pa.array(n_events.astype(np.int64)),
             }
         )
 
-    return events.groupby("user_id").map_groups(_sess, batch_format="pyarrow")
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")

@@ -52,33 +52,67 @@ def grouped_quantiles(
     ``(p*n + 99) // 100 - 1`` so boundaries are exact.
     """
 
+    # reduce: coarse-partition sweep — partial (key, value, cnt)
+    # histogram rows are routed straight to ``hash(key) % P``; each
+    # partition merges duplicate pairs AND computes every key's
+    # quantiles in ONE vectorized group call (per-run local cumsums +
+    # a single flat searchsorted with per-run offsets). No per-key UDF
+    # calls, and no sort-shuffle keyed on the (key, value) pair space —
+    # the only exchange is the 64-valued ``__part`` groupby.
+    from .sweep import run_starts_table, with_part
+
+    num_partitions = 64
+
     def _hist_partial(b: pa.Table) -> pa.Table:
         t = pa.table({key: b[key], value_col: pc.cast(b[value_col], pa.int64())})
         g = t.group_by([key, value_col]).aggregate([([], "count_all")])
-        return g.rename_columns([key, value_col, "cnt"])
+        g = g.rename_columns([key, value_col, "cnt"])
+        return with_part(g, [key], num_partitions)
 
-    hist = (
-        ds.map_batches(_hist_partial, batch_format="pyarrow")
-        .groupby([key, value_col])
-        .sum("cnt")
-    )
-
-    def _quantiles(g: pa.Table) -> pa.Table:
-        v = g[value_col].to_numpy(zero_copy_only=False)
-        c = g["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        o = np.argsort(v, kind="stable")
-        v, c = v[o], c[o]
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), (value_col, "ascending")]
+        )
+        g = g.take(idx)
+        if len(g) == 0:
+            cols: dict[str, pa.Array] = {key: g[key]}
+            for p in percents:
+                cols[f"p{p}"] = pa.array([], pa.int64())
+            cols["n_rows"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        # merge duplicate (key, value) pairs from different blocks
+        pair_starts = run_starts_table(g, [key, value_col])
+        c = np.add.reduceat(
+            g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64), pair_starts
+        )
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)[pair_starts]
+        keys_arr = g[key].take(pa.array(pair_starts))
+        dedup = pa.table({key: keys_arr})
+        starts = run_starts_table(dedup, [key])
+        k = len(starts)
+        nrows = len(v)
+        lens = np.diff(np.r_[starts, nrows])
         cum = np.cumsum(c)
-        n = int(cum[-1])
-        cols: dict[str, pa.Array] = {key: g[key][:1]}
+        base = cum[starts] - c[starts]  # cumsum just before each run
+        local_cum = cum - np.repeat(base, lens)
+        n_per_key = local_cum[starts + lens - 1]
+        big = int(local_cum.max()) + 1
+        run_of_row = np.repeat(np.arange(k), lens)
+        mono = local_cum + run_of_row * big
+        cols = {key: keys_arr.take(pa.array(starts))}
         for p in percents:
-            kidx = max((p * n + 99) // 100 - 1, 0)
-            pos = int(np.searchsorted(cum, kidx, side="right"))
-            cols[f"p{p}"] = pa.array([int(v[pos])], pa.int64())
-        cols["n_rows"] = pa.array([n], pa.int64())
+            kidx = np.maximum((p * n_per_key + 99) // 100 - 1, 0)
+            tgt = (kidx + 1) + np.arange(k) * big
+            pos = np.searchsorted(mono, tgt, side="left")
+            cols[f"p{p}"] = pa.array(v[pos], pa.int64())
+        cols["n_rows"] = pa.array(n_per_key, pa.int64())
         return pa.table(cols)
 
-    return hist.groupby(key).map_groups(_quantiles, batch_format="pyarrow")
+    return (
+        ds.map_batches(_hist_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -132,26 +166,52 @@ def hll_distinct(
             {key: pa.array(out_k, pa.string()), "regs": pa.array(out_regs, pa.binary())}
         )
 
-    def _merge(g: pa.Table) -> pa.Table:
-        regs = np.zeros(m, dtype=np.uint8)
-        for buf in g["regs"].to_pylist():
-            regs = np.maximum(regs, np.frombuffer(buf, dtype=np.uint8))
+    # merge: coarse-partition sweep — a partition's register rows are
+    # stacked into one (rows, m) uint8 matrix, per-key elementwise max
+    # is one ``np.maximum.reduceat``, and the HLL estimate (+ the
+    # linear-counting correction) evaluates vectorized across all keys
+    # in the partition. One group call per partition, not per key.
+    from .sweep import run_starts_table, with_part
+
+    num_partitions = 64
+
+    def _route(b: pa.Table) -> pa.Table:
+        return with_part(b, [key], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(key, "ascending")])
+        g = g.take(idx)
+        starts = run_starts_table(g, [key])
+        if len(starts) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.string()),
+                    "approx_distinct": pa.array([], pa.int64()),
+                }
+            )
+        mat = np.frombuffer(
+            b"".join(g["regs"].to_pylist()), dtype=np.uint8
+        ).reshape(len(g), m)
+        regs = np.maximum.reduceat(mat, starts, axis=0)  # (n_keys, m)
         alpha = 0.7213 / (1 + 1.079 / m)
-        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-        zeros = int(np.count_nonzero(regs == 0))
-        if est <= 2.5 * m and zeros > 0:
-            est = m * np.log(m / zeros)
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)), axis=1)
+        zeros = np.count_nonzero(regs == 0, axis=1)
+        lc = zeros > 0
+        with np.errstate(divide="ignore"):
+            linear = m * np.log(np.where(lc, m / np.maximum(zeros, 1), 1.0))
+        est = np.where((est <= 2.5 * m) & lc, linear, est)
         return pa.table(
             {
-                key: g[key][:1],
-                "approx_distinct": pa.array([int(round(est))], pa.int64()),
+                key: g[key].take(pa.array(starts)),
+                "approx_distinct": pa.array(np.round(est).astype(np.int64)),
             }
         )
 
     return (
         ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(key)
-        .map_groups(_merge, batch_format="pyarrow")
+        .map_batches(_route, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
     )
 
 
