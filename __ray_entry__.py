@@ -297,6 +297,19 @@ def _q_cosine_neardup(sf_dir: str):
     )
 
 
+def _q_cosine_neardup_lsh(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.similarity import cosine_neardup_lsh_pairs
+
+    # scale path: hyperplane-LSH candidate buckets + exact in-bucket
+    # verify. Approximate recall by design → rows-only driver check;
+    # the recall-vs-exact pytest (tests/test_neardup_quality.py) is the
+    # quality gate. Threshold matches the exact query so results are
+    # comparable.
+    return cosine_neardup_lsh_pairs(
+        _embeddings(sf_dir), threshold=0.4, n_tables=16, n_bits=4
+    ).select_columns(["id_a", "id_b"])
+
+
 def _q_gapfill_linear(sf_dir: str):
     from workbook_exporter_fe_ray.pipelines.events import gapfill_events_1h
 
@@ -795,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "cosine_neardup": _q_cosine_neardup,
+        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "ann_topk": _q_ann_topk,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,

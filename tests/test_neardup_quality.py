@@ -120,3 +120,75 @@ def test_minhash_estimate_mode(ray_session):
         key = (r["id_a"], r["id_b"])
         assert key in est_pairs, key
         assert abs(est_pairs[key] - r["jaccard"]) < 0.35
+
+
+def test_cosine_lsh_recall_vs_exact(ray_session):
+    """Planted near-dups: LSH-bucketed pairs must find (nearly) all
+    pairs the exact triangle join finds, with exact-precision cosines."""
+    import pyarrow as pa
+    import ray.data
+
+    from workbook_exporter_fe_ray.stages.similarity import (
+        cosine_neardup_lsh_pairs,
+        cosine_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 32))
+    # 3 noisy copies of each base vector → plenty of cosine≥0.9 pairs
+    noisy = np.repeat(base, 3, axis=0) + 0.05 * rng.standard_normal((120, 32))
+    mat = np.vstack([base, noisy, rng.standard_normal((100, 32))])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+            "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    exact = cosine_neardup_pairs(ds, threshold=0.9).to_pandas()
+    approx = cosine_neardup_lsh_pairs(
+        ds, threshold=0.9, n_tables=8, n_bits=8, dim=32
+    ).to_pandas()
+    truth = set(zip(exact["id_a"], exact["id_b"]))
+    found = set(zip(approx["id_a"], approx["id_b"]))
+    assert truth, "planted corpus must contain exact pairs"
+    # exact-precision: every reported pair is a true pair
+    assert found <= truth
+    # recall: 8 tables x 8 bits at cos>=0.9 misses ~1% per pair
+    assert len(found) / len(truth) >= 0.9
+
+
+def test_cosine_exact_block_invariance(ray_session):
+    """The exact triangle join must not depend on n_blocks (a routing
+    knob) and must match an O(n^2) numpy reference."""
+    import pyarrow as pa
+    import ray.data
+
+    from workbook_exporter_fe_ray.stages.similarity import cosine_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((150, 16))
+    mat[50:60] = mat[:10] + 0.01 * rng.standard_normal((10, 16))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+            "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    key = ["id_a", "id_b"]
+    a = (
+        cosine_neardup_pairs(ds, threshold=0.8, n_blocks=4)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        cosine_neardup_pairs(ds, threshold=0.8, n_blocks=9)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[key], b[key])
+
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    ai, bi = np.nonzero(np.triu(cos >= 0.8, k=1))
+    truth = set(zip(ai, bi))
+    assert set(zip(a["id_a"], a["id_b"])) == truth

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -191,35 +192,211 @@ def cosine_neardup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_blocks: int = 8,
 ) -> ray.data.Dataset:
-    """Embedding near-dup pairs (cosine ≥ threshold, id_a < id_b).
+    """EXACT embedding near-dup pairs (cosine ≥ threshold, id_a < id_b)
+    via a distributed block-pair (triangle) join — no driver-side or
+    whole-dataset materialization anywhere in the plan.
 
-    Small-corpus baseline: the corpus fits the object store, so each
-    batch compares against the full broadcast matrix (ray.put once).
-    At 100 TB you'd LSH-bucket first (see lsh_bucket_topk) and compare
-    within buckets only.
+    Each vector is routed to ``n_blocks`` cells: vector in id-block g
+    joins cells (i, g) for i ≤ g and (g, j) for j ≥ g, so every
+    unordered block pair (i ≤ j) meets in exactly ONE cell and every
+    candidate pair is scored exactly once. A cell task holds ≤
+    2·N/n_blocks vectors (size ``n_blocks`` so that fits a worker
+    heap) and scores its pair block with one matmul. Exchange cost is
+    ``n_blocks`` copies of the vectors; compute is the true all-pairs
+    O(N²/2) spread over ``n_blocks·(n_blocks+1)/2`` tasks — inherent
+    to EXACT all-pairs. For corpora where exact is infeasible, use
+    :func:`cosine_neardup_lsh_pairs` (candidate buckets + exact
+    verify), which this function is the small-scale oracle for.
     """
-    tbl = ds.select_columns([id_col, vec_col]).materialize()
-    full = tbl.to_pandas()
-    ids_all = full[id_col].to_numpy()
-    mat = np.stack(full[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    mat_ref = ray.put((ids_all, mat))
 
-    def _pairs(batch: pa.Table) -> pa.Table:
-        ids_a, mat_all = ray.get(mat_ref)
-        m = _batch_matrix(batch, vec_col)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        ids_b = batch[id_col].to_numpy(zero_copy_only=False)
-        cos = m @ mat_all.T
-        bi, ai = np.nonzero(cos >= threshold)
-        keep = ids_b[bi] < ids_a[ai]
+    def _route(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        g = (ids % n_blocks).astype(np.int64)
+        # cells (i, g) for i <= g and (g, j) for j > g → n_blocks cells/row
+        cells = np.empty((n, n_blocks), dtype=np.int32)
+        for k in range(n_blocks):
+            i = np.minimum(g, k)
+            j = np.maximum(g, k)
+            cells[:, k] = (i * n_blocks + j).astype(np.int32)
+        rep = np.repeat(np.arange(n), n_blocks)
+        out = batch.select([id_col, vec_col]).take(pa.array(rep))
+        return out.append_column("cell", pa.array(cells.reshape(-1)))
+
+    routed = ds.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _cell_pairs(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        i, j = divmod(cell, n_blocks)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        m = _batch_matrix(group, vec_col)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        blk = ids % n_blocks
+        ai_mask = blk == i
+        bj_mask = blk == j
+        ids_a, ids_b = ids[ai_mask], ids[bj_mask]
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        cos = m[ai_mask] @ m[bj_mask].T
+        ra, rb = np.nonzero(cos >= threshold)
+        ida, idb = ids_a[ra], ids_b[rb]
+        if i == j:
+            # both sides are the same block: (a,b) and (b,a) both appear
+            keep = ida < idb
+            lo, hi, cv = ida[keep], idb[keep], cos[ra, rb][keep]
+        else:
+            # cross-block: each unordered pair appears exactly once;
+            # normalize output ordering to id_a < id_b
+            lo = np.minimum(ida, idb)
+            hi = np.maximum(ida, idb)
+            cv = cos[ra, rb]
         return pa.table(
             {
-                "id_a": pa.array(ids_b[bi][keep], pa.int64()),
-                "id_b": pa.array(ids_a[ai][keep], pa.int64()),
-                "cosine": pa.array(cos[bi, ai][keep], pa.float64()),
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
+                "cosine": pa.array(cv, pa.float64()),
             }
         )
 
-    return ds.map_batches(_pairs, batch_format="pyarrow")
+    return routed.groupby("cell").map_groups(_cell_pairs, batch_format="pyarrow")
+
+
+def cosine_neardup_lsh_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 8,
+    n_bits: int = 8,
+    seed: int = 42,
+    num_partitions: int = 64,
+    max_bucket: int = 4096,
+    dim: int | None = None,
+) -> ray.data.Dataset:
+    """Approximate embedding near-dup pairs — the 100 TB path: random-
+    hyperplane LSH candidate buckets + EXACT cosine verification within
+    buckets, so precision is exact and only recall is probabilistic
+    (P(miss) = (1 - p^n_bits)^n_tables with p = 1 - θ/π; at cosine
+    0.95 and 8×8 the miss rate is ~1%).
+
+    Shape: each vector is routed to ``n_tables`` buckets (signature =
+    n_bits hyperplane signs per table); buckets are swept per coarse
+    partition (``bucket % num_partitions`` → vectorized matmul per
+    bucket run, no per-bucket UDF calls); duplicate pairs from
+    different tables collapse in an associative Max groupby. Buckets
+    larger than ``max_bucket`` (degenerate direction clusters) are
+    skipped and COUNTED — the count is logged per sweep task (no
+    silent caps). :func:`cosine_neardup_pairs` is the exact oracle at
+    test scale.
+    """
+    from ray.data.aggregate import Max
+
+    if dim is None:
+        first = ds.select_columns([vec_col]).limit(1).take_all()
+        dim = len(first[0][vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables * n_bits, dim))
+    planes_ref = ray.put(planes)
+    powers = (1 << np.arange(n_bits)).astype(np.int64)
+
+    class _Route:
+        def __init__(self, ref):
+            self.planes = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            m = _batch_matrix(batch, vec_col)
+            bits = (m @ self.planes.T) > 0  # (n, n_tables*n_bits)
+            bits = bits.reshape(n, n_tables, n_bits)
+            buckets = bits.astype(np.int64) @ powers  # (n, n_tables)
+            buckets += (np.arange(n_tables, dtype=np.int64) << np.int64(n_bits + 1))[
+                None, :
+            ] * (1 << 20)
+            rep = np.repeat(np.arange(n), n_tables)
+            out = batch.select([id_col, vec_col]).take(pa.array(rep))
+            out = out.append_column("bucket", pa.array(buckets.reshape(-1)))
+            part = (buckets.reshape(-1) % num_partitions).astype(np.int32)
+            return out.append_column("__part", pa.array(part))
+
+    routed = ds.map_batches(
+        _Route,
+        fn_constructor_args=(planes_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def _sweep(group: pa.Table) -> pa.Table:
+        import logging
+
+        order = pc.sort_indices(group, sort_keys=[("bucket", "ascending")])
+        g = group.take(order)
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        m = _batch_matrix(g, vec_col)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        ends = np.r_[starts[1:], len(buckets)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        skipped = 0
+        for s, e in zip(starts, ends):
+            sz = e - s
+            if sz < 2:
+                continue
+            if sz > max_bucket:
+                skipped += 1
+                continue
+            cos = m[s:e] @ m[s:e].T
+            ra, rb = np.nonzero(cos >= threshold)
+            ida, idb = ids[s:e][ra], ids[s:e][rb]
+            keep = ida < idb
+            out_a.append(ida[keep])
+            out_b.append(idb[keep])
+            out_c.append(cos[ra, rb][keep])
+        if skipped:
+            logging.getLogger(__name__).warning(
+                "cosine_neardup_lsh_pairs: skipped %d oversized buckets "
+                "(> %d vectors) in one partition sweep — raise max_bucket "
+                "or n_bits if these hold real near-dups",
+                skipped,
+                max_bucket,
+            )
+        if out_a:
+            aa, bb, cc = (
+                np.concatenate(out_a),
+                np.concatenate(out_b),
+                np.concatenate(out_c),
+            )
+        else:
+            aa = np.array([], np.int64)
+            bb = np.array([], np.int64)
+            cc = np.array([], np.float64)
+        return pa.table(
+            {
+                "id_a": pa.array(aa, pa.int64()),
+                "id_b": pa.array(bb, pa.int64()),
+                "cosine": pa.array(cc, pa.float64()),
+            }
+        )
+
+    pairs = routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+    agg = pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"id_a": b["id_a"], "id_b": b["id_b"], "cosine": b["max(cosine)"]}
+        ),
+        batch_format="pyarrow",
+    )
