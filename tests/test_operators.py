@@ -268,3 +268,25 @@ def test_top_bigrams_boundary_mask(ray_session):
             .to_dict()
         )
         assert out == {"a b": 2, "b c": 2}, (nblocks, out)  # no 'b b', no 'c a', no 'c x'
+
+
+def test_rolling_hash_matches_horner(ray_session):
+    """fingerprint_batch's one-big-int-mod rolling hash must equal the
+    per-byte Horner recurrence h' = (h*256 + b) mod 2^61-1 it stands for."""
+    import pyarrow as pa
+
+    from workbook_exporter_fe_ray.stages.text import fingerprint_batch
+
+    MOD = (1 << 61) - 1
+    texts = ["abc", "", "the quick brown fox", "Ã©tÃ© ðŸŽ‰", "a" * 10_000]
+    b = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = fingerprint_batch(b)
+    got = out["rolling_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    import hashlib
+
+    for t, g, m in zip(texts, got, out["md5"].to_pylist()):
+        h = 0
+        for byte in t.encode("utf-8"):
+            h = (h * 256 + byte) % MOD
+        assert int(g) == h
+        assert m == hashlib.md5(t.encode("utf-8")).hexdigest()
