@@ -192,3 +192,15 @@ def test_cosine_exact_block_invariance(ray_session):
     ai, bi = np.nonzero(np.triu(cos >= 0.8, k=1))
     truth = set(zip(ai, bi))
     assert set(zip(a["id_a"], a["id_b"])) == truth
+
+
+def test_batch_simhash_matches_reference(ray_session):
+    """_batch_simhash must be bit-identical to per-doc simhash64."""
+    from workbook_exporter_fe_ray.stages.dedup import _batch_simhash, simhash64
+    import pyarrow as pa
+
+    docs = _docs()
+    texts = docs["text"].tolist() + ["", "one", "a b", "x\ty\nz", "  pad  "]
+    got = _batch_simhash(pa.array(texts, pa.string()))
+    for t, g in zip(texts, got):
+        assert int(g) == simhash64(t), repr(t[:40])

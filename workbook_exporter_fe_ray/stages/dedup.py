@@ -40,6 +40,23 @@ from ray.data.aggregate import Max, Min
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _log_skipped(op: str, skipped: int, max_bucket: int) -> None:
+    """Runtime visibility for capped work (the 'no silent caps' rule):
+    oversized LSH buckets (degenerate near-constant content) are
+    skipped, and each sweep task reports how many."""
+    if skipped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: skipped %d oversized buckets (> %d members) in one "
+            "partition sweep — raise max_bucket (or band width) if these "
+            "may hold real near-dups",
+            op,
+            skipped,
+            max_bucket,
+        )
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     z = (x + _GOLD).astype(np.uint64)
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
@@ -194,7 +211,9 @@ def minhash_signature(text: str, num_perm: int, shingle_n: int, seed: int) -> np
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (unweighted)."""
+    """64-bit SimHash over word features (unweighted). Reference
+    implementation for one doc; the batch path is :func:`_batch_simhash`
+    (bit-identical, asserted in tests/test_neardup_quality.py)."""
     words = text.split()
     if not words:
         return 0
@@ -206,6 +225,47 @@ def simhash64(text: str) -> int:
     counts = bits.sum(axis=0)
     vec = counts * 2 > len(words)
     return int(np.packbits(vec[::-1]).view(">u8")[0])
+
+
+def _batch_simhash(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized SimHash for a whole batch — same token-vocabulary
+    hashing trick as :func:`_batch_shingles` (tokens split with one
+    Arrow kernel, the small VOCABULARY crc+mix hashed once, per-token
+    feature hashes broadcast through dictionary indices), then per-doc
+    per-bit majority votes via one ``np.add.reduceat``. Bit-identical
+    to :func:`simhash64` per doc."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    toks = pc.split_pattern_regex(texts, r"\s+")
+    flat_tok = toks.flatten()
+    raw_counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+    nonempty = pc.greater(pc.utf8_length(flat_tok), 0)
+    ne = nonempty.to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(n_docs), raw_counts)[ne]
+    flat_tok = flat_tok.filter(nonempty)
+    counts = np.bincount(doc_of, minlength=n_docs)
+
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(flat_tok) == 0:
+        return out
+    enc = pc.dictionary_encode(flat_tok)
+    vocab = enc.dictionary.to_pylist()
+    th = _word_hash(vocab)[np.asarray(enc.indices)]  # (T,) uint64 features
+
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    tok_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=tok_offs[1:])
+    has_tok = counts > 0
+    votes = np.add.reduceat(bits, tok_offs[:-1][has_tok], axis=0)  # (D', 64)
+    maj = votes.astype(np.int64) * 2 > counts[has_tok][:, None]
+    with np.errstate(over="ignore"):
+        sigs = (maj.astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+    out[has_tok] = sigs
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -409,9 +469,17 @@ def minhash_lsh_pairs(
     banded = signed.map_batches(_band_rows, batch_format="pyarrow")
 
     def _part_pairs(group: pa.Table) -> pa.Table:
-        """One coarse partition: sort by bucket, sweep bucket runs, verify
-        candidate pairs with exact hashed-shingle Jaccard. Vectorized
-        bookkeeping; the pair loop touches only in-bucket candidates."""
+        """One coarse partition: sort by bucket, sweep bucket runs.
+
+        Candidate generation is vectorized: each bucket run contributes
+        its triu index pairs (one ``np.triu_indices`` per bucket, all
+        bookkeeping in NumPy), duplicates across buckets collapse with
+        one ``np.unique`` over the (id_a, id_b) pair matrix BEFORE
+        verification, so each pair is verified at most once per
+        partition. Estimate-mode verification is one fully-vectorized
+        equal-component mean over the stacked signature matrix; exact
+        mode intersects the two sorted shingle sets per unique pair
+        (inherently per-pair, but only on deduplicated candidates)."""
         order = pc.sort_indices(group, sort_keys=[("bucket", "ascending")])
         g = group.take(order)
         buckets = g["bucket"].to_numpy(zero_copy_only=False)
@@ -424,38 +492,62 @@ def minhash_lsh_pairs(
 
         starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
         ends = np.r_[starts[1:], len(buckets)]
-        seen: set[tuple[int, int]] = set()
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_j: list[float] = []
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+
+        cand_a: list[np.ndarray] = []  # row positions in g
+        cand_b: list[np.ndarray] = []
+        skipped = 0
         for s, e in zip(starts, ends):
             m = e - s
-            if m < 2 or m > max_bucket:
+            if m < 2:
+                continue
+            if m > max_bucket:
+                skipped += 1
                 continue
             sub = np.argsort(ids[s:e], kind="stable") + s
-            for x in range(m):
-                a = sub[x]
-                sa = flat[offs[a] : offs[a + 1]]
-                for y in range(x + 1, m):
-                    b = sub[y]
-                    ia, ib = int(ids[a]), int(ids[b])
-                    if ia == ib or (ia, ib) in seen:
-                        continue
-                    sb = flat[offs[b] : offs[b + 1]]
-                    if verify == "exact":
-                        jac = hashed_jaccard(sa, sb)
-                    else:  # MinHash estimate: equal-component fraction
-                        jac = float(np.mean(sa == sb))
-                    if jac >= threshold:
-                        seen.add((ia, ib))
-                        out_a.append(ia)
-                        out_b.append(ib)
-                        out_j.append(jac)
+            x, y = np.triu_indices(m, k=1)
+            cand_a.append(sub[x])
+            cand_b.append(sub[y])
+        _log_skipped("minhash_lsh_pairs", skipped, max_bucket)
+        if not cand_a:
+            return empty
+        pos_a = np.concatenate(cand_a)
+        pos_b = np.concatenate(cand_b)
+        ia, ib = ids[pos_a], ids[pos_b]
+        real = ia != ib
+        pos_a, pos_b, ia, ib = pos_a[real], pos_b[real], ia[real], ib[real]
+        if len(ia) == 0:
+            return empty
+        # one verification per distinct pair in this partition
+        _, first = np.unique(np.stack([ia, ib], axis=1), axis=0, return_index=True)
+        pos_a, pos_b, ia, ib = pos_a[first], pos_b[first], ia[first], ib[first]
+
+        if verify == "estimate":
+            # signatures are fixed-width → one vectorized gather+compare
+            lens = np.diff(offs)
+            width = int(lens[0]) if len(lens) else num_perm
+            mat = flat.reshape(-1, width)
+            row_of = (offs[:-1] // width).astype(np.int64)
+            jac = np.mean(mat[row_of[pos_a]] == mat[row_of[pos_b]], axis=1)
+        else:
+            jac = np.empty(len(ia), dtype=np.float64)
+            for i in range(len(ia)):
+                jac[i] = hashed_jaccard(
+                    flat[offs[pos_a[i]] : offs[pos_a[i] + 1]],
+                    flat[offs[pos_b[i]] : offs[pos_b[i] + 1]],
+                )
+        hit = jac >= threshold
         return pa.table(
             {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                "id_a": pa.array(ia[hit], pa.int64()),
+                "id_b": pa.array(ib[hit], pa.int64()),
+                "jaccard": pa.array(jac[hit], pa.float64()),
             }
         )
 
@@ -520,11 +612,11 @@ def simhash_pairs(
     coarse partition with a vectorized XOR-popcount kernel."""
 
     def _sig(batch: pa.Table) -> pa.Table:
-        sigs = [simhash64(t) for t in batch[text_col].to_pylist()]
+        sigs = _batch_simhash(batch[text_col])
         return pa.table(
             {
                 id_col: batch[id_col],
-                "simhash": pa.array(np.array(sigs, dtype=np.uint64).view(np.int64)),
+                "simhash": pa.array(sigs.view(np.int64)),
             }
         )
 
@@ -562,10 +654,13 @@ def simhash_pairs(
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
-        seen: set[tuple[int, int]] = set()
+        skipped = 0
         for s, e in zip(starts, ends):
             m = e - s
-            if m < 2 or m > max_bucket:
+            if m < 2:
+                continue
+            if m > max_bucket:
+                skipped += 1
                 continue
             sub = np.argsort(ids[s:e], kind="stable") + s
             sv = sigs[sub]
@@ -576,21 +671,21 @@ def simhash_pairs(
             if not len(ai):
                 continue
             keep = iv[ai] != iv[bi]
-            fa, fb, fd = iv[ai[keep]], iv[bi[keep]], ham[ai[keep], bi[keep]]
-            mask = np.ones(len(fa), dtype=bool)
-            for i, (x, y) in enumerate(zip(fa, fb)):
-                key = (int(x), int(y))
-                if key in seen:
-                    mask[i] = False
-                else:
-                    seen.add(key)
-            out_a.append(fa[mask])
-            out_b.append(fb[mask])
-            out_d.append(fd[mask].astype(np.int32))
+            out_a.append(iv[ai[keep]])
+            out_b.append(iv[bi[keep]])
+            out_d.append(ham[ai[keep], bi[keep]].astype(np.int32))
+        _log_skipped("simhash_pairs", skipped, max_bucket)
         if out_a:
             aa = np.concatenate(out_a)
             bb = np.concatenate(out_b)
             dd = np.concatenate(out_d)
+            # same pair from several buckets of this partition →
+            # vectorized distinct (keep the first = min hamming is
+            # identical per pair, so any representative works)
+            _, first = np.unique(
+                np.stack([aa, bb], axis=1), axis=0, return_index=True
+            )
+            aa, bb, dd = aa[first], bb[first], dd[first]
         else:
             aa = np.array([], np.int64)
             bb = np.array([], np.int64)
