@@ -423,11 +423,12 @@ def _q_topn_per_group(sf_dir: str):
 
 
 def _q_asof_join(sf_dir: str):
-    """Each event joined as-of to its source's latest 1h rollup bucket —
-    the custom timeseries join composed from union + groupby + one
-    vectorized searchsorted per group."""
+    """Each event joined as-of to its source's latest 1h rollup bucket.
+    Runs the WINDOWED plan (day windows + broadcast carry anchors — the
+    unbounded-history shape) under the SQL oracle; bit-identity with
+    the one-group-per-key plan is asserted in tests/test_operators.py."""
     from workbook_exporter_fe_ray.pipelines.events import rollup_events
-    from workbook_exporter_fe_ray.stages.relational import asof_join
+    from workbook_exporter_fe_ray.stages.relational import asof_join_windowed
 
     events = _events(sf_dir).map_batches(
         lambda b: pa.table(
@@ -438,7 +439,7 @@ def _q_asof_join(sf_dir: str):
     t1h = rollup_events(sf_dir, 3600).select_columns(
         ["source", "bucket_ts", "mean_cents"]
     )
-    return asof_join(events, t1h)
+    return asof_join_windowed(events, t1h, window_s=86_400)
 
 
 def _q_moving_window(sf_dir: str):

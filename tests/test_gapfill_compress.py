@@ -104,3 +104,71 @@ def test_compress_roundtrip_through_ray(sf_test_paths):
     raw_bytes = len(want) * 16
     comp_bytes = int(cdf["ts_dod_bytes"].str.len().sum() + cdf["val_xor_bytes"].str.len().sum())
     assert comp_bytes < raw_bytes / 2, (comp_bytes, raw_bytes)
+
+
+@pytest.mark.parametrize("strategy", ["locf", "linear"])
+def test_gapfill_windowed_matches_unwindowed(tier_1m, strategy):
+    """The windowed (unbounded-series) plan must be bit-identical to the
+    one-group-per-source plan — including windows with no real points
+    (gaps longer than a window)."""
+    cols = ["source", "bucket_ts", "value", "filled"]
+    base = (
+        gapfill(tier_1m, 60, strategy=strategy)
+        .to_pandas()[cols]
+        .sort_values(["source", "bucket_ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    for wb in (30, 1440):
+        win = (
+            gapfill(tier_1m, 60, strategy=strategy, window_buckets=wb)
+            .to_pandas()[cols]
+            .sort_values(["source", "bucket_ts"], kind="stable")
+            .reset_index(drop=True)
+        )
+        assert len(win) == len(base), wb
+        assert (win["source"].to_numpy() == base["source"].to_numpy()).all()
+        assert (win["bucket_ts"].to_numpy() == base["bucket_ts"].to_numpy()).all()
+        np.testing.assert_array_equal(
+            win["value"].to_numpy().view(np.int64),
+            base["value"].to_numpy().view(np.int64),
+        )
+        assert (win["filled"].to_numpy() == base["filled"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("strategy", ["locf", "linear"])
+def test_gapfill_windowed_empty_windows(ray_session, strategy):
+    """A gap spanning several whole windows: every empty window's slice
+    must still be emitted, filled from the cross-window carries."""
+    import pyarrow as pa
+    import ray.data
+
+    US = 1_000_000
+    bucket = 60 * US
+    # two clusters of real points separated by ~50 windows of 10 buckets
+    ts = np.array([0, 2, 3, 520, 523], dtype=np.int64) * bucket
+    t = pa.table(
+        {
+            "source": pa.array(["s"] * len(ts)),
+            "bucket_ts": pa.array(ts).cast(pa.timestamp("us")),
+            "mean": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    cols = ["source", "bucket_ts", "value", "filled"]
+    base = (
+        gapfill(ds, 60, strategy=strategy)
+        .to_pandas()[cols]
+        .sort_values("bucket_ts").reset_index(drop=True)
+    )
+    win = (
+        gapfill(ds, 60, strategy=strategy, window_buckets=10)
+        .to_pandas()[cols]
+        .sort_values("bucket_ts").reset_index(drop=True)
+    )
+    assert len(base) == 524
+    assert len(win) == len(base)
+    np.testing.assert_array_equal(
+        win["value"].to_numpy().view(np.int64),
+        base["value"].to_numpy().view(np.int64),
+    )
+    assert (win["filled"].to_numpy() == base["filled"].to_numpy()).all()

@@ -290,3 +290,51 @@ def test_rolling_hash_matches_horner(ray_session):
             h = (h * 256 + byte) % MOD
         assert int(g) == h
         assert m == hashlib.md5(t.encode("utf-8")).hexdigest()
+
+
+def test_asof_join_windowed_matches_unwindowed(ray_session):
+    """The windowed as-of plan must produce exactly the unwindowed
+    result, including matches that cross window boundaries."""
+    from workbook_exporter_fe_ray.pipelines.events import rollup_events
+    from workbook_exporter_fe_ray.stages.relational import (
+        asof_join,
+        asof_join_windowed,
+    )
+
+    import pyarrow as pa
+
+    def _events_pts():
+        from workbook_exporter_fe_ray.sources import read_table
+
+        return read_table(f"{SF}/events.parquet").map_batches(
+            lambda b: pa.table(
+                {"source": b["event_type"], "ts": b["ts"], "event_id": b["event_id"]}
+            ),
+            batch_format="pyarrow",
+        )
+
+    t1h = rollup_events(SF, 3600).select_columns(
+        ["source", "bucket_ts", "mean_cents"]
+    )
+    key = ["source", "event_id"]
+    base = (
+        asof_join(_events_pts(), t1h)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    for win_s in (6 * 3600, 86_400):
+        win = (
+            asof_join_windowed(_events_pts(), t1h, window_s=win_s)
+            .to_pandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        assert len(win) == len(base), win_s
+        assert list(win.columns) == list(base.columns)
+        for c in base.columns:
+            g, w = win[c].to_numpy(), base[c].to_numpy()
+            if g.dtype == np.float64:
+                np.testing.assert_array_equal(g.view(np.int64), w.view(np.int64))
+            else:
+                assert (g == w).all(), (win_s, c)

@@ -71,8 +71,13 @@ def rollup_events_cascade(sf_dir: str, fine_bucket_s: int, coarse_bucket_s: int)
 
 
 def gapfill_events_1h(sf_dir: str, strategy: str = "locf") -> ray.data.Dataset:
+    # windowed (unbounded-series) plan, one-week windows — bit-identical
+    # to the per-source plan (tests/test_gapfill_compress.py) and kept
+    # under the SQL oracle so the driver gate proves the windowed path
     t1h = rollup_events(sf_dir, 3600)
-    return gapfill(t1h, 3600, strategy=strategy, value_col="mean_cents")
+    return gapfill(
+        t1h, 3600, strategy=strategy, value_col="mean_cents", window_buckets=168
+    )
 
 
 def events_flagship(sf_dir: str) -> ray.data.Dataset:

@@ -10,12 +10,24 @@ missing optional columns/ports (``/root/reference/workbook_exporter-fe.py:
 SURVEY.md §2.2 F4/F13) — lifted from "fill a missing cell" to "fill a
 missing bucket in a time series".
 
-Scale note: grouping is per ``source``, which for tier rows is tiny
-(one row per bucket — a year of 1m buckets is ~525k rows/series). For
-unbounded series you would window by (source, month) and run a second
-tiny pass to fix each window's leading gap from the previous window's
-last value; the group kernel below is already windowable (it only needs
-``prev_value`` injected).
+Two execution shapes, bit-identical outputs:
+
+- ``window_buckets=None``: one group per ``source`` — simplest plan,
+  assumes one series' tier rows fit one task (a year of 1m buckets is
+  ~525k rows/series, usually fine).
+- ``window_buckets=W``: the unbounded-series path. The series is split
+  into windows of ``W`` buckets; a tiny per-(source, window) summary
+  (first/last real point) is aggregated with per-block partials,
+  combined driver-side (summary rows = series × windows, dimension-
+  sized), and broadcast via ``ray.put`` ONCE. Each (source, window)
+  group then fills its own grid slice using the broadcast carries —
+  the previous window's last real point (LOCF/linear left anchor) and
+  the next window's first real point (linear right anchor) — so no
+  task ever needs more than one window of one series plus two carry
+  rows. Windows inside the series span that hold no real points get a
+  synthetic seed row so their grid slice is still emitted. Groups are
+  swept per coarse partition (``hash(source, window) % P``), not one
+  Python call per window.
 """
 
 from __future__ import annotations
@@ -23,9 +35,37 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 
 from ..schema import US
+
+
+def _fill_arrays(
+    grid: np.ndarray,
+    ts_ext: np.ndarray,
+    val_ext: np.ndarray,
+    strategy: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fill ``grid`` buckets from real points (ts_ext/val_ext sorted,
+    possibly including carry anchors beyond the grid span). Every grid
+    bucket must have a real point at or before it, and (for linear)
+    filled buckets must have one after it. Linear uses the pinned
+    formula v0 + (v1-v0) * ((t-t0)/(t1-t0)) — each step one correctly-
+    rounded IEEE op, bit-identical to the SQL oracle."""
+    pos = np.searchsorted(ts_ext, grid, side="right") - 1
+    filled = ts_ext[pos] != grid
+    out = val_ext[pos]
+    if strategy == "linear":
+        f = np.flatnonzero(filled)
+        if len(f):
+            p = pos[f]
+            t0, v0 = ts_ext[p], val_ext[p]
+            t1, v1 = ts_ext[p + 1], val_ext[p + 1]
+            frac = (grid[f] - t0).astype(np.float64) / (t1 - t0).astype(np.float64)
+            out = out.copy()
+            out[f] = v0 + (v1 - v0) * frac
+    return out, filled
 
 
 def _fill_group(
@@ -37,28 +77,7 @@ def _fill_group(
     ts, val = ts[order], val[order]
 
     grid = np.arange(ts[0], ts[-1] + bucket_us, bucket_us)
-    pos = np.searchsorted(ts, grid, side="right") - 1  # index of last real <= grid
-    filled = ts[pos] != grid
-
-    if strategy == "locf":
-        out = val[pos]
-    elif strategy == "linear":
-        # explicit prev/next arithmetic (not np.interp) so each step is
-        # one correctly-rounded IEEE op in a fixed order:
-        #   v = v0 + (v1 - v0) * ((t - t0) / (t1 - t0))
-        # — bit-identical to the equivalent SQL expression. Grid spans
-        # ts[0]..ts[-1], so every filled bucket has both neighbors.
-        out = val[pos]  # real points (and LOCF base) stay bit-exact
-        f = np.flatnonzero(filled)
-        if len(f):
-            p = pos[f]
-            t0, v0 = ts[p], val[p]
-            t1, v1 = ts[p + 1], val[p + 1]
-            frac = (grid[f] - t0).astype(np.float64) / (t1 - t0).astype(np.float64)
-            out = out.copy()
-            out[f] = v0 + (v1 - v0) * frac
-    else:
-        raise ValueError(f"unknown gap-fill strategy: {strategy!r}")
+    out, filled = _fill_arrays(grid, ts, val, strategy)
 
     source = group["source"][0].as_py()
     return pa.table(
@@ -71,16 +90,260 @@ def _fill_group(
     )
 
 
+def _gapfill_windowed(
+    tier: ray.data.Dataset,
+    bucket_us: int,
+    strategy: str,
+    value_col: str,
+    window_buckets: int,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    from .sweep import run_starts_table, with_part
+
+    window_us = bucket_us * window_buckets
+
+    # ---- 1. per-(source, window) summary: first/last real point.
+    # Per-block partials keep it tiny; the driver combines summary rows
+    # (series × windows — dimension-sized by assumption) and derives
+    # each window's carry anchors.
+    def _summary_partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["bucket_ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        val = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        src = b["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        t = pa.table(
+            {
+                "source": src,
+                "w": pa.array((ts // window_us) * window_us, pa.int64()),
+                "ts": pa.array(ts, pa.int64()),
+                "val": pa.array(val, pa.float64()),
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("source", "ascending"),
+                ("w", "ascending"),
+                ("ts", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        starts = run_starts_table(t, ["source", "w"])
+        if len(starts) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "w": pa.array([], pa.int64()),
+                    "first_ts": pa.array([], pa.int64()),
+                    "first_val": pa.array([], pa.float64()),
+                    "last_ts": pa.array([], pa.int64()),
+                    "last_val": pa.array([], pa.float64()),
+                }
+            )
+        lasts = np.r_[starts[1:], len(t)] - 1
+        ts_s = t["ts"].to_numpy(zero_copy_only=False)
+        v_s = t["val"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": t["source"].take(pa.array(starts)),
+                "w": t["w"].take(pa.array(starts)),
+                "first_ts": pa.array(ts_s[starts], pa.int64()),
+                "first_val": pa.array(v_s[starts], pa.float64()),
+                "last_ts": pa.array(ts_s[lasts], pa.int64()),
+                "last_val": pa.array(v_s[lasts], pa.float64()),
+            }
+        )
+
+    summary = pa.Table.from_pylist(
+        tier.map_batches(_summary_partial, batch_format="pyarrow").take_all()
+    )
+    # driver-side combine (partials from different blocks may repeat a
+    # (source, window) pair)
+    info: dict[tuple[str, int], tuple] = {}
+    seeds_src: list[str] = []
+    seeds_w: list[int] = []
+    if len(summary):
+        src_a = summary["source"].to_pylist()
+        w_a = summary["w"].to_numpy(zero_copy_only=False)
+        f_ts = summary["first_ts"].to_numpy(zero_copy_only=False)
+        f_v = summary["first_val"].to_numpy(zero_copy_only=False)
+        l_ts = summary["last_ts"].to_numpy(zero_copy_only=False)
+        l_v = summary["last_val"].to_numpy(zero_copy_only=False)
+        per_src: dict[str, dict[int, list]] = {}
+        for i in range(len(src_a)):
+            wins = per_src.setdefault(src_a[i], {})
+            cur = wins.get(w_a[i])
+            if cur is None:
+                wins[w_a[i]] = [f_ts[i], f_v[i], l_ts[i], l_v[i]]
+            else:
+                if f_ts[i] < cur[0]:
+                    cur[0], cur[1] = f_ts[i], f_v[i]
+                if l_ts[i] > cur[2]:
+                    cur[2], cur[3] = l_ts[i], l_v[i]
+        for src, wins in per_src.items():
+            ws = np.array(sorted(wins))
+            firsts = np.array([wins[w][0] for w in ws])
+            f_vals = np.array([wins[w][1] for w in ws])
+            lasts = np.array([wins[w][2] for w in ws])
+            l_vals = np.array([wins[w][3] for w in ws])
+            series_lo, series_hi = firsts[0], lasts[-1]
+            # every window in the series span emits a grid slice
+            all_w = np.arange(ws[0], ws[-1] + window_us, window_us)
+            have = np.isin(all_w, ws)
+            # carry anchors: latest real point before w / earliest after w
+            prev_i = np.searchsorted(ws, all_w, side="left") - 1
+            next_i = np.searchsorted(ws, all_w, side="right")
+            for k, w in enumerate(all_w):
+                grid_lo = max(int(w), int(series_lo))
+                grid_hi = min(int(w) + window_us - bucket_us, int(series_hi))
+                if grid_lo > grid_hi:
+                    continue
+                pi, ni = int(prev_i[k]), int(next_i[k])
+                prev = (
+                    (int(lasts[pi]), float(l_vals[pi])) if pi >= 0 else (None, None)
+                )
+                nxt = (
+                    (int(firsts[ni]), float(f_vals[ni]))
+                    if ni < len(ws)
+                    else (None, None)
+                )
+                info[(src, int(w))] = (grid_lo, grid_hi, *prev, *nxt)
+                if not have[k]:
+                    seeds_src.append(src)
+                    seeds_w.append(int(w))
+    info_ref = ray.put(info)
+
+    # ---- 2. route tier rows (plus empty-window seeds) to
+    # (source, window); fill per run inside a coarse-partition sweep.
+    def _route(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["bucket_ts"], pa.int64())
+        w = pc.multiply(pc.divide(ts, window_us), window_us)
+        t = pa.table(
+            {
+                "source": b["source"],
+                "w": pc.cast(w, pa.int64()),
+                "ts": ts,
+                "val": pc.cast(b[value_col], pa.float64()),
+            }
+        )
+        return with_part(t, ["source", "w"], num_partitions)
+
+    routed = tier.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    if seeds_src:
+        seeds = pa.table(
+            {
+                "source": pa.array(seeds_src, pa.string()),
+                "w": pa.array(seeds_w, pa.int64()),
+                "ts": pa.array([-1] * len(seeds_src), pa.int64()),
+                "val": pa.array([np.nan] * len(seeds_src), pa.float64()),
+            }
+        )
+        seeds = with_part(seeds, ["source", "w"], num_partitions)
+        routed = routed.union(ray.data.from_arrow(seeds))
+
+    # The sweep closure carries only the tiny ObjectRef through
+    # serialization; the broadcast info dict is fetched from the object
+    # store on first use in each worker process (cached), not re-shipped
+    # inside the pickled callable.
+    _cache: dict[str, dict] = {}
+
+    def _sweep(group: pa.Table) -> pa.Table:
+        inf = _cache.get("info")
+        if inf is None:
+            inf = (
+                ray.get(info_ref)
+                if isinstance(info_ref, ray.ObjectRef)
+                else info_ref
+            )
+            _cache["info"] = inf
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("source", "ascending"),
+                ("w", "ascending"),
+                ("ts", "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        starts = run_starts_table(g, ["source", "w"])
+        ends = np.r_[starts[1:], len(g)]
+        ts_all = g["ts"].to_numpy(zero_copy_only=False)
+        val_all = g["val"].to_numpy(zero_copy_only=False)
+        src_col = g["source"]
+        w_all = g["w"].to_numpy(zero_copy_only=False)
+        out_src: list[str] = []
+        out_grid: list[np.ndarray] = []
+        out_val: list[np.ndarray] = []
+        out_fill: list[np.ndarray] = []
+        counts: list[int] = []
+        for s, e in zip(starts, ends):
+            src = src_col[s].as_py()
+            meta = inf.get((src, int(w_all[s])))
+            if meta is None:
+                continue
+            grid_lo, grid_hi, p_ts, p_v, n_ts, n_v = meta
+            real = ts_all[s:e] >= 0  # seeds carry ts = -1
+            ts = ts_all[s:e][real]
+            val = val_all[s:e][real]
+            if p_ts is not None:
+                ts = np.r_[p_ts, ts]
+                val = np.r_[p_v, val]
+            if n_ts is not None:
+                ts = np.r_[ts, n_ts]
+                val = np.r_[val, n_v]
+            grid = np.arange(grid_lo, grid_hi + bucket_us, bucket_us)
+            out, filled = _fill_arrays(grid, ts, val, strategy)
+            out_src.append(src)
+            out_grid.append(grid)
+            out_val.append(out)
+            out_fill.append(filled)
+            counts.append(len(grid))
+        if not out_grid:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    "value": pa.array([], pa.float64()),
+                    "filled": pa.array([], pa.bool_()),
+                }
+            )
+        return pa.table(
+            {
+                "source": pa.array(
+                    np.repeat(np.array(out_src, dtype=object), counts),
+                    pa.string(),
+                ),
+                "bucket_ts": pa.array(np.concatenate(out_grid)).cast(
+                    pa.timestamp("us")
+                ),
+                "value": pa.array(np.concatenate(out_val), pa.float64()),
+                "filled": pa.array(np.concatenate(out_fill)),
+            }
+        )
+
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
 def gapfill(
     tier: ray.data.Dataset,
     bucket_s: int,
     strategy: str = "locf",
     value_col: str = "mean",
+    window_buckets: int | None = None,
 ) -> ray.data.Dataset:
-    """Tier rows → dense (source, bucket_ts, value, filled) grid per series."""
+    """Tier rows → dense (source, bucket_ts, value, filled) grid per series.
+
+    ``window_buckets``: when set, runs the windowed plan for unbounded
+    series (see module docstring) — output is bit-identical to the
+    one-group-per-source plan."""
     if strategy not in ("locf", "linear"):
         raise ValueError(f"unknown gap-fill strategy: {strategy!r}")
     bucket_us = bucket_s * US
+    if window_buckets is not None:
+        if window_buckets < 2:
+            raise ValueError("window_buckets must be >= 2")
+        return _gapfill_windowed(tier, bucket_us, strategy, value_col, window_buckets)
     return tier.groupby("source").map_groups(
         lambda g: _fill_group(g, bucket_us, strategy, value_col),
         batch_format="pyarrow",

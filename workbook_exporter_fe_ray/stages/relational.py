@@ -414,6 +414,195 @@ def asof_join(
     return tagged.groupby(key).map_groups(_join_group, batch_format="pyarrow")
 
 
+def asof_join_windowed(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str = "source",
+    left_ts: str = "ts",
+    right_ts: str = "bucket_ts",
+    value_cols: tuple[str, ...] = ("mean_cents",),
+    left_carry: tuple[str, ...] = ("event_id",),
+    window_s: int = 86_400,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """As-of join for UNBOUNDED histories — bit-identical output to
+    :func:`asof_join`, but no task ever holds more than one (key,
+    window) slice of either side.
+
+    Shape: a tiny per-(key, window) summary of the RIGHT side (its last
+    row per window — right is rollup-tier-sized, so summary rows =
+    keys × windows, dimension-sized) is combined driver-side into
+    per-key sorted window arrays and broadcast ONCE via ``ray.put``.
+    Both sides then route to ``(key, window(ts))`` and a coarse-
+    partition sweep joins each (key, window) run with one vectorized
+    searchsorted, prepending the broadcast carry anchor — the last
+    right row of the latest earlier window — so left rows before this
+    window's first right row still match correctly across the window
+    boundary."""
+    from .sweep import run_starts_table, with_part
+
+    window_us = window_s * US
+    left_schema = left.schema().base_schema
+    carry_types = {c: left_schema.field(c).type for c in left_carry}
+
+    # ---- per-(key, window) last right row (partials → driver combine)
+    def _right_summary(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b[right_ts], pa.int64()).to_numpy(zero_copy_only=False)
+        t_cols: dict[str, object] = {
+            key: b[key],
+            "w": pa.array((ts // window_us) * window_us, pa.int64()),
+            "__ts": pa.array(ts, pa.int64()),
+        }
+        for c in value_cols:
+            t_cols[c] = pc.cast(b[c], pa.float64())
+        t = pa.table(t_cols)
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(key, "ascending"), ("w", "ascending"), ("__ts", "ascending")],
+        )
+        t = t.take(idx)
+        starts = run_starts_table(t, [key, "w"])
+        lasts = np.r_[starts[1:], len(t)] - 1 if len(starts) else starts
+        return t.take(pa.array(lasts))
+
+    summary = pa.Table.from_pylist(
+        right.map_batches(_right_summary, batch_format="pyarrow").take_all()
+    )
+    anchors: dict[str, tuple] = {}
+    if len(summary):
+        ks = summary[key].to_pylist()
+        ws = summary["w"].to_numpy(zero_copy_only=False)
+        tss = summary["__ts"].to_numpy(zero_copy_only=False)
+        vals = {c: summary[c].to_numpy(zero_copy_only=False) for c in value_cols}
+        per_key: dict[str, dict[int, tuple]] = {}
+        for i in range(len(ks)):
+            wins = per_key.setdefault(ks[i], {})
+            cur = wins.get(int(ws[i]))
+            if cur is None or tss[i] > cur[0]:
+                wins[int(ws[i])] = (int(tss[i]), tuple(float(vals[c][i]) for c in value_cols))
+        for k, wins in per_key.items():
+            w_sorted = np.array(sorted(wins), dtype=np.int64)
+            anchors[k] = (
+                w_sorted,
+                np.array([wins[w][0] for w in w_sorted], dtype=np.int64),
+                np.array(
+                    [wins[w][1] for w in w_sorted], dtype=np.float64
+                ).reshape(len(w_sorted), len(value_cols)),
+            )
+    anchors_ref = ray.put(anchors)
+
+    # ---- tag + route both sides to (key, window)
+    def _tag_left(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b[left_ts], pa.int64())
+        cols: dict[str, object] = {
+            key: b[key],
+            "w": pc.cast(pc.multiply(pc.divide(ts, window_us), window_us), pa.int64()),
+            "__ts": ts,
+            "__kind": pa.array(np.ones(len(b), dtype=np.int8)),
+        }
+        for c in left_carry:
+            cols[c] = b[c]
+        for c in value_cols:
+            cols[c] = pa.nulls(len(b), pa.float64())
+        return with_part(pa.table(cols), [key, "w"], num_partitions)
+
+    def _tag_right(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b[right_ts], pa.int64())
+        cols: dict[str, object] = {
+            key: b[key],
+            "w": pc.cast(pc.multiply(pc.divide(ts, window_us), window_us), pa.int64()),
+            "__ts": ts,
+            "__kind": pa.array(np.zeros(len(b), dtype=np.int8)),
+        }
+        for c in left_carry:
+            cols[c] = pa.nulls(len(b), carry_types[c])
+        for c in value_cols:
+            cols[c] = pc.cast(b[c], pa.float64())
+        return with_part(pa.table(cols), [key, "w"], num_partitions)
+
+    tagged = left.map_batches(_tag_left, batch_format="pyarrow").union(
+        right.map_batches(_tag_right, batch_format="pyarrow")
+    )
+
+    _cache: dict[str, dict] = {}
+
+    def _sweep(group: pa.Table) -> pa.Table:
+        anch = _cache.get("a")
+        if anch is None:
+            anch = (
+                ray.get(anchors_ref)
+                if isinstance(anchors_ref, ray.ObjectRef)
+                else anchors_ref
+            )
+            _cache["a"] = anch
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("w", "ascending"),
+                ("__ts", "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        starts = run_starts_table(g, [key, "w"])
+        ends = np.r_[starts[1:], len(g)]
+        kind = g["__kind"].to_numpy(zero_copy_only=False)
+        ts_all = g["__ts"].to_numpy(zero_copy_only=False)
+        w_all = g["w"].to_numpy(zero_copy_only=False)
+        key_col = g[key]
+        val_all = {
+            c: g[c].to_numpy(zero_copy_only=False) for c in value_cols
+        }
+        out_l_idx: list[np.ndarray] = []
+        out_asof: list[np.ndarray] = []
+        out_vals: dict[str, list[np.ndarray]] = {c: [] for c in value_cols}
+        for s, e in zip(starts, ends):
+            is_l = kind[s:e] == 1
+            l_pos = np.flatnonzero(is_l)
+            if len(l_pos) == 0:
+                continue
+            r_pos = np.flatnonzero(~is_l)
+            r_ts = ts_all[s:e][r_pos]
+            r_val = {c: val_all[c][s:e][r_pos] for c in value_cols}
+            # carry anchor: last right row of the latest earlier window
+            k = key_col[s].as_py()
+            a = anch.get(k)
+            if a is not None:
+                ws_arr, a_ts, a_vals = a
+                ai = int(np.searchsorted(ws_arr, int(w_all[s]), side="left")) - 1
+                if ai >= 0:
+                    r_ts = np.r_[a_ts[ai], r_ts]
+                    for ci, c in enumerate(value_cols):
+                        r_val[c] = np.r_[a_vals[ai, ci], r_val[c]]
+            l_ts = ts_all[s:e][l_pos]
+            pos = np.searchsorted(r_ts, l_ts, side="right") - 1
+            keep = pos >= 0
+            out_l_idx.append(s + l_pos[keep])
+            out_asof.append(r_ts[pos[keep]])
+            for c in value_cols:
+                out_vals[c].append(r_val[c][pos[keep]])
+        if not out_l_idx:
+            cols = {key: key_col.slice(0, 0)}
+            for c in left_carry:
+                cols[c] = g[c].slice(0, 0)
+            cols["ts"] = pa.array([], pa.timestamp("us"))
+            cols["asof_ts"] = pa.array([], pa.timestamp("us"))
+            for c in value_cols:
+                cols[c] = pa.array([], pa.float64())
+            return pa.table(cols)
+        l_idx = np.concatenate(out_l_idx)
+        cols = {key: key_col.take(pa.array(l_idx))}
+        for c in left_carry:
+            cols[c] = g[c].take(pa.array(l_idx))
+        cols["ts"] = pa.array(ts_all[l_idx]).cast(pa.timestamp("us"))
+        cols["asof_ts"] = pa.array(np.concatenate(out_asof)).cast(pa.timestamp("us"))
+        for c in value_cols:
+            cols[c] = pa.array(np.concatenate(out_vals[c]), pa.float64())
+        return pa.table(cols)
+
+    return tagged.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
 def pivot_counts(
     events: ray.data.Dataset,
     key: str = "user_id",
