@@ -9,18 +9,25 @@ done partitions and recomputing only the rest — the done-right version
 of the reference's per-row "does this key already exist in the output
 file" probe (``/root/reference/workbook_exporter-fe.py:1741-1754``).
 
-Scale note: partitions are processed as independent sub-pipelines, each
-a fully parallel streaming Ray Data job. At 100 TB the input would be
-hive-partitioned by the same hash so each partition's read prunes to
-its own files (datagen already lays test data out this way); in this
-sandbox each partition re-filters the shared input with a vectorized
-dictionary-encoded mask, which only ever reads the 3 slim point columns.
+Scale note: partitions are independent sub-pipelines, each a fully
+parallel streaming Ray Data job, and they run CONCURRENTLY
+(``concurrent_partitions`` driver threads — Ray Data executors
+interleave on the shared cluster, so one partition's shuffle barrier
+no longer idles the cluster). Reads are PRUNED per partition: a
+one-time metadata pass maps each input file to the partitions its
+sources hash into (one slim ``source``-column scan per file — a hive
+layout would make this a directory listing, and datagen's shard-by-
+source layout means most files belong to few partitions), so partition
+p reads only files that contain at least one of its sources, instead
+of re-scanning the whole input n_partitions times.
 """
 
 from __future__ import annotations
 
+import threading
 import time
 import zlib
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -40,6 +47,29 @@ from ..state.checkpoint import Manifest, PartitionRecord, atomic_dir_write
 
 def source_partition(source: str, n_partitions: int) -> int:
     return zlib.crc32(source.encode("utf-8")) % n_partitions
+
+
+def _stub_fsspec_http() -> None:
+    """Ray Data's path resolution lazily imports
+    ``fsspec.implementations.http`` on every read; in this environment
+    that import always fails (no aiohttp), and under CONCURRENT driver
+    threads the repeated failing import surfaces as an uncaught
+    ``ImportError`` mid-read. Install a sentinel module once so the
+    import succeeds and the isinstance check it feeds is simply False
+    (local filesystems only — this environment has no network)."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel: nothing is ever an instance
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
 
 
 def _partition_mask_batch(
@@ -69,19 +99,41 @@ class TimeseriesJob:
     input_kind: str = "sequences"  # "sequences" (doc_id/n_tok) | "points" (source/ts/value)
     now_us: int | None = None  # retention anchor; None → retention disabled
     compressor_concurrency: Any = None  # None -> task-based merge (autoscales); tuple -> actor pool
+    concurrent_partitions: int = 4  # driver threads running partition sub-pipelines
     extra_metadata: dict[str, Any] = field(default_factory=dict)
 
 
-def _load_points(job: TimeseriesJob, keep: frozenset[int]) -> ray.data.Dataset:
+def file_partition_map(
+    paths: list[str], n_partitions: int
+) -> dict[str, set[int]]:
+    """One-time metadata pass: which checkpoint partitions does each
+    input file contain sources for? Reads only the ``source`` column
+    (dictionary-encoded — a sliver of the file); with a hive
+    ``source_hash=<p>`` layout this would be a directory listing."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, set[int]] = {}
+    for p in paths:
+        srcs = pc.unique(
+            pq.read_table(p, columns=["source"])["source"]
+        ).to_pylist()
+        out[p] = {source_partition(s, n_partitions) for s in srcs}
+    return out
+
+
+def _load_points(
+    job: TimeseriesJob, keep: frozenset[int], paths: list[str] | None = None
+) -> ray.data.Dataset:
+    paths = paths if paths else job.input_paths
     if job.input_kind == "sequences":
-        ds = read_points_input(job.input_paths)
+        ds = read_points_input(paths)
         ds = ds.map_batches(
             lambda b: _partition_mask_batch(b, job.n_partitions, keep),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
         return derive_points(ds)
-    ds = ray.data.read_parquet(job.input_paths)
+    ds = ray.data.read_parquet(paths)
     return ds.map_batches(
         lambda b: _partition_mask_batch(b, job.n_partitions, keep),
         batch_format="pyarrow",
@@ -123,11 +175,18 @@ def run_timeseries(job: TimeseriesJob, partition_ids: list[int] | None = None) -
         if p not in manifest.done_partitions
     ]
     finest = job.tiers[0]
+    fmap = file_partition_map(job.input_paths, job.n_partitions) if todo else {}
+    manifest_lock = threading.Lock()
 
-    for part in todo:
+    def _run_partition(part: int) -> None:
         t0 = time.perf_counter()
         keep = frozenset([part])
-        points = _load_points(job, keep)
+        # pruned read: only files holding at least one of this
+        # partition's sources (empty partition → one file, mask drops all)
+        paths = [p for p in job.input_paths if part in fmap.get(p, set())]
+        if not paths:
+            paths = job.input_paths[:1]
+        points = _load_points(job, keep, paths)
         rolled = cascade_rollup(points, job.tiers, job.value_col).materialize()
 
         tier_rows: dict[str, int] = {}
@@ -174,17 +233,32 @@ def run_timeseries(job: TimeseriesJob, partition_ids: list[int] | None = None) -
         ).to_pandas()
 
         n_points = int(stats["n"].sum())
-        manifest.mark_done(
-            PartitionRecord(
-                partition_id=part,
-                input_fragments=list(job.input_paths),
-                rows_in=0,  # raw row count needs a separate scan; points is the metric
-                points=n_points,
-                tier_rows=tier_rows,
-                chunk_count=int(stats["c"].sum()),
-                compressed_bytes=int(stats["bts"].sum()),
-                raw_point_bytes=n_points * 16,  # int64 ts + float64 value
-                wall_s=time.perf_counter() - t0,
+        with manifest_lock:
+            manifest.mark_done(
+                PartitionRecord(
+                    partition_id=part,
+                    input_fragments=paths,
+                    rows_in=0,  # raw row count needs a separate scan; points is the metric
+                    points=n_points,
+                    tier_rows=tier_rows,
+                    chunk_count=int(stats["c"].sum()),
+                    compressed_bytes=int(stats["bts"].sum()),
+                    raw_point_bytes=n_points * 16,  # int64 ts + float64 value
+                    wall_s=time.perf_counter() - t0,
+                )
             )
-        )
+
+    width = max(1, min(job.concurrent_partitions, len(todo) or 1))
+    if width > 1:
+        _stub_fsspec_http()
+    if width == 1:
+        for part in todo:
+            _run_partition(part)
+    else:
+        # K partition sub-pipelines in flight: Ray Data executors from
+        # different driver threads interleave on the shared cluster, so
+        # no single partition's shuffle barrier idles the CPUs
+        with ThreadPoolExecutor(max_workers=width) as ex:
+            for _ in ex.map(_run_partition, todo):
+                pass
     return manifest.totals()

@@ -41,6 +41,12 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--resume", action="store_true", help="skip partitions already in the manifest")
     p.add_argument("--clean", action="store_true", help="delete the output dir first")
     p.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU cap (tests only)")
+    p.add_argument(
+        "--concurrency",
+        type=int,
+        default=4,
+        help="partition sub-pipelines to run concurrently",
+    )
     return p.parse_args(argv)
 
 
@@ -80,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         chunk_s=args.chunk_s,
         input_kind=args.input_kind,
         now_us=args.now_us,
+        concurrent_partitions=args.concurrency,
     )
     totals = run_timeseries(job)
     print(json.dumps(totals))
