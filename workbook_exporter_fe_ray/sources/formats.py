@@ -22,17 +22,48 @@ from .parquet import good_num_blocks, read_table
 
 
 def read_auto(
-    path: str, columns: list[str] | None = None
+    path: str, columns: list[str] | None = None, skip_rows: int = 0
 ) -> ray.data.Dataset:
     """Read one input file, format chosen by extension (the reference's
     upload surface accepts ``.csv/.xlsx/.xls``; we add ``.parquet`` as
-    the scale path and ``.json`` lines for log-ish ingest)."""
+    the scale path and ``.json`` lines for log-ish ingest).
+
+    ``skip_rows``: banner rows to drop before the header — the
+    reference reads its workbook exports with ``skiprows=6``
+    (``/root/reference/workbook_exporter-fe.py:1708-1711``; visible in
+    ``dummy_data/dummy_data.csv:1-7``). Applies to CSV and Excel."""
     ext = os.path.splitext(path)[1].lower()
     if ext in (".parquet", ".pq"):
         return read_table(path, columns=columns)
     if ext == ".csv":
+        import csv as _csv
+
+        from pyarrow import csv as pacsv
+
         nb = good_num_blocks(path)
-        kw = {"override_num_blocks": nb} if nb else {}
+        kw: dict = {"override_num_blocks": nb} if nb else {}
+        if skip_rows:
+            # peek the header driver-side so duplicate column names can
+            # be deduped pandas-style (Done, Done.1, ...) — workbook
+            # exports repeat section labels, and Arrow refuses duplicate
+            # fields where the reference's pandas path silently renames
+            with open(path, newline="") as f:
+                reader = _csv.reader(f)
+                for _ in range(skip_rows):
+                    next(reader)
+                header = next(reader)
+            seen: dict[str, int] = {}
+            names = []
+            for n in header:
+                if n in seen:
+                    seen[n] += 1
+                    names.append(f"{n}.{seen[n]}")
+                else:
+                    seen[n] = 0
+                    names.append(n)
+            kw["read_options"] = pacsv.ReadOptions(
+                skip_rows=skip_rows + 1, column_names=names
+            )
         ds = ray.data.read_csv(path, **kw)
         return ds.select_columns(columns) if columns else ds
     if ext in (".json", ".jsonl"):
@@ -49,7 +80,9 @@ def read_auto(
             ) from exc
         import pandas as pd
 
-        df = pd.read_excel(path)  # driver-side: Excel files are small uploads
+        # driver-side: Excel files are small uploads; Sheet2+skiprows is
+        # the reference's workbook layout (workbook_exporter-fe.py:1711)
+        df = pd.read_excel(path, skiprows=range(skip_rows) if skip_rows else None)
         ds = ray.data.from_pandas(df)
         return ds.select_columns(columns) if columns else ds
     raise ValueError(f"unsupported input extension {ext!r} for {path!r}")
