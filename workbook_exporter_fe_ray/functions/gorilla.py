@@ -85,25 +85,37 @@ def pack_bits(values: np.ndarray, widths: np.ndarray) -> bytes:
     return np.packbits(bits[:total]).tobytes()
 
 
-class _BitReader:
-    __slots__ = ("bits", "pos")
-
-    def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.pos = 0
-
-    def read(self, w: int) -> int:
-        v = 0
-        b = self.bits
-        p = self.pos
-        for i in range(w):
-            v = (v << 1) | int(b[p + i])
-        self.pos = p + w
-        return v
-
-
 def _to_signed(v: int, bits: int) -> int:
     return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+
+class _WordReader:
+    """Decode-side bit cursor over the stream as 64-bit big-endian words
+    (plain Python ints — each read is a handful of int ops, not a
+    per-bit loop). ``ones`` holds the positions of all 1-bits, so runs
+    of '0' control codes at a code boundary can be skipped in O(log)
+    with one searchsorted instead of bit-by-bit."""
+
+    __slots__ = ("words", "ones", "nbits")
+
+    def __init__(self, data: bytes):
+        pad = (-len(data)) % 8
+        padded = data + b"\x00" * (pad + 8)  # +1 spare word for 2-word reads
+        self.words = np.frombuffer(padded, dtype=">u8").tolist()
+        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.ones = np.flatnonzero(bits)
+        self.nbits = len(data) * 8
+
+    def field(self, b: int, w: int) -> int:
+        """Value of bits [b, b+w) — w ≤ 64."""
+        i, off = divmod(b, 64)
+        v = (self.words[i] << 64) | self.words[i + 1]
+        return (v >> (128 - off - w)) & ((1 << w) - 1)
+
+    def zeros_from(self, b: int) -> int:
+        """Length of the run of 0-bits starting at position b."""
+        j = int(np.searchsorted(self.ones, b))
+        return (int(self.ones[j]) if j < len(self.ones) else self.nbits) - b
 
 
 # ---------------------------------------------------------------------------
@@ -155,30 +167,156 @@ def encode_dod(ts: np.ndarray) -> bytes:
     return pack_bits(np.concatenate(vals), np.concatenate(widths))
 
 
+def _decode_dod_vectorized(bits: np.ndarray, m: int) -> np.ndarray:
+    """All dods of a DoD stream, fully vectorized.
+
+    The DoD code is SELF-DELIMITING (width is a pure function of its
+    first 4 bits), so the code-boundary chain is recovered without a
+    sequential walk: per-position widths come from 4 shifted compares,
+    and the boundary list doubles each round via binary lifting
+    (P ← P ∥ J[P]; J ← J[J] — after k rounds P holds the first 2^k
+    boundaries). Payloads then decode class-by-class with one gather +
+    matmul per class. O(B log m) vectorized work, no per-code Python."""
+    B = len(bits)
+    pad = np.zeros(80, dtype=bits.dtype)  # safe gathers up to P+68
+    bits_p = np.concatenate([bits, pad])
+    b0 = bits_p[:B].astype(np.int64)
+    b1 = bits_p[1 : B + 1]
+    b2 = bits_p[2 : B + 2]
+    b3 = bits_p[3 : B + 3]
+    # width = 1 / 9 / 12 / 16 / 68 by prefix class, branch-free
+    w = 1 + b0 * (8 + b1 * (3 + b2 * (4 + b3 * 52)))
+    nxt = np.minimum(np.arange(B, dtype=np.int64) + w, B - 1)
+
+    P = np.array([64], dtype=np.int64)
+    J = nxt
+    while len(P) < m:
+        P = np.concatenate([P, J[P]])
+        J = J[J]
+    P = P[:m]
+
+    dods = np.zeros(m, dtype=np.int64)
+    nz = bits_p[P] == 1
+    cls10 = nz & (bits_p[P + 1] == 0)
+    cls110 = nz & ~cls10 & (bits_p[P + 2] == 0)
+    cls1110 = nz & ~cls10 & ~cls110 & (bits_p[P + 3] == 0)
+    cls1111 = nz & ~cls10 & ~cls110 & ~cls1110
+    for sel, off, width, bias in (
+        (cls10, 2, 7, 63),
+        (cls110, 3, 9, 255),
+        (cls1110, 4, 12, 2047),
+    ):
+        p = P[sel]
+        if len(p):
+            mat = bits_p[p[:, None] + off + np.arange(width)].astype(np.int64)
+            vals = mat @ (1 << np.arange(width - 1, -1, -1, dtype=np.int64))
+            dods[sel] = vals - bias
+    p = P[cls1111]
+    if len(p):
+        mat = bits_p[p[:, None] + 4 + np.arange(64)].astype(np.uint64)
+        with np.errstate(over="ignore"):
+            powers = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+            vals = (mat * powers).sum(axis=1, dtype=np.uint64)
+        dods[cls1111] = vals.view(np.int64)  # two's complement
+    return dods
+
+
 def decode_dod(data: bytes, n: int, first_ts: int) -> np.ndarray:
-    """Inverse of :func:`encode_dod` (needs n and the out-of-band first ts)."""
+    """Inverse of :func:`encode_dod` (needs n and the out-of-band first ts).
+
+    Fully vectorized via :func:`_decode_dod_vectorized` for larger
+    chunks; a hybrid word-reader path (bulk zero-run skipping + O(1)
+    reads per non-zero dod) covers small ones where the vectorized
+    setup would dominate. The final double prefix-sum (dod → delta →
+    ts) is pure NumPy either way."""
     out = np.empty(n, dtype=np.int64)
     if n == 0:
         return out
     out[0] = first_ts
     if n == 1:
         return out
-    r = _BitReader(data)
-    delta = _to_signed(r.read(64), 64)
-    out[1] = first_ts + delta
-    for i in range(2, n):
-        if r.read(1) == 0:
-            dod = 0
-        elif r.read(1) == 0:
-            dod = r.read(7) - 63
-        elif r.read(1) == 0:
-            dod = r.read(9) - 255
-        elif r.read(1) == 0:
-            dod = r.read(12) - 2047
-        else:
-            dod = _to_signed(r.read(64), 64)
-        delta += dod
-        out[i] = out[i - 1] + delta
+    r = _WordReader(data)
+    first_delta = _to_signed(r.field(0, 64), 64)
+    if n == 2:
+        out[1] = first_ts + first_delta
+        return out
+    m = n - 2
+    # vectorized pays off on DENSE code streams (small codes — regular
+    # grids); on wide streams (mostly raw-64 payloads) its O(B log m)
+    # lifting over 68 bits/code loses to the O(1)-per-code word reader
+    if m >= 64 and len(data) * 8 <= m * 20 + 64:
+        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        dods = _decode_dod_vectorized(bits, m)
+        deltas = first_delta + np.cumsum(np.concatenate([[0], dods]))
+        out[1:] = first_ts + np.cumsum(deltas)
+        return out
+    dods = np.zeros(n - 2, dtype=np.int64)
+    pos = 64
+    i = 0
+    # hot loop: everything local, one ≤68-bit window read per code
+    words = r.words
+    ones_l = r.ones.tolist()
+    n_ones = len(ones_l)
+    nbits = r.nbits
+    from bisect import bisect_left
+
+    idxs: list[int] = []
+    vals: list[int] = []
+    nwords = len(words)
+    while i < m:
+        iw = pos >> 6
+        off = pos & 63
+        wv = words[iw]
+        if not (wv >> (63 - off)) & 1:  # zero-run of dod==0 codes
+            j = bisect_left(ones_l, pos)
+            nxt = ones_l[j] if j < n_ones else nbits
+            run = min(nxt - pos, m - i)
+            i += run
+            pos += run
+            continue
+        if off <= 47:  # whole ≤16-bit short code fits this word
+            c = (wv >> (60 - off)) & 0xF
+            if c < 0b1100:  # '10' + 7
+                dod = ((wv >> (55 - off)) & 0x7F) - 63
+                pos += 9
+            elif c < 0b1110:  # '110' + 9
+                dod = ((wv >> (52 - off)) & 0x1FF) - 255
+                pos += 12
+            elif c == 0b1110:  # '1110' + 12
+                dod = ((wv >> (48 - off)) & 0xFFF) - 2047
+                pos += 16
+            else:  # '1111' + raw 64
+                v = (wv << 128) | (words[iw + 1] << 64) | (
+                    words[iw + 2] if iw + 2 < nwords else 0
+                )
+                raw = (v >> (124 - off)) & 0xFFFFFFFFFFFFFFFF
+                dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+                pos += 68
+        else:  # code straddles words: 192-bit window
+            v = (wv << 128) | (words[iw + 1] << 64) | (
+                words[iw + 2] if iw + 2 < nwords else 0
+            )
+            c = (v >> (188 - off)) & 0xF
+            if c < 0b1100:
+                dod = ((v >> (183 - off)) & 0x7F) - 63
+                pos += 9
+            elif c < 0b1110:
+                dod = ((v >> (180 - off)) & 0x1FF) - 255
+                pos += 12
+            elif c == 0b1110:
+                dod = ((v >> (176 - off)) & 0xFFF) - 2047
+                pos += 16
+            else:
+                raw = (v >> (124 - off)) & 0xFFFFFFFFFFFFFFFF
+                dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+                pos += 68
+        idxs.append(i)
+        vals.append(dod)
+        i += 1
+    if idxs:
+        dods[np.array(idxs, dtype=np.int64)] = np.array(vals, dtype=np.int64)
+    deltas = first_delta + np.cumsum(np.concatenate([[0], dods]))
+    out[1:] = first_ts + np.cumsum(deltas)
     return out
 
 
@@ -239,25 +377,68 @@ def encode_xor(vals: np.ndarray) -> bytes:
 
 
 def decode_xor(data: bytes, n: int, first_val: float) -> np.ndarray:
-    """Inverse of :func:`encode_xor`."""
+    """Inverse of :func:`encode_xor`.
+
+    Hybrid: runs of '0' controls (value repeats) skip in bulk via the
+    1-bit index; each non-zero XOR costs a few O(1) word reads. The
+    XOR→value chain is a cumulative-XOR over the collected per-index
+    XOR words, vectorized with ``np.bitwise_xor.accumulate``."""
     out = np.empty(n, dtype=np.float64)
     if n == 0:
         return out
-    out_bits = np.empty(n, dtype=np.uint64)
-    out_bits[0] = np.float64(first_val).view(np.uint64)
-    r = _BitReader(data)
-    plz, ptz = -1, -1
-    for i in range(1, n):
-        if r.read(1) == 0:
-            out_bits[i] = out_bits[i - 1]
-            continue
-        if r.read(1) == 0:
-            meaningful = r.read(64 - plz - ptz)
-            x = meaningful << ptz
-        else:
-            plz = r.read(5)
-            mlen = r.read(6) + 1
-            ptz = 64 - plz - mlen
-            x = r.read(mlen) << ptz
-        out_bits[i] = out_bits[i - 1] ^ _U64(x)
+    xors = np.zeros(n, dtype=np.uint64)
+    xors[0] = np.float64(first_val).view(np.uint64)
+    if n > 1:
+        r = _WordReader(data)
+        pos = 0
+        i = 1
+        ptz, pmlen = -1, -1
+        # hot loop: everything local, one 13-bit header read + one
+        # payload read per non-zero XOR
+        words = r.words
+        ones_l = r.ones.tolist()
+        n_ones = len(ones_l)
+        nbits = r.nbits
+        from bisect import bisect_left
+
+        idxs: list[int] = []
+        vals: list[int] = []
+        mask64 = 0xFFFFFFFFFFFFFFFF
+        while i < n:
+            iw = pos >> 6
+            off = pos & 63
+            wv = words[iw]
+            if not (wv >> (63 - off)) & 1:  # zero-run: value repeats
+                j = bisect_left(ones_l, pos)
+                nxt = ones_l[j] if j < n_ones else nbits
+                run = min(nxt - pos, n - i)
+                i += run
+                pos += run
+                continue
+            if off <= 51:  # 13-bit header fits this word
+                header = (wv >> (51 - off)) & 0x1FFF
+            else:
+                header = (((wv << 64) | words[iw + 1]) >> (115 - off)) & 0x1FFF
+            if header & 0x800:  # '11': new window
+                pmlen = (header & 63) + 1
+                ptz = 64 - ((header >> 6) & 31) - pmlen
+                pay = pos + 13
+                pos += 13 + pmlen
+            else:  # '10': reuse previous window
+                pay = pos + 2
+                pos += 2 + pmlen
+            iw2 = pay >> 6
+            off2 = pay & 63
+            end = off2 + pmlen
+            if end <= 64:  # payload fits one word
+                x = ((words[iw2] >> (64 - end)) & ((1 << pmlen) - 1)) << ptz
+            else:
+                v2 = (words[iw2] << 64) | words[iw2 + 1]
+                x = ((v2 >> (128 - end)) & ((1 << pmlen) - 1)) << ptz
+            idxs.append(i)
+            vals.append(x & mask64)
+            i += 1
+        if idxs:
+            xors[np.array(idxs, dtype=np.int64)] = np.array(vals, dtype=np.uint64)
+    out_bits = np.bitwise_xor.accumulate(xors)
     return out_bits.view(np.float64)
