@@ -302,6 +302,28 @@ def _q_cosine_neardup(sf_dir: str):
     )
 
 
+def _q_bucket_rate(sf_dir: str):
+    """Counter-rate/derivative over the 1h tier (PromQL rate-style):
+    per source, (sum - prev_sum) / seconds-between-buckets."""
+    from workbook_exporter_fe_ray.pipelines.events import rollup_events
+    from workbook_exporter_fe_ray.stages.relational import bucket_rate
+
+    return bucket_rate(rollup_events(sf_dir, 3600))
+
+
+def _q_contamination(sf_dir: str):
+    """Benchmark-contamination screen: trigram overlap of every doc
+    against the first-5-docs 'benchmark' set (broadcast once)."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.stages.text import contamination_screen
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    order = pc.sort_indices(tbl["doc_id"])
+    bench = tbl.take(order[:5])["text"].to_pylist()
+    return contamination_screen(_documents(sf_dir), bench)
+
+
 def _q_cosine_neardup_lsh(sf_dir: str):
     from workbook_exporter_fe_ray.stages.similarity import cosine_neardup_lsh_pairs
 
@@ -799,6 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_event_counts": _q_pivot_counts,        # categorical pivot (F12)
         "top_bigrams": _q_top_bigrams,                # n-gram vocabulary build
         "moving_avg_1h": _q_moving_window,            # sliding-window aggregate
+        "bucket_rate_1h": _q_bucket_rate,             # counter rate / derivative
         "hash_sample": _q_hash_sample,                # deterministic sampling
         "stratified_sample": _q_stratified_sample,    # per-stratum quota sampling
         "union_distinct_users": _q_union_distinct,    # §2.7 union + distinct
@@ -810,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "text_analysis_full": _q_text_analysis_full,
+        "contamination_screen": _q_contamination,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1046,6 +1070,49 @@ FROM windows w JOIN events e
   ON e.event_type = w.event_type
  AND e.ts >= w.w_start AND e.ts <= w.w_end
 GROUP BY 1, 2
+""",
+        "bucket_rate_1h": f"""
+WITH t AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT source, bucket_ts, sum_cents,
+         lag(sum_cents) OVER w AS prev_s,
+         lag(bucket_ts) OVER w AS prev_t
+  FROM t WINDOW w AS (PARTITION BY source ORDER BY bucket_ts))
+SELECT source, bucket_ts,
+       CAST(sum_cents - prev_s AS BIGINT) AS delta,
+       (CAST(sum_cents - prev_s AS DOUBLE)
+        / CAST(epoch_us(bucket_ts) - epoch_us(prev_t) AS DOUBLE)) * 1000000.0
+         AS rate_per_s
+FROM l WHERE prev_s IS NOT NULL
+""",
+        "contamination_screen": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                 FOR i IN range(1, len(l) - 1)]) AS g
+  FROM toks WHERE len(l) >= 3),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+bench AS (
+  SELECT DISTINCT g FROM dg
+  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1),
+hits AS (
+  SELECT dg.doc_id, count(*) AS n_contaminated
+  FROM dg JOIN bench USING (g) GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(t.n_grams, 0) AS n_grams,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       CASE WHEN COALESCE(t.n_grams, 0) = 0 THEN 0.0
+            ELSE CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+                 / CAST(t.n_grams AS DOUBLE)
+       END AS contamination
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
 """,
         "grouped_quantiles": """
 SELECT source,

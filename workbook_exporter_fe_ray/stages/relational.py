@@ -24,9 +24,14 @@ Each operator cites the reference behavior it mirrors:
   batch filters against it vectorized (never re-shipped per batch).
 - :func:`sessionize` — gap-based session windows per user: the
   windowed-aggregate custom operator the Dataset API lacks, built as
-  groupby + vectorized group kernel. Partitioning assumption: one
-  user's events fit one group (true by construction for bounded
-  per-user activity; salt by (user, week) for unbounded histories).
+  a coarse-partition sweep (``hash(user) % P`` routing, vectorized
+  diff/reduceat over user runs — no per-user UDF calls).
+
+Grouped operators here follow the ``stages/sweep.py`` execution shape:
+per-block partial reduction where semantics allow, then ONE vectorized
+group call per coarse partition instead of one Python call per key —
+the difference between O(keys) interpreter overhead and O(P) at
+millions of keys.
 """
 
 from __future__ import annotations
@@ -1099,4 +1104,78 @@ def sessionize(
         )
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def bucket_rate(
+    tier: ray.data.Dataset,
+    key: str = "source",
+    ts_col: str = "bucket_ts",
+    sum_col: str = "sum_cents",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Derivative over a rolled-up tier: per key, ordered by bucket, the
+    rate of change of the bucket sums — ``(sum - prev_sum) /
+    ((ts - prev_ts)/1e6 s)`` — the counter-rate primitive of a
+    timeseries engine (PromQL ``rate``-style, without reset handling;
+    each key's first bucket has no predecessor and is dropped).
+
+    Floats are bit-deterministic: the numerator and the second divide
+    run on exact int64 diffs in a pinned order shared with the SQL
+    oracle. Executes as one coarse-partition sweep (diff over key runs
+    with boundary masking) — no per-key UDF calls.
+    """
+    from .sweep import run_starts_table, with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key: b[key],
+                ts_col: pc.cast(b[ts_col], pa.int64()),
+                sum_col: pc.cast(b[sum_col], pa.int64()),
+            }
+        )
+        return with_part(t, [key], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), (ts_col, "ascending")]
+        )
+        g = g.take(idx)
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    key: g[key],
+                    ts_col: pa.array([], pa.timestamp("us")),
+                    "delta": pa.array([], pa.int64()),
+                    "rate_per_s": pa.array([], pa.float64()),
+                }
+            )
+        ts = g[ts_col].to_numpy(zero_copy_only=False)
+        s = g[sum_col].to_numpy(zero_copy_only=False)
+        starts = run_starts_table(g, [key])
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        d_s = np.empty(n, dtype=np.int64)
+        d_t = np.ones(n, dtype=np.int64)
+        d_s[1:] = s[1:] - s[:-1]
+        d_s[0] = 0
+        d_t[1:] = ts[1:] - ts[:-1]
+        keep = ~first
+        # pinned float order: (f8(delta) / f8(delta_ts)) * 1e6
+        rate = (
+            d_s[keep].astype(np.float64) / d_t[keep].astype(np.float64)
+        ) * 1_000_000.0
+        sel = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                key: g[key].take(sel),
+                ts_col: pa.array(ts[keep]).cast(pa.timestamp("us")),
+                "delta": pa.array(d_s[keep], pa.int64()),
+                "rate_per_s": pa.array(rate, pa.float64()),
+            }
+        )
+
+    routed = tier.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")

@@ -9,6 +9,12 @@ not the corpus.
 Scale path: LSH-bucketed variant — random-hyperplane signatures route
 vectors into buckets; only the query's bucket (and its hamming-1
 neighbors) is scanned. Both deterministic (seeded).
+
+All-pairs near-dup mining: :func:`cosine_neardup_pairs` is the EXACT
+path (distributed block-pair triangle join — bounded per-task memory,
+no whole-dataset materialization); :func:`cosine_neardup_lsh_pairs`
+is the approximate scale path (hyperplane candidate buckets + exact
+in-bucket verification).
 """
 
 from __future__ import annotations

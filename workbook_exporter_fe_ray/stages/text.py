@@ -225,3 +225,99 @@ def top_bigrams(
         batch_format="pyarrow",
     )
     return wide.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def contamination_screen(
+    docs: "ray.data.Dataset",
+    benchmark_texts: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> "ray.data.Dataset":
+    """Benchmark-contamination screen — the training-data hygiene op:
+    per document, the fraction of its DISTINCT word n-grams that occur
+    in a benchmark corpus. The benchmark n-gram set (small by
+    definition) is broadcast ONCE via ``ray.put``; each batch computes
+    per-doc overlap with one vectorized ``is_in`` over the flattened
+    distinct-gram lists + a reduceat — the training corpus streams,
+    nothing shuffles.
+
+    Output: (id_col, n_grams, n_contaminated, contamination) where
+    contamination = n_contaminated / n_grams as one int→float division
+    (bit-deterministic; docs with < n tokens have n_grams = 0 and
+    contamination 0.0).
+    """
+    import ray as _ray
+
+    bench: set[str] = set()
+    for t in benchmark_texts:
+        words = t.split(" ")
+        for i in range(len(words) - n + 1):
+            bench.add(" ".join(words[i : i + n]))
+    bench_ref = _ray.put(pa.array(sorted(bench), pa.string()))
+
+    class _Screen:
+        def __init__(self, ref):
+            self.bench = (
+                _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+            )
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(b[text_col], " ")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = toks.flatten()
+            counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+            n_docs = len(b)
+            tot = np.zeros(n_docs, dtype=np.int64)
+            hit = np.zeros(n_docs, dtype=np.int64)
+            if len(flat):
+                doc_of = np.repeat(np.arange(n_docs), counts)
+                m = len(flat)
+                if m >= n:
+                    grams = pc.binary_join_element_wise(
+                        *[flat.slice(k, m - n + 1) for k in range(n)], " "
+                    )
+                    valid = doc_of[: m - n + 1] == doc_of[n - 1 :]
+                    g_doc = doc_of[: m - n + 1][valid]
+                    grams = grams.filter(pa.array(valid))
+                    # distinct per doc: sort by (doc, gram), drop run dups
+                    import pandas as pd
+
+                    order = np.lexsort(
+                        (pd.util.hash_array(grams.to_numpy(zero_copy_only=False)), g_doc)
+                    )
+                    g_sorted = grams.take(pa.array(order))
+                    d_sorted = g_doc[order]
+                    same = np.zeros(len(order), dtype=bool)
+                    if len(order) > 1:
+                        same[1:] = (d_sorted[1:] == d_sorted[:-1]) & pc.equal(
+                            g_sorted.slice(1), g_sorted.slice(0, len(order) - 1)
+                        ).to_numpy(zero_copy_only=False)
+                    g_uniq = g_sorted.filter(pa.array(~same))
+                    d_uniq = d_sorted[~same]
+                    hits = pc.is_in(g_uniq, value_set=self.bench).to_numpy(
+                        zero_copy_only=False
+                    )
+                    tot = np.bincount(d_uniq, minlength=n_docs).astype(np.int64)
+                    hit = np.bincount(
+                        d_uniq, weights=hits.astype(np.float64), minlength=n_docs
+                    ).astype(np.int64)
+            frac = np.zeros(n_docs, dtype=np.float64)
+            nz = tot > 0
+            frac[nz] = hit[nz].astype(np.float64) / tot[nz].astype(np.float64)
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "n_grams": pa.array(tot, pa.int64()),
+                    "n_contaminated": pa.array(hit, pa.int64()),
+                    "contamination": pa.array(frac, pa.float64()),
+                }
+            )
+
+    return docs.map_batches(
+        _Screen,
+        fn_constructor_args=(bench_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
