@@ -302,6 +302,18 @@ def _q_cosine_neardup(sf_dir: str):
     )
 
 
+def _q_grouped_topk_items(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import grouped_topk_items
+
+    return grouped_topk_items(_events(sf_dir), key="event_type", item="user_id", k=3)
+
+
+def _q_global_sample(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import global_hash_topk_sample
+
+    return global_hash_topk_sample(_documents(sf_dir), k=20)
+
+
 def _q_bucket_rate(sf_dir: str):
     """Counter-rate/derivative over the 1h tier (PromQL rate-style):
     per source, (sum - prev_sum) / seconds-between-buckets."""
@@ -702,6 +714,16 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitters(_documents(sf_dir), col="lang", phi=0.2)
 
 
+def _q_grouped_quantiles_sketch(sf_dir: str):
+    """Mergeable weighted rank-sample quantiles — the unbounded-value-
+    cardinality path (≤ m rows per key per block cross the exchange).
+    Approximate by design (1/m relative-rank bound) → rows-only driver
+    check; the error-bound pytest is the quality gate."""
+    from workbook_exporter_fe_ray.stages.sketch import grouped_quantiles_sketch
+
+    return grouped_quantiles_sketch(_documents(sf_dir))
+
+
 def _q_hll_distinct(sf_dir: str):
     from workbook_exporter_fe_ray.stages.sketch import hll_distinct
 
@@ -823,6 +845,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg_1h": _q_moving_window,            # sliding-window aggregate
         "bucket_rate_1h": _q_bucket_rate,             # counter rate / derivative
         "hash_sample": _q_hash_sample,                # deterministic sampling
+        "global_hash_sample": _q_global_sample,       # global k-row reservoir-style
+        "topk_users_per_type": _q_grouped_topk_items, # grouped heavy hitters (exact)
         "stratified_sample": _q_stratified_sample,    # per-stratum quota sampling
         "union_distinct_users": _q_union_distinct,    # §2.7 union + distinct
         "topn_per_group": _q_topn_per_group,          # window-rank top-N
@@ -847,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": _q_grouped_quantiles,    # exact histogram quantiles
         "heavy_hitters_lang": _q_heavy_hitters,       # Misra-Gries + rescore
         "hll_distinct_users": _q_hll_distinct,        # HyperLogLog (rows-only)
+        "grouped_quantiles_sketch": _q_grouped_quantiles_sketch,  # rank-sample sketch
     }
 
 
@@ -1127,6 +1152,17 @@ HAVING count(*) > 0.2 * (SELECT count(*) FROM documents)
 """,
         "hash_sample": """
 SELECT doc_id, source FROM documents WHERE substr(md5(text), 1, 1) = '0'
+""",
+        "global_hash_sample": """
+SELECT doc_id, md5(text) AS content_md5 FROM documents
+ORDER BY md5(text), doc_id LIMIT 20
+""",
+        "topk_users_per_type": """
+SELECT event_type, user_id, n FROM (
+  SELECT event_type, user_id, count(*) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id) AS rn
+  FROM events GROUP BY event_type, user_id) WHERE rn <= 3
 """,
         "stratified_sample": """
 SELECT source, doc_id FROM (

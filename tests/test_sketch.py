@@ -118,3 +118,62 @@ def test_heavy_hitters_partition_invariance(ray_session):
     ).df()
     assert outs[0]["lang"].tolist() == want["lang"].tolist()
     assert outs[0]["n_rows"].tolist() == want["n"].tolist()
+
+
+def test_quantile_sketch_rank_bound(ray_session):
+    """The weighted rank-sample sketch must honor its 1/m relative-rank
+    guarantee on a wide-domain float column with many blocks."""
+    import pyarrow as pa
+    import ray.data
+
+    from workbook_exporter_fe_ray.stages.sketch import grouped_quantiles_sketch
+
+    rng = np.random.default_rng(3)
+    n = 120_000
+    keys = np.array(["k%02d" % v for v in rng.integers(0, 8, n)])
+    vals = rng.normal(0, 1000, n)  # effectively unique values
+    t = pa.table({"source": pa.array(keys), "n_chars": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(24)
+    got = grouped_quantiles_sketch(ds, m=256).to_pandas().set_index("source")
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "v": vals})
+    for k, grp in df.groupby("k"):
+        sv = np.sort(grp["v"].to_numpy())
+        nk = len(sv)
+        assert got.loc[k, "n_rows"] == nk
+        for p in (50, 90):
+            ans = got.loc[k, f"p{p}"]
+            rank = np.searchsorted(sv, ans, side="left")
+            target = max((p * nk + 99) // 100 - 1, 0)
+            assert abs(rank - target) <= max(2, nk // 256 + 2), (k, p)
+
+
+def test_quantile_sketch_exact_when_small(ray_session):
+    """With fewer than m values per (key, block), the sketch degrades
+    to the exact answer."""
+    import pyarrow as pa
+    import ray.data
+
+    from workbook_exporter_fe_ray.stages.sketch import (
+        grouped_quantiles,
+        grouped_quantiles_sketch,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 3000
+    keys = np.array(["s%d" % v for v in rng.integers(0, 4, n)])
+    vals = rng.integers(0, 10_000, n).astype(np.int64)
+    t = pa.table({"source": pa.array(keys), "n_chars": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(2)  # ≤ m=2048 values per block
+    exact = (
+        grouped_quantiles(ds).to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    approx = (
+        grouped_quantiles_sketch(ds, m=2048)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert (approx["p50"].to_numpy() == exact["p50"].to_numpy().astype(float)).all()
+    assert (approx["p90"].to_numpy() == exact["p90"].to_numpy().astype(float)).all()

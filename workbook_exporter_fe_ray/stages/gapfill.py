@@ -101,6 +101,10 @@ def _gapfill_windowed(
     from .sweep import run_starts_table, with_part
 
     window_us = bucket_us * window_buckets
+    # the tier is consumed twice (summary pass + routed fill); pin the
+    # aggregated rows (tiny vs raw input — 1/bucket of the points) so
+    # the upstream rollup pipeline is not executed twice
+    tier = tier.materialize()
 
     # ---- 1. per-(source, window) summary: first/last real point.
     # Per-block partials keep it tiny; the driver combines summary rows

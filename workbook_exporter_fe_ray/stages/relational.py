@@ -449,6 +449,9 @@ def asof_join_windowed(
     window_us = window_s * US
     left_schema = left.schema().base_schema
     carry_types = {c: left_schema.field(c).type for c in left_carry}
+    # right is consumed twice (anchor summary + tagged union); pin the
+    # aggregated rows so its upstream pipeline is not executed twice
+    right = right.materialize()
 
     # ---- per-(key, window) last right row (partials → driver combine)
     def _right_summary(b: pa.Table) -> pa.Table:
@@ -1179,3 +1182,110 @@ def bucket_rate(
 
     routed = tier.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def grouped_topk_items(
+    ds: ray.data.Dataset,
+    key: str = "event_type",
+    item: str = "user_id",
+    k: int = 3,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per key, the k most frequent ``item`` values (count desc, item
+    asc tie-break) — grouped heavy hitters, EXACT.
+
+    Scale shape: each block pre-aggregates to distinct (key, item)
+    partial counts (Arrow hash aggregate — the combiner), so the
+    exchange carries at most one row per (key, item, block); the
+    reduce is one coarse-partition sweep that merges duplicate pairs
+    with a reduceat and cuts each key run to k — no per-key UDF calls,
+    no row-per-occurrence shuffle.
+    """
+    from .sweep import run_starts_table, with_part
+
+    def _partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({key: b[key], item: b[item]})
+            .group_by([key, item])
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns([key, item, "cnt"])
+        return with_part(g, [key], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), (item, "ascending")]
+        )
+        g = g.take(idx)
+        if len(g) == 0:
+            return pa.table(
+                {
+                    key: g[key],
+                    item: g[item],
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # merge duplicate (key, item) pairs from different blocks
+        pair_starts = run_starts_table(g, [key, item])
+        cnt = np.add.reduceat(
+            g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64), pair_starts
+        )
+        merged = pa.table(
+            {
+                key: g[key].take(pa.array(pair_starts)),
+                item: g[item].take(pa.array(pair_starts)),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+        # per-key top-k by (count desc, item asc)
+        idx2 = pc.sort_indices(
+            merged,
+            sort_keys=[(key, "ascending"), ("n", "descending"), (item, "ascending")],
+        )
+        merged = merged.take(idx2)
+        starts = run_starts_table(merged, [key])
+        lens = np.diff(np.r_[starts, len(merged)])
+        pos = np.arange(len(merged)) - np.repeat(starts, lens)
+        return merged.filter(pa.array(pos < k))
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+    )
+
+
+def global_hash_topk_sample(
+    docs: ray.data.Dataset,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Global deterministic k-row sample: the k rows with the smallest
+    content hash (md5 hex, tie-broken by id) — reservoir-sampling
+    semantics made reproducible across engines, runs and cluster
+    sizes. Each block keeps only its local k candidates (the shuffle
+    moves ≤ k × blocks rows), one tiny task merges.
+    """
+    import hashlib
+
+    def _partial(b: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in b[text_col].to_pylist()
+        ]
+        t = pa.table({"__h": pa.array(md5s, pa.string()), id_col: b[id_col]})
+        idx = pc.sort_indices(
+            t, sort_keys=[("__h", "ascending"), (id_col, "ascending")]
+        )
+        return t.take(idx[:k])
+
+    def _merge(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("__h", "ascending"), (id_col, "ascending")]
+        )
+        g = g.take(idx[:k])
+        return pa.table({id_col: g[id_col], "content_md5": g["__h"]})
+
+    partial = docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partial.repartition(1).map_batches(_merge, batch_format="pyarrow")

@@ -300,3 +300,113 @@ def heavy_hitters(
         return t.filter(keep)
 
     return exact.map_batches(_filter, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# approximate grouped quantiles for UNBOUNDED value cardinality
+# ---------------------------------------------------------------------------
+
+
+def grouped_quantiles_sketch(
+    ds: ray.data.Dataset,
+    key: str = "source",
+    value_col: str = "n_chars",
+    percents: tuple[int, ...] = (50, 90),
+    m: int = 256,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Approximate per-key quantiles via a mergeable weighted rank
+    sample — the complement of :func:`grouped_quantiles` for value
+    domains too wide for the exact histogram exchange (floats, unique
+    ids): the exchange carries at most ``m`` (value, weight) rows per
+    (key, block) regardless of value cardinality.
+
+    Per block and key, the sorted values are subsampled every
+    ``stride = ceil(n/m)`` ranks (each sample carries its stride as
+    weight, remainder on the last); merged samples reproduce any rank
+    within ``stride`` per contributing block, so the rank error is
+    ≤ Σ_blocks n_b/m = n/m — a 1/m relative-rank guarantee (~0.4% at
+    m=256), asserted by the pytest. Deterministic: pure rank
+    arithmetic, no RNG.
+    """
+    from .sweep import run_starts_table, with_part
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key], value_col: pc.cast(b[value_col], pa.float64())})
+        idx = pc.sort_indices(
+            t, sort_keys=[(key, "ascending"), (value_col, "ascending")]
+        )
+        t = t.take(idx)
+        n = len(t)
+        if n == 0:
+            out = pa.table(
+                {
+                    key: t[key],
+                    value_col: t[value_col],
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+            return with_part(out, [key], num_partitions)
+        starts = run_starts_table(t, [key])
+        lens = np.diff(np.r_[starts, n])
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        sel: list[np.ndarray] = []
+        weights: list[np.ndarray] = []
+        for s, ln in zip(starts, lens):
+            stride = -(-int(ln) // m)  # ceil
+            # ranks stride-1, 2*stride-1, ... (the max of each stride
+            # bucket) + always the last element (exact max)
+            ranks = np.arange(stride - 1, ln, stride)
+            if ranks[-1] != ln - 1:
+                ranks = np.r_[ranks, ln - 1]
+            w = np.diff(np.r_[-1, ranks])
+            sel.append(s + ranks)
+            weights.append(w)
+        sel_all = np.concatenate(sel)
+        out = pa.table(
+            {
+                key: t[key].take(pa.array(sel_all)),
+                value_col: pa.array(vals[sel_all], pa.float64()),
+                "w": pa.array(np.concatenate(weights), pa.int64()),
+            }
+        )
+        return with_part(out, [key], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), (value_col, "ascending")]
+        )
+        g = g.take(idx)
+        n = len(g)
+        cols: dict[str, pa.Array] = {}
+        if n == 0:
+            cols[key] = g[key]
+            for p in percents:
+                cols[f"p{p}"] = pa.array([], pa.float64())
+            cols["n_rows"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        starts = run_starts_table(g, [key])
+        k = len(starts)
+        lens = np.diff(np.r_[starts, n])
+        v = g[value_col].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(w)
+        base = cum[starts] - w[starts]
+        local_cum = cum - np.repeat(base, lens)
+        n_per_key = local_cum[starts + lens - 1]
+        big = int(local_cum.max()) + 1
+        mono = local_cum + np.repeat(np.arange(k), lens) * big
+        cols[key] = g[key].take(pa.array(starts))
+        for p in percents:
+            kidx = np.maximum((p * n_per_key + 99) // 100 - 1, 0)
+            tgt = (kidx + 1) + np.arange(k) * big
+            pos = np.searchsorted(mono, tgt, side="left")
+            cols[f"p{p}"] = pa.array(v[pos], pa.float64())
+        cols["n_rows"] = pa.array(n_per_key, pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+    )
