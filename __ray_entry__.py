@@ -781,6 +781,20 @@ def _q_ivf_topk(sf_dir: str):
     return top.select_columns(["vec_id", "cosine"])
 
 
+def _q_multimodal_frames(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.multimodal import (
+        frame_sample_pipeline,
+        synth_media_table,
+    )
+
+    ds = ray.data.from_arrow(synth_media_table(64))
+    out = frame_sample_pipeline(ds, fps=2.0)
+    return out.select_columns(
+        ["media_id", "media_type", "out_width", "out_height", "resized_bytes",
+         "frame_idx", "frame_ts_ms"]
+    )
+
+
 def _q_multimodal(sf_dir: str):
     from workbook_exporter_fe_ray.stages.multimodal import (
         decode_pipeline,
@@ -867,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "multimodal_decode": _q_multimodal,
+        "multimodal_frames": _q_multimodal_frames,
         # --- sketches / bounded-state aggregates (100 TB scale path) ---
         "grouped_quantiles": _q_grouped_quantiles,    # exact histogram quantiles
         "heavy_hitters_lang": _q_heavy_hitters,       # Misra-Gries + rescore

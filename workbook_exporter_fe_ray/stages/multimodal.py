@@ -94,6 +94,63 @@ class FeatureExtractStub:
         )
 
 
+class ResizeStub:
+    """Resize stage (images): emits target dimensions plus a
+    deterministic fake resized-payload size (scaled by pixel ratio).
+    A real implementation swaps the body for PIL's ``resize`` — the
+    actor signature, batch sizing and schema contract stay as-is."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "image codecs not available in this environment; "
+                "construct ResizeStub(fake=True) for the deterministic stub"
+            )
+        self.tw, self.th = target_w, target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = np.array(
+            [len(b) for b in batch["payload"].to_pylist()], dtype=np.int64
+        )
+        # fake: payload scales with the pixel ratio (floor, ≥ 1 byte)
+        out_bytes = np.maximum(sizes * (self.tw * self.th) // (w * h), 1)
+        out = batch.append_column("out_width", pa.array(np.full(len(batch), self.tw, np.int32)))
+        out = out.append_column("out_height", pa.array(np.full(len(batch), self.th, np.int32)))
+        return out.append_column("resized_bytes", pa.array(out_bytes, pa.int64()))
+
+
+class FrameSampleStub:
+    """Frame-sampling stage (videos): one row per sampled frame at
+    ``fps`` frames/second of ``duration_ms`` — the row fan-out shape of
+    real video pipelines (payload dropped post-sample; a real impl
+    would emit decoded frame tensors instead of (frame_idx, frame_ts)).
+    Non-video rows pass through with a single frame_idx 0 row."""
+
+    def __init__(self, fps: float = 2.0):
+        self.fps = fps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dur = batch["duration_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_video = pa.compute.equal(batch["media_type"], "video").to_numpy(
+            zero_copy_only=False
+        )
+        n_frames = np.where(
+            is_video, np.maximum((dur * self.fps / 1000.0).astype(np.int64), 1), 1
+        )
+        rep = np.repeat(np.arange(len(batch)), n_frames)
+        offs = np.r_[0, np.cumsum(n_frames)[:-1]]
+        frame_idx = np.arange(int(n_frames.sum())) - np.repeat(offs, n_frames)
+        step_ms = np.repeat(np.where(is_video, 1000.0 / self.fps, 0.0), n_frames)
+        out = batch.drop_columns(["payload"]).take(pa.array(rep))
+        out = out.append_column("frame_idx", pa.array(frame_idx, pa.int32()))
+        return out.append_column(
+            "frame_ts_ms",
+            pa.array((frame_idx * step_ms).astype(np.int64), pa.int64()),
+        )
+
+
 def decode_pipeline(
     ds: ray.data.Dataset,
     fake: bool = True,
@@ -110,6 +167,28 @@ def decode_pipeline(
     return decoded.map_batches(
         DecodeStub,
         fn_constructor_args=(fake,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def frame_sample_pipeline(
+    ds: ray.data.Dataset,
+    fps: float = 2.0,
+    batch_size: int = 16,
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> ray.data.Dataset:
+    """Resize (images) + frame-sample (videos) over the media table."""
+    resized = ds.map_batches(
+        ResizeStub,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return resized.map_batches(
+        FrameSampleStub,
+        fn_constructor_args=(fps,),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
