@@ -37,7 +37,10 @@ def _events(sf_dir: str) -> ray.data.Dataset:
 def _documents(sf_dir: str) -> ray.data.Dataset:
     from workbook_exporter_fe_ray.sources import read_table
 
-    return read_table(f"{sf_dir}/documents.parquet")
+    # document stages do real per-byte CPU work (shingles, signatures,
+    # regex, hashing) → small blocks so every core gets work even on a
+    # small table (no-op at scale)
+    return read_table(f"{sf_dir}/documents.parquet", compute_heavy=True)
 
 
 def _embeddings(sf_dir: str) -> ray.data.Dataset:

@@ -25,14 +25,22 @@ TARGET_BLOCK_BYTES = 128 * 1024 * 1024
 MIN_BLOCK_BYTES = 1 * 1024 * 1024
 
 
-def good_num_blocks(paths: str | list[str], min_per_cpu: int = 2) -> int | None:
+def good_num_blocks(
+    paths: str | list[str],
+    min_per_cpu: int = 2,
+    min_block_bytes: int = MIN_BLOCK_BYTES,
+) -> int | None:
     """Size-aware block count:
-    ``clamp(bytes/1MB)(min_per_cpu × CPUs) .. bytes/128MB-floor``.
+    ``clamp(bytes/min_block_bytes)(min_per_cpu × CPUs .. bytes/128MB)``.
 
     On tiny inputs this stops Ray from fragmenting the read into
     dozens of sub-MB blocks (pure scheduling overhead); at 100 TB the
     bytes/128 MB term dominates and matches Ray's own sizing, so this
-    is a no-op at scale. Returns None when sizes can't be determined
+    is a no-op at scale. ``min_block_bytes`` trades scheduling overhead
+    against parallelism: shuffle/aggregation-bound stages want the 1 MB
+    default (per-row work is trivial), compute-bound stages (hashing,
+    signatures, regex) want small blocks so every core gets work even
+    on a small table. Returns None when sizes can't be determined
     (remote paths) — Ray's defaults apply.
     """
     if isinstance(paths, str):
@@ -49,7 +57,7 @@ def good_num_blocks(paths: str | list[str], min_per_cpu: int = 2) -> int | None:
         return None
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     parallel = max(min_per_cpu * cpus, total // TARGET_BLOCK_BYTES)
-    return max(1, min(parallel, total // MIN_BLOCK_BYTES))
+    return max(1, min(parallel, total // min_block_bytes))
 
 
 def read_input(paths: str | list[str], columns: list[str] | None = None) -> ray.data.Dataset:
@@ -69,10 +77,19 @@ def read_points_input(paths: str | list[str]) -> ray.data.Dataset:
 
 
 def read_table(
-    path: str | list[str], columns: list[str] | None = None
+    path: str | list[str],
+    columns: list[str] | None = None,
+    compute_heavy: bool = False,
 ) -> ray.data.Dataset:
-    """General parquet read with projection pushdown + sized blocks."""
-    nb = good_num_blocks(path)
+    """General parquet read with projection pushdown + sized blocks.
+
+    ``compute_heavy=True``: downstream stages do real per-byte CPU work
+    (signatures, regex, codecs), so split down to ~16 KB blocks if
+    that's what it takes to feed every core — at 100 TB the 128 MB
+    sizing term dominates either way and the flag is a no-op."""
+    nb = good_num_blocks(
+        path, min_block_bytes=16 * 1024 if compute_heavy else MIN_BLOCK_BYTES
+    )
     kw = {"override_num_blocks": nb} if nb else {}
     return ray.data.read_parquet(path, columns=columns, **kw)
 
