@@ -381,6 +381,26 @@ def _q_compress_chunks(sf_dir: str):
     return chunks.map_batches(_stats, batch_format="pyarrow")
 
 
+def _q_compress_chunk_counts(sf_dir: str):
+    """Chunk LAYOUT under the SQL oracle: per (source, day-window) the
+    deduplicated point count — proves the calendar-deterministic chunk
+    partitioning; the byte streams themselves stay rows-only (checked
+    end-to-end by compress_roundtrip instead)."""
+    from workbook_exporter_fe_ray.pipelines.events import compress_events
+
+    chunks = compress_events(sf_dir)
+    return chunks.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "chunk_start_ts": b["chunk_start_ts"],
+                "n_points": pc.cast(b["n_points"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_flagship_synthetic(sf_dir: str):
     """The authoritative tokenized-sequence cascade on a deterministic
     synthetic table (generated under /tmp, cached). Rows-only check —
@@ -835,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_locf_1h": _q_gapfill("locf"),
         "gapfill_linear_1h": _q_gapfill_linear,
         "compress_chunks_events": _q_compress_chunks,
+        "compress_chunk_counts": _q_compress_chunk_counts,
         "flagship_synthetic_cascade": _q_flagship_synthetic,
         "compress_roundtrip": _q_compress_roundtrip,
         "retention_filter": _q_retention,
@@ -974,6 +995,11 @@ FROM w
 """,
         "compress_roundtrip": f"""
 SELECT event_type AS source, ts, {_CENTS} AS value_cents FROM events
+""",
+        "compress_chunk_counts": """
+SELECT event_type AS source, date_trunc('day', ts) AS chunk_start_ts,
+       count(DISTINCT ts) AS n_points
+FROM events GROUP BY 1, 2
 """,
         "retention_filter": """
 SELECT event_id, user_id, ts FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
