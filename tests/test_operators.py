@@ -198,7 +198,7 @@ def test_read_auto_dispatch_errors(ray_session):
     from workbook_exporter_fe_ray.sources import read_auto
 
     with pytest.raises(NotImplementedError):
-        read_auto("/tmp/whatever.xlsx")
+        read_auto("/tmp/whatever.xls")  # legacy binary format stays gated
     with pytest.raises(ValueError):
         read_auto("/tmp/whatever.yaml")
 

@@ -7,9 +7,9 @@ The engine's scale format is Parquet (columnar, projection pushdown at
 the row-group reader); CSV is supported for parity/ingest but reads
 every column off storage by design — column selection happens after
 parse, and the docstring-level guidance is "convert to Parquet once,
-then pipeline". Excel needs openpyxl, which this environment does not
-ship — the branch is a clearly-marked stub (import-gated), with the
-dispatch plumbing real and tested.
+then pipeline". .xlsx is parsed with the stdlib zip+XML reader in
+``sources/xlsx.py`` (no third-party codec); only legacy binary ``.xls``
+remains gated (needs xlrd).
 """
 
 from __future__ import annotations
@@ -22,7 +22,10 @@ from .parquet import good_num_blocks, read_table
 
 
 def read_auto(
-    path: str, columns: list[str] | None = None, skip_rows: int = 0
+    path: str,
+    columns: list[str] | None = None,
+    skip_rows: int = 0,
+    sheet_name: str | None = None,
 ) -> ray.data.Dataset:
     """Read one input file, format chosen by extension (the reference's
     upload surface accepts ``.csv/.xlsx/.xls``; we add ``.parquet`` as
@@ -69,20 +72,20 @@ def read_auto(
     if ext in (".json", ".jsonl"):
         ds = ray.data.read_json(path)
         return ds.select_columns(columns) if columns else ds
-    if ext in (".xlsx", ".xls"):
-        try:
-            import openpyxl  # noqa: F401  (not shipped in this environment)
-        except ImportError as exc:
-            raise NotImplementedError(
-                "Excel ingest needs openpyxl (not available here); convert "
-                "to CSV/Parquet or install openpyxl — the dispatch and "
-                "downstream pipeline are format-agnostic once parsed."
-            ) from exc
-        import pandas as pd
+    if ext == ".xlsx":
+        # stdlib zip+XML reader (sources/xlsx.py) — no third-party codec
+        # needed; driver-side because workbook uploads are small (the
+        # reference caps them at 16–100 MB). Sheet2+skiprows is the
+        # reference's workbook layout (workbook_exporter-fe.py:1711).
+        from .xlsx import read_xlsx_table
 
-        # driver-side: Excel files are small uploads; Sheet2+skiprows is
-        # the reference's workbook layout (workbook_exporter-fe.py:1711)
-        df = pd.read_excel(path, skiprows=range(skip_rows) if skip_rows else None)
-        ds = ray.data.from_pandas(df)
+        tbl = read_xlsx_table(path, sheet_name=sheet_name, skip_rows=skip_rows)
+        ds = ray.data.from_arrow(tbl)
         return ds.select_columns(columns) if columns else ds
+    if ext == ".xls":
+        raise NotImplementedError(
+            "legacy binary .xls needs xlrd (not available here); re-save "
+            "as .xlsx/CSV — the dispatch and downstream pipeline are "
+            "format-agnostic once parsed."
+        )
     raise ValueError(f"unsupported input extension {ext!r} for {path!r}")
