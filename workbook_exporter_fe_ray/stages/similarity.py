@@ -121,17 +121,31 @@ def lsh_bucket_topk(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     q_sig = int(((query @ planes.T) > 0).astype(np.uint32)[0].dot(1 << np.arange(n_planes)))
-    ok_sigs = {q_sig} | {q_sig ^ (1 << i) for i in range(n_planes)}
+    ok_sigs = np.array(
+        sorted({q_sig} | {q_sig ^ (1 << i) for i in range(n_planes)}), dtype=np.int64
+    )
     planes_ref = ray.put(planes)
 
-    def _filter(batch: pa.Table) -> pa.Table:
-        m = _batch_matrix(batch, vec_col)
-        p = ray.get(planes_ref)
-        sigs = ((m @ p.T) > 0).astype(np.uint32).dot(1 << np.arange(n_planes))
-        mask = np.isin(sigs, list(ok_sigs))
-        return batch.filter(pa.array(mask))
+    class _BucketFilter:
+        """Planes fetched from the object store ONCE per actor."""
 
-    bucketed = ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+        def __init__(self, ref):
+            self.planes = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch, vec_col)
+            sigs = ((m @ self.planes.T) > 0).astype(np.int64).dot(
+                1 << np.arange(n_planes)
+            )
+            return batch.filter(pa.array(np.isin(sigs, ok_sigs)))
+
+    bucketed = ds.map_batches(
+        _BucketFilter,
+        fn_constructor_args=(planes_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
     return topk_cosine(bucketed, query, k=k, vec_col=vec_col, id_col=id_col)
 
 
@@ -182,14 +196,27 @@ def ivf_topk(
     qn = query / np.linalg.norm(query, axis=1, keepdims=True)
     probe = set(np.argsort(-(qn @ cents.T))[0][:nprobe].tolist())
 
-    def _assign_filter(batch: pa.Table) -> pa.Table:
-        c = ray.get(cents_ref)
-        m = _batch_matrix(batch, vec_col)
-        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        a = np.argmax(mn @ c.T, axis=1)
-        return batch.filter(pa.array(np.isin(a, list(probe))))
+    probe_arr = np.array(sorted(probe), dtype=np.int64)
 
-    bucketed = ds.map_batches(_assign_filter, batch_format="pyarrow", zero_copy_batch=True)
+    class _AssignFilter:
+        """Centroids fetched from the object store ONCE per actor."""
+
+        def __init__(self, ref):
+            self.cents = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch, vec_col)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            a = np.argmax(mn @ self.cents.T, axis=1)
+            return batch.filter(pa.array(np.isin(a, probe_arr)))
+
+    bucketed = ds.map_batches(
+        _AssignFilter,
+        fn_constructor_args=(cents_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
     return topk_cosine(bucketed, query, k=k, vec_col=vec_col, id_col=id_col)
 
 
