@@ -710,6 +710,21 @@ def _q_pivot_counts(sf_dir: str):
     return pivot_counts(_events(sf_dir))
 
 
+def _q_unpivot(sf_dir: str):
+    """Round-trip shape op: pivot the event counts wide, then melt back
+    to long — the engine's wide↔long reshape pair under one oracle."""
+    from workbook_exporter_fe_ray.stages.relational import pivot_counts, unpivot
+
+    wide = pivot_counts(_events(sf_dir))
+    return unpivot(
+        wide,
+        key="user_id",
+        value_cols=("n_click", "n_error", "n_purchase", "n_signup", "n_view"),
+        var_name="event_kind",
+        value_name="n",
+    )
+
+
 def _q_top_bigrams(sf_dir: str):
     from workbook_exporter_fe_ray.stages.text import top_bigrams
 
@@ -879,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": _q_revenue_by_priority,  # fact-fact shuffle join
         "suppliers_by_nation": _q_suppliers_by_nation,  # dim join (supplier)
         "pivot_event_counts": _q_pivot_counts,        # categorical pivot (F12)
+        "unpivot_event_counts": _q_unpivot,           # melt (wide -> long)
         "top_bigrams": _q_top_bigrams,                # n-gram vocabulary build
         "moving_avg_1h": _q_moving_window,            # sliding-window aggregate
         "bucket_rate_1h": _q_bucket_rate,             # counter rate / derivative
@@ -1115,6 +1131,18 @@ SELECT user_id,
        count(*) FILTER (event_type = 'signup') AS n_signup,
        count(*) FILTER (event_type = 'view') AS n_view
 FROM events GROUP BY 1
+""",
+        "unpivot_event_counts": """
+WITH wide AS (
+  SELECT user_id,
+         count(*) FILTER (event_type = 'click') AS n_click,
+         count(*) FILTER (event_type = 'error') AS n_error,
+         count(*) FILTER (event_type = 'purchase') AS n_purchase,
+         count(*) FILTER (event_type = 'signup') AS n_signup,
+         count(*) FILTER (event_type = 'view') AS n_view
+  FROM events GROUP BY 1)
+SELECT user_id, event_kind, n FROM wide
+UNPIVOT (n FOR event_kind IN (n_click, n_error, n_purchase, n_signup, n_view))
 """,
         "top_bigrams": """
 WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),

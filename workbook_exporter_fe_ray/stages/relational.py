@@ -659,6 +659,34 @@ def pivot_counts(
     )
 
 
+def unpivot(
+    ds: ray.data.Dataset,
+    key: str,
+    value_cols: tuple[str, ...],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """Wide → long (melt): one output row per (input row, value column)
+    — the inverse of :func:`pivot_counts`. Pure per-batch reshape (one
+    take + concat per batch, no shuffle, no per-row work)."""
+
+    def _melt(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            parts.append(
+                pa.table(
+                    {
+                        key: b[key],
+                        var_name: pa.array([c] * len(b), pa.string()),
+                        value_name: pc.cast(b[c], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(_melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def broadcast_dim_join(
     big: ray.data.Dataset,
     dim: pa.Table,
