@@ -846,6 +846,24 @@ def _q_multimodal(sf_dir: str):
     )
 
 
+def _q_cumsum_user(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import keyed_cumsum
+
+    return keyed_cumsum(_events(sf_dir))
+
+
+def _q_lag_delta_user(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import keyed_lag_delta
+
+    return keyed_lag_delta(_events(sf_dir))
+
+
+def _q_grouped_stats(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import grouped_stats
+
+    return grouped_stats(_events(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -904,6 +922,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,    # per-stratum quota sampling
         "union_distinct_users": _q_union_distinct,    # §2.7 union + distinct
         "topn_per_group": _q_topn_per_group,          # window-rank top-N
+        "cumsum_per_user": _q_cumsum_user,            # SUM OVER window scan
+        "lag_delta_per_user": _q_lag_delta_user,      # LAG window scan
+        "grouped_stats": _q_grouped_stats,            # bit-exact mean/variance
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -1396,5 +1417,32 @@ SELECT e.vec_id
 FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
 LIMIT 10
+""",
+        "cumsum_per_user": f"""
+SELECT event_id, user_id, ts,
+       CAST(sum({_CENTS}) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_cents
+FROM events
+""",
+        "lag_delta_per_user": """
+SELECT event_id, user_id, ts,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+FROM events
+""",
+        # var: every float op appears exactly once in pinned order on
+        # exact int64 sums — (f8(Σc²) - f8(Σc)*f8(Σc)/f8(n)) / f8(n)
+        "grouped_stats": f"""
+WITH c AS (SELECT event_type AS source, {_CENTS} AS c FROM events),
+s AS (SELECT source, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM c GROUP BY 1)
+SELECT source, n AS n_events, s AS sum_cents, s2 AS sumsq_cents,
+       CAST(s AS DOUBLE) / n AS mean_cents,
+       (CAST(s2 AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
+         / n AS var_cents
+FROM s
 """,
     }

@@ -71,6 +71,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "pivot_event_counts",
         "top_bigrams",
         "stratified_sample",
+        "cumsum_per_user",
+        "lag_delta_per_user",
+        "grouped_stats",
     ],
 )
 def test_query_matches_oracle(name, ray_session):
@@ -338,3 +341,53 @@ def test_asof_join_windowed_matches_unwindowed(ray_session):
                 np.testing.assert_array_equal(g.view(np.int64), w.view(np.int64))
             else:
                 assert (g == w).all(), (win_s, c)
+
+
+def test_window_scan_partition_invariance(ray_session):
+    """Cumsum / lag scans must not depend on the coarse partition count
+    (the routing is execution shape only)."""
+    from workbook_exporter_fe_ray.stages.window import keyed_cumsum, keyed_lag_delta
+    from workbook_exporter_fe_ray.sources import read_table
+
+    for fn in (keyed_cumsum, keyed_lag_delta):
+        outs = []
+        for p in (3, 64):
+            ev = read_table(f"{SF}/events.parquet")
+            outs.append(
+                fn(ev, num_partitions=p)
+                .to_pandas()
+                .sort_values("event_id")
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_grouped_stats_matches_numpy(ray_session):
+    """Engine variance must equal the pinned-order float expression on
+    exact int sums (local numpy replay)."""
+    from workbook_exporter_fe_ray.stages.window import grouped_stats
+    from workbook_exporter_fe_ray.sources import read_table
+
+    got = (
+        grouped_stats(read_table(f"{SF}/events.parquet"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    raw = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    raw["c"] = np.round(raw["value"] * 100.0).astype(np.int64)
+    for _, row in got.iterrows():
+        sub = raw[raw["event_type"] == row["source"]]["c"].to_numpy()
+        n = np.int64(len(sub))
+        s = np.int64(sub.sum())
+        s2 = np.int64((sub * sub).sum())
+        assert row["n_events"] == n and row["sum_cents"] == s
+        assert row["sumsq_cents"] == s2
+        nf, sf, s2f = np.float64(n), np.float64(s), np.float64(s2)
+        np.testing.assert_array_equal(
+            np.float64(row["mean_cents"]).view(np.int64), (sf / nf).view(np.int64)
+        )
+        np.testing.assert_array_equal(
+            np.float64(row["var_cents"]).view(np.int64),
+            ((s2f - (sf * sf) / nf) / nf).view(np.int64),
+        )

@@ -1,0 +1,210 @@
+"""Keyed window scans and bit-exact grouped statistics.
+
+Distributed SQL window functions (``SUM(...) OVER (PARTITION BY key
+ORDER BY ...)``, ``LAG``) and grouped moment statistics re-expressed
+Ray-Data-first:
+
+- **Window scans** (`keyed_cumsum`, `keyed_lag_delta`): every row of a
+  key must be visible to one task, so the exchange is keyed on the
+  COARSE partition ``hash(key) % P`` (the ``stages/sweep.py`` pattern —
+  P vectorized group calls total, never one Python call per key).
+  Inside a partition, keys are contiguous runs of one sort and the scan
+  (cumsum / diff) is a single NumPy kernel over the whole partition,
+  with per-run offsets subtracted via ``np.repeat``.
+
+  Scale shape: the shuffle moves only the projected scan columns (id,
+  key, ts, value) — never the wide row.  Size ``num_partitions`` so one
+  partition (~rows / P) fits a worker heap; a single key's history must
+  fit one partition (same contract as SQL window functions on any
+  engine; for unbounded per-key history compose with the windowed
+  carry pattern of ``stages/gapfill.py``).
+
+- **Grouped moments** (`grouped_stats`): mean/variance per key from
+  EXACT int64 partial sums (n, Σc, Σc²) combined associatively — one
+  small shuffle of per-block partials, then one pinned float expression
+  per group.  Bit-exact against SQL because every float op happens
+  exactly once, in a fixed order, on exact integers:
+  ``mean = f8(Σc)/f8(n)``; ``var = (f8(Σc²) - f8(Σc)*f8(Σc)/f8(n))/f8(n)``.
+  Σc² fits int64 while ``n·max(c)² < 2^63`` (~1e9 rows/group at the
+  observed c ≤ 56k cents); beyond that, split Σc² into hi/lo int64
+  limbs before widening — the combine stays associative.
+
+Reference parity: the reference's only "statistics" are per-key counts
+(`workbook_exporter-fe.py:1741-1788` accumulates per-host lists and
+counts); these operators are the beyond-reference window/stats family
+a training-data pipeline needs (per-user activity scans, per-class
+value dispersion for outlier screens).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+_SCAN_SORT = [
+    ("user_id", "ascending"),
+    ("ts", "ascending"),
+    ("event_id", "ascending"),
+]
+
+
+def _cents(b: pa.Table) -> pa.Array:
+    c = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def _sorted_runs(g: pa.Table) -> tuple[pa.Table, np.ndarray, np.ndarray]:
+    """Sort a partition by (user_id, ts, event_id); return (table,
+    run-start indices, run lengths) for vectorized per-key sweeps."""
+    from .sweep import run_starts_table
+
+    idx = pc.sort_indices(g, sort_keys=_SCAN_SORT)
+    g = g.take(idx)
+    starts = run_starts_table(g, ["user_id"])
+    lens = np.diff(np.r_[starts, len(g)])
+    return g, starts, lens
+
+
+def keyed_cumsum(
+    events: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Per-user running total of value cents ordered by (ts, event_id) —
+    ``SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)``.
+
+    Output: (event_id, user_id, ts, cum_cents) — one row per input row.
+    Int64-exact: the scan is ``np.cumsum`` over the whole partition with
+    each run rebased by the cumulative total before its first row.
+    """
+
+    from .sweep import with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "cents": _cents(b),
+            }
+        )
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        g, starts, lens = _sorted_runs(g)
+        v = g["cents"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(v, dtype=np.int64)
+        if len(starts):
+            off = np.where(starts > 0, cum[starts - 1], np.int64(0))
+            cum = cum - np.repeat(off, lens)
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "ts": g["ts"],
+                "cum_cents": pa.array(cum, pa.int64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def keyed_lag_delta(
+    events: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Per-user gap to the previous event in microseconds —
+    ``epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)``, with -1 for each user's first event
+    (pinned sentinel instead of NULL so the hash compare is exact).
+
+    Output: (event_id, user_id, ts, gap_us).
+    """
+
+    from .sweep import with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"event_id": b["event_id"], "user_id": b["user_id"], "ts": b["ts"]}
+        )
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        g, starts, _lens = _sorted_runs(g)
+        tsv = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        gap = np.empty(len(tsv), dtype=np.int64)
+        if len(tsv):
+            gap[0] = -1
+            gap[1:] = tsv[1:] - tsv[:-1]
+            gap[starts] = -1
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "ts": g["ts"],
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def grouped_stats(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-event-type moment statistics from exact integer partials.
+
+    Output: (source, n_events, sum_cents, sumsq_cents, mean_cents,
+    var_cents).  Each block contributes one partial row per key it sees
+    (n, Σc, Σc²) — the shuffle carries keys × blocks tiny rows, then an
+    associative int64 sum per key and ONE pinned float expression:
+    ``mean = f8(Σc)/f8(n)``;
+    ``var  = (f8(Σc²) - f8(Σc)*f8(Σc)/f8(n))/f8(n)`` (population).
+    """
+
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        c = _cents(b)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "n": pa.array(np.ones(len(b), np.int64)),
+                "s": c,
+                "s2": pc.multiply_checked(c, c),
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("n", "sum"), ("s", "sum"), ("s2", "sum")]
+        )
+
+    partials = events.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partials.groupby("source").aggregate(
+        Sum("n_sum"), Sum("s_sum"), Sum("s2_sum")
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        n = b["sum(n_sum)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["sum(s_sum)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s2 = b["sum(s2_sum)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nf = n.astype(np.float64)
+        sf = s.astype(np.float64)
+        s2f = s2.astype(np.float64)
+        mean = sf / nf
+        var = (s2f - (sf * sf) / nf) / nf
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_events": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(s, pa.int64()),
+                "sumsq_cents": pa.array(s2, pa.int64()),
+                "mean_cents": pa.array(mean, pa.float64()),
+                "var_cents": pa.array(var, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
