@@ -864,6 +864,30 @@ def _q_grouped_stats(sf_dir: str):
     return grouped_stats(_events(sf_dir))
 
 
+def _q_orders_per_customer(sf_dir: str):
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import left_join_order_counts
+
+    cust = read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return left_join_order_counts(cust, orders)
+
+
+def _q_semi_join_hot_orders(sf_dir: str):
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import semi_join_hot_orders
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    return semi_join_hot_orders(orders, li)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -925,6 +949,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumsum_per_user": _q_cumsum_user,            # SUM OVER window scan
         "lag_delta_per_user": _q_lag_delta_user,      # LAG window scan
         "grouped_stats": _q_grouped_stats,            # bit-exact mean/variance
+        "orders_per_customer": _q_orders_per_customer,  # LEFT join, zero-preserving
+        "semi_join_hot_orders": _q_semi_join_hot_orders,  # EXISTS semi join
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -1444,5 +1470,17 @@ SELECT source, n AS n_events, s AS sum_cents, s2 AS sumsq_cents,
        (CAST(s2 AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
          / n AS var_cents
 FROM s
+""",
+        "orders_per_customer": """
+SELECT c_custkey, c_mktsegment,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+  ON o.o_custkey = c_custkey
+""",
+        "semi_join_hot_orders": """
+SELECT o_orderkey, o_orderpriority FROM orders
+WHERE o_orderkey IN
+  (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
 """,
     }

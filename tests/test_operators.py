@@ -72,6 +72,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "top_bigrams",
         "stratified_sample",
         "cumsum_per_user",
+        "orders_per_customer",
+        "semi_join_hot_orders",
         "lag_delta_per_user",
         "grouped_stats",
     ],

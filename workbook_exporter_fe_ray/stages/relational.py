@@ -1317,3 +1317,120 @@ def global_hash_topk_sample(
 
     partial = docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
     return partial.repartition(1).map_batches(_merge, batch_format="pyarrow")
+
+
+def left_join_order_counts(
+    customers: ray.data.Dataset, orders: ray.data.Dataset
+) -> ray.data.Dataset:
+    """LEFT OUTER join: every customer with its order count, zero
+    preserved for order-less customers (the semantics the reference's
+    inner-only lookups cannot express).
+
+    Scale shape: the fact side is collapsed FIRST — per-block partial
+    counts per ``o_custkey`` (one Arrow ``group_by`` per block), then an
+    associative groupby-sum, so the exchange carries keys × blocks tiny
+    rows, bounded by the distinct-customer count.  The aggregated count
+    table is ``ray.put`` once and each customer batch resolves it with
+    one vectorized ``searchsorted`` — the dimension stream itself never
+    shuffles.  When the distinct-key aggregate outgrows a worker heap
+    (billions of active customers), swap the broadcast for the
+    ``hash_bucket_join`` co-partition path; the partial-count stage is
+    unchanged.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        return (
+            pa.table({"k": b["o_custkey"]})
+            .group_by("k")
+            .aggregate([("k", "count")])
+        )
+
+    counts = (
+        orders.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("k_count"))
+    )
+    ks, ns = [], []
+    for b in counts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        ks.append(b["k"].to_numpy(zero_copy_only=False))
+        ns.append(b["sum(k_count)"].to_numpy(zero_copy_only=False))
+    keys = np.concatenate(ks or [np.array([], np.int64)])
+    vals = np.concatenate(ns or [np.array([], np.int64)]).astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order], vals[order]))
+
+    class _Attach:
+        def __init__(self, ref):
+            self.keys, self.vals = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+            n = np.zeros(len(ck), np.int64)
+            if len(self.keys):
+                pos = np.searchsorted(self.keys, ck)
+                pos_c = np.minimum(pos, len(self.keys) - 1)
+                hit = self.keys[pos_c] == ck
+                n[hit] = self.vals[pos_c[hit]]
+            return pa.table(
+                {
+                    "c_custkey": b["c_custkey"],
+                    "c_mktsegment": b["c_mktsegment"],
+                    "n_orders": pa.array(n, pa.int64()),
+                }
+            )
+
+    return customers.map_batches(
+        _Attach,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def semi_join_hot_orders(
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    min_quantity: float = 48.0,
+) -> ray.data.Dataset:
+    """Semi join (EXISTS): orders having at least one line item with
+    quantity ≥ ``min_quantity``.  Mirrors ``broadcast_anti_join`` with
+    keep-instead-of-drop semantics: the qualifying key set is reduced
+    to distinct ids (bounded by matching orders, far smaller than the
+    fact table), ``ray.put`` once, and each orders batch filters with
+    one vectorized ``np.isin`` — no shuffle of either fact stream.
+    """
+
+    def _seed(b: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(b["l_quantity"], min_quantity)
+        return b.filter(mask).select(["l_orderkey"])
+
+    hot = lineitem.map_batches(_seed, batch_format="pyarrow", zero_copy_batch=True)
+    ids = np.unique(
+        np.concatenate(
+            [
+                b["l_orderkey"].to_numpy(zero_copy_only=False)
+                for b in hot.iter_batches(batch_size=None, batch_format="pyarrow")
+            ]
+            or [np.array([], np.int64)]
+        )
+    )
+    ref = ray.put(ids)
+
+    class _Semi:
+        def __init__(self, ref):
+            self.ids = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            keep = np.isin(ok, self.ids)
+            return b.filter(pa.array(keep)).select(["o_orderkey", "o_orderpriority"])
+
+    return orders.map_batches(
+        _Semi,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
