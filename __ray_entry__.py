@@ -864,6 +864,15 @@ def _q_grouped_stats(sf_dir: str):
     return grouped_stats(_events(sf_dir))
 
 
+def _q_dup_clusters(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.cluster import dup_clusters
+    from workbook_exporter_fe_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = _documents(sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    return dup_clusters(docs, pairs)
+
+
 def _q_orders_per_customer(sf_dir: str):
     from workbook_exporter_fe_ray.sources import read_table
     from workbook_exporter_fe_ray.stages.relational import left_join_order_counts
@@ -951,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_stats": _q_grouped_stats,            # bit-exact mean/variance
         "orders_per_customer": _q_orders_per_customer,  # LEFT join, zero-preserving
         "semi_join_hot_orders": _q_semi_join_hot_orders,  # EXISTS semi join
+        "dup_clusters": _q_dup_clusters,              # connected components (dedup)
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -1482,5 +1492,36 @@ LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
 SELECT o_orderkey, o_orderpriority FROM orders
 WHERE o_orderkey IN
   (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
+""",
+        # transitive closure of the exact-Jaccard pair graph: min
+        # reachable doc_id per document (singletons map to themselves)
+        "dup_clusters": """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                 FOR i IN range(1, len(l) - 1)]) AS g
+  FROM toks WHERE len(l) >= 3),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY node
 """,
     }

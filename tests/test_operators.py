@@ -72,6 +72,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "top_bigrams",
         "stratified_sample",
         "cumsum_per_user",
+        "dup_clusters",
         "orders_per_customer",
         "semi_join_hot_orders",
         "lag_delta_per_user",
@@ -393,3 +394,33 @@ def test_grouped_stats_matches_numpy(ray_session):
             np.float64(row["var_cents"]).view(np.int64),
             ((s2f - (sf * sf) / nf) / nf).view(np.int64),
         )
+
+
+def test_label_propagation_chain(ray_session):
+    """A 6-node chain (0-1-2-3-4-5) has diameter 5 — forces several
+    propagation rounds; every node must converge to rep 0. A disjoint
+    pair (10,11) and singleton 20 check isolation."""
+    import pyarrow as pa
+    import ray.data
+
+    from workbook_exporter_fe_ray.stages.cluster import dup_clusters
+
+    pairs = pa.table(
+        {
+            "id_a": pa.array([0, 1, 2, 3, 4, 10], pa.int64()),
+            "id_b": pa.array([1, 2, 3, 4, 5, 11], pa.int64()),
+        }
+    )
+    docs = pa.table({"doc_id": pa.array(list(range(6)) + [10, 11, 20], pa.int64())})
+    for p in (3, 64):
+        out = (
+            dup_clusters(
+                ray.data.from_arrow(docs),
+                ray.data.from_arrow(pairs),
+                num_partitions=p,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["cluster_rep"].tolist() == [0, 0, 0, 0, 0, 0, 10, 10, 20], p
