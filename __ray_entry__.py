@@ -864,6 +864,18 @@ def _q_grouped_stats(sf_dir: str):
     return grouped_stats(_events(sf_dir))
 
 
+def _q_doc_frequency(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.text import doc_frequency_topk
+
+    return doc_frequency_topk(_documents(sf_dir), k=50)
+
+
+def _q_decile_counts(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.sketch import quantile_bin_counts
+
+    return quantile_bin_counts(_events(sf_dir), n_bins=10)
+
+
 def _q_dup_clusters(sf_dir: str):
     from workbook_exporter_fe_ray.stages.cluster import dup_clusters
     from workbook_exporter_fe_ray.stages.dedup import ngram_jaccard_pairs
@@ -961,6 +973,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_customer": _q_orders_per_customer,  # LEFT join, zero-preserving
         "semi_join_hot_orders": _q_semi_join_hot_orders,  # EXISTS semi join
         "dup_clusters": _q_dup_clusters,              # connected components (dedup)
+        "doc_frequency": _q_doc_frequency,            # df side of TF-IDF
+        "decile_counts": _q_decile_counts,            # quantile binning
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -1523,5 +1537,22 @@ reach AS (
   SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r)
 SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
 FROM reach GROUP BY node
+""",
+        "doc_frequency": """
+SELECT token, CAST(count(*) AS BIGINT) AS df
+FROM (SELECT DISTINCT doc_id, token FROM
+        (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         FROM documents))
+GROUP BY 1 ORDER BY df DESC, token LIMIT 50
+""",
+        # bin = number of decile edges strictly below the value; edges
+        # follow the quantile_disc ceil(q*n)-1 convention
+        "decile_counts": """
+WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
+e AS (SELECT quantile_disc(c, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+        AS ed FROM c)
+SELECT CAST(len(list_filter(e.ed, x -> x < c.c)) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM c, e GROUP BY 1
 """,
     }

@@ -72,6 +72,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "top_bigrams",
         "stratified_sample",
         "cumsum_per_user",
+        "doc_frequency",
+        "decile_counts",
         "dup_clusters",
         "orders_per_customer",
         "semi_join_hot_orders",

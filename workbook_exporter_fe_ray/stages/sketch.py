@@ -410,3 +410,105 @@ def grouped_quantiles_sketch(
         .groupby("__part")
         .map_groups(_sweep, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# quantile binning (discretize) over the value-histogram exchange
+# ---------------------------------------------------------------------------
+
+
+def quantile_bin_counts(
+    events: ray.data.Dataset, n_bins: int = 10
+) -> ray.data.Dataset:
+    """Global quantile binning (discretize): every event's value-cents
+    is assigned to the decile it falls in, and the output is the
+    per-bin population — the feature-bucketing primitive (equi-depth
+    histograms, monotone-feature quantization) at bounded exchange
+    cost.
+
+    Two bounded passes, neither touching raw rows twice:
+
+    1. EXACT global value histogram — per-block ``(value, cnt)``
+       partials (one Arrow ``group_by`` per batch) folded by an
+       associative groupby-sum; the exchange is bounded by value
+       cardinality (integer cents here), not row count.  Bin edges are
+       the ``ceil(q*n) - 1`` elements (DuckDB ``quantile_disc``
+       convention, integer arithmetic) read off the histogram cumsum
+       driver-side.  For unbounded-cardinality (real-valued) columns
+       use :func:`grouped_quantiles_sketch` to pick approximate edges
+       instead — the binning pass is unchanged.
+    2. Edges broadcast once; each batch bins with one vectorized
+       ``searchsorted`` (bin = count of edges strictly below the
+       value) and pre-counts per bin, so the final groupby folds
+       ≤ ``n_bins`` partial rows per block.
+
+    Output: (decile, n_points) for non-empty bins — identical to the
+    SQL ``GROUP BY len(list_filter(edges, e -> e < c))``.
+    """
+    from ray.data.aggregate import Sum
+
+    def _hist(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        g = pa.table({"c": c}).group_by("c").aggregate([([], "count_all")])
+        return g.rename_columns(["c", "cnt"])
+
+    hist = (
+        events.map_batches(_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c")
+        .aggregate(Sum("cnt"))
+    )
+    vs, cs = [], []
+    for b in hist.iter_batches(batch_size=None, batch_format="pyarrow"):
+        vs.append(b["c"].to_numpy(zero_copy_only=False))
+        cs.append(b["sum(cnt)"].to_numpy(zero_copy_only=False))
+    v = np.concatenate(vs or [np.array([], np.int64)]).astype(np.int64)
+    cnt = np.concatenate(cs or [np.array([], np.int64)]).astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    v, cnt = v[order], cnt[order]
+    n = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    # rank of the q=k/n_bins quantile element: ceil(q*n) - 1, integer math
+    ranks = np.array(
+        [(k * n + n_bins - 1) // n_bins - 1 for k in range(1, n_bins)], np.int64
+    )
+    ranks = np.maximum(ranks, 0)
+    edges = v[np.searchsorted(cum, ranks + 1, side="left")] if n else np.array([], np.int64)
+    ref = ray.put(edges)
+
+    class _Bin:
+        def __init__(self, ref):
+            self.edges = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            c = (
+                pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            bins = np.searchsorted(self.edges, c, side="left").astype(np.int64)
+            g = (
+                pa.table({"decile": pa.array(bins, pa.int64())})
+                .group_by("decile")
+                .aggregate([([], "count_all")])
+            )
+            return g.rename_columns(["decile", "np"])
+
+    agg = (
+        events.map_batches(
+            _Bin,
+            fn_constructor_args=(ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .groupby("decile")
+        .aggregate(Sum("np"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "decile": b["decile"],
+                "n_points": pc.cast(b["sum(np)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -321,3 +321,48 @@ def contamination_screen(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+def doc_frequency_topk(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> "ray.data.Dataset":
+    """Top-k terms by document frequency (the df side of TF-IDF and the
+    stopword/boilerplate screen of a corpus pipeline).
+
+    Each document lives entirely in one row, so block-local distinct
+    (doc, token) pairs ARE the global distinct set — one Arrow hash
+    ``group_by`` per batch (no per-row loop), then the shuffle carries
+    only distinct-token partial counts per block (vocabulary-bounded,
+    not token-stream-bounded).  Final global top-k = sort + limit on
+    the aggregated vocabulary, total order (df desc, token asc).
+    """
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(b[id_col].to_numpy(zero_copy_only=False), lengths)
+        pairs = pa.table({"d": pa.array(ids, pa.int64()), "token": toks.flatten()})
+        distinct = pairs.group_by(["d", "token"]).aggregate([])
+        g = (
+            distinct.select(["token"])
+            .group_by("token")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["token", "df"])
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .sum("df")
+    )
+    wide = agg.map_batches(
+        lambda b: pa.table(
+            {"token": b["token"], "df": pc.cast(b["sum(df)"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return wide.sort(["df", "token"], descending=[True, False]).limit(k)
