@@ -864,6 +864,24 @@ def _q_grouped_stats(sf_dir: str):
     return grouped_stats(_events(sf_dir))
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.text import tfidf_top_terms
+
+    return tfidf_top_terms(_documents(sf_dir), per_doc=3)
+
+
+def _q_collect_types(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import collect_types_per_user
+
+    return collect_types_per_user(_events(sf_dir))
+
+
+def _q_distinct_users_per_type(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import distinct_users_per_type
+
+    return distinct_users_per_type(_events(sf_dir))
+
+
 def _q_doc_frequency(sf_dir: str):
     from workbook_exporter_fe_ray.stages.text import doc_frequency_topk
 
@@ -975,6 +993,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,              # connected components (dedup)
         "doc_frequency": _q_doc_frequency,            # df side of TF-IDF
         "decile_counts": _q_decile_counts,            # quantile binning
+        "tfidf_top_terms": _q_tfidf_top_terms,        # tf-idf (linear idf)
+        "collect_types_per_user": _q_collect_types,   # ordered string_agg
+        "distinct_users_per_type": _q_distinct_users_per_type,  # COUNT(DISTINCT)
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -1554,5 +1575,32 @@ e AS (SELECT quantile_disc(c, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
 SELECT CAST(len(list_filter(e.ed, x -> x < c.c)) AS BIGINT) AS decile,
        CAST(count(*) AS BIGINT) AS n_points
 FROM c, e GROUP BY 1
+""",
+        # linear idf variant (N/df): every float op pinned — see
+        # stages/text.py tfidf_top_terms docstring
+        "tfidf_top_terms": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df ON tf.token = df.token, n),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM s)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score
+FROM r WHERE rn <= 3
+""",
+        "collect_types_per_user": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS types_csv
+FROM events GROUP BY 1
+""",
+        "distinct_users_per_type": """
+SELECT event_type AS source,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
 """,
     }

@@ -72,6 +72,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "top_bigrams",
         "stratified_sample",
         "cumsum_per_user",
+        "tfidf_top_terms",
+        "collect_types_per_user",
+        "distinct_users_per_type",
         "doc_frequency",
         "decile_counts",
         "dup_clusters",

@@ -366,3 +366,105 @@ def doc_frequency_topk(
         batch_format="pyarrow",
     )
     return wide.sort(["df", "token"], descending=[True, False]).limit(k)
+
+
+def tfidf_top_terms(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    per_doc: int = 3,
+) -> "ray.data.Dataset":
+    """Top terms per document by tf-idf with the LINEAR idf variant
+    ``idf' = N / df`` (the ``ln`` idf is deliberately avoided: libm
+    ``log`` bits differ across engines, which would break the
+    bit-exact oracle contract; the linear variant ranks identically
+    for single-term comparisons and keeps every float op pinned:
+    ``score = f8(tf) * (f8(N) / f8(df))``).
+
+    Two vocabulary-bounded exchanges and zero row shuffles: the global
+    df table aggregates like :func:`doc_frequency_topk`, comes back as
+    two sorted broadcast arrays, and each batch computes tf (one Arrow
+    hash group_by — every doc lives in one row), joins df with a single
+    vectorized ``searchsorted``, and run-cuts its own per-doc top-k.
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table
+
+    def _df_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(b[id_col].to_numpy(zero_copy_only=False), lengths)
+        pairs = pa.table({"d": pa.array(ids, pa.int64()), "token": toks.flatten()})
+        distinct = pairs.group_by(["d", "token"]).aggregate([])
+        g = distinct.select(["token"]).group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "df"])
+
+    df_agg = (
+        docs.map_batches(_df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("df"))
+    )
+    toks_l, dfs_l = [], []
+    for b in df_agg.iter_batches(batch_size=None, batch_format="pyarrow"):
+        toks_l.append(np.asarray(b["token"].to_pylist(), dtype=object))
+        dfs_l.append(b["sum(df)"].to_numpy(zero_copy_only=False))
+    vocab = np.concatenate(toks_l or [np.array([], object)])
+    dfv = np.concatenate(dfs_l or [np.array([], np.int64)]).astype(np.int64)
+    order = np.argsort(vocab, kind="stable")
+    vocab, dfv = vocab[order], dfv[order]
+    n_docs = docs.count()
+    idf = np.float64(n_docs) / dfv.astype(np.float64)
+    ref = ray.put((vocab, dfv, idf))
+
+    class _Score:
+        def __init__(self, ref):
+            self.vocab, self.df, self.idf = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(b[text_col], " ")
+            toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+            lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            ids = np.repeat(b[id_col].to_numpy(zero_copy_only=False), lengths)
+            pairs = pa.table(
+                {"doc_id": pa.array(ids, pa.int64()), "token": toks.flatten()}
+            )
+            tf = pairs.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+            tf = tf.rename_columns(["doc_id", "token", "tf"])
+            tok_np = np.asarray(tf["token"].to_pylist(), dtype=object)
+            pos = np.searchsorted(self.vocab, tok_np)
+            tf_np = tf["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+            score = tf_np.astype(np.float64) * self.idf[pos]
+            t = pa.table(
+                {
+                    "doc_id": tf["doc_id"],
+                    "token": tf["token"],
+                    "tf": pa.array(tf_np, pa.int64()),
+                    "df": pa.array(self.df[pos], pa.int64()),
+                    "score": pa.array(score, pa.float64()),
+                }
+            )
+            idx = pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("doc_id", "ascending"),
+                    ("score", "descending"),
+                    ("token", "ascending"),
+                ],
+            )
+            t = t.take(idx)
+            starts = run_starts_table(t, ["doc_id"])
+            lens = np.diff(np.r_[starts, len(t)])
+            rank = np.arange(len(t)) - np.repeat(starts, lens)
+            return t.filter(pa.array(rank < per_doc))
+
+    return docs.map_batches(
+        _Score,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )

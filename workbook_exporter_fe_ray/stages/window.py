@@ -208,3 +208,104 @@ def grouped_stats(events: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def collect_types_per_user(
+    events: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Ordered collect_list / string_agg: per user, the comma-joined
+    event-type sequence ordered by (ts, event_id) — the session-path
+    feature (funnel mining, markov-model input) as a window scan.
+
+    Vectorized end-to-end: after the coarse-partition sort, each user's
+    run becomes one entry of an Arrow ListArray built directly from the
+    run offsets, and the join is ONE ``pc.binary_join`` call per
+    partition — no per-key Python.
+
+    Output: (user_id, n_events, types_csv).
+    """
+    from .sweep import with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+            }
+        )
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        g, starts, lens = _sorted_runs(g)
+        types = g["event_type"]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        offsets = np.r_[starts, len(g)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), types)
+        joined = pc.binary_join(lists, ",")
+        users = g["user_id"].take(pa.array(starts))
+        return pa.table(
+            {
+                "user_id": users,
+                "n_events": pa.array(lens, pa.int64()),
+                "types_csv": joined,
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def distinct_users_per_type(
+    events: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT user_id) per event type without shuffling
+    the raw stream: block-local distinct (type, user) pairs (one Arrow
+    hash group_by per batch), a pair-hash coarse-partition sweep that
+    dedups across blocks and emits per-type partial counts, then a tiny
+    associative groupby-sum over ≤ types × partitions rows.
+
+    Output: (source, n_users).
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    def _partial(b: pa.Table) -> pa.Table:
+        pairs = (
+            pa.table({"source": b["event_type"], "user_id": b["user_id"]})
+            .group_by(["source", "user_id"])
+            .aggregate([])
+        )
+        return with_part(pairs, ["source", "user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("source", "ascending"), ("user_id", "ascending")]
+        )
+        g = g.take(idx)
+        pair_starts = run_starts_table(g, ["source", "user_id"])
+        dedup = g.take(pa.array(pair_starts)).select(["source"])
+        type_starts = run_starts_table(dedup, ["source"])
+        lens = np.diff(np.r_[type_starts, len(dedup)])
+        return pa.table(
+            {
+                "source": dedup["source"].take(pa.array(type_starts)),
+                "n": pa.array(lens, pa.int64()),
+            }
+        )
+
+    partials = (
+        events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+    )
+    agg = partials.groupby("source").aggregate(Sum("n"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"source": b["source"], "n_users": pc.cast(b["sum(n)"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
