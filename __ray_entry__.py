@@ -864,6 +864,18 @@ def _q_grouped_stats(sf_dir: str):
     return grouped_stats(_events(sf_dir))
 
 
+def _q_outlier_events(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import outlier_events
+
+    return outlier_events(_events(sf_dir), z=3.0)
+
+
+def _q_normalize_text(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.text import normalize_text
+
+    return normalize_text(_documents(sf_dir))
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     from workbook_exporter_fe_ray.stages.text import tfidf_top_terms
 
@@ -996,6 +1008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,        # tf-idf (linear idf)
         "collect_types_per_user": _q_collect_types,   # ordered string_agg
         "distinct_users_per_type": _q_distinct_users_per_type,  # COUNT(DISTINCT)
+        "outlier_events": _q_outlier_events,          # grouped z-score screen
+        "normalize_text": _q_normalize_text,          # canonical text cleanup
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -1602,5 +1616,29 @@ FROM events GROUP BY 1
 SELECT event_type AS source,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1
+""",
+        # both comparison sides use the same pinned expressions as
+        # grouped_stats, so the boundary decision is engine-identical
+        "outlier_events": f"""
+WITH c AS (SELECT event_id, event_type AS source, {_CENTS} AS c FROM events),
+s AS (SELECT source, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM c GROUP BY 1),
+m AS (SELECT source, CAST(s AS DOUBLE) / n AS mean,
+             (CAST(s2 AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
+               / n AS var
+      FROM s)
+SELECT c.event_id, c.source, c.c AS value_cents
+FROM c JOIN m ON c.source = m.source
+WHERE (CAST(c.c AS DOUBLE) - m.mean) * (CAST(c.c AS DOUBLE) - m.mean)
+      > 9.0 * m.var
+""",
+        "normalize_text": """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+FROM documents
 """,
     }

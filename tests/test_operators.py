@@ -82,6 +82,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "semi_join_hot_orders",
         "lag_delta_per_user",
         "grouped_stats",
+        "outlier_events",
+        "normalize_text",
     ],
 )
 def test_query_matches_oracle(name, ray_session):

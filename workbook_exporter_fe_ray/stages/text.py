@@ -468,3 +468,31 @@ def tfidf_top_terms(
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
+
+
+def normalize_text(
+    docs: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Canonical text normalization (lowercase → non-alphanumeric → space
+    → collapse runs → trim): the cleanup pass before dedup/tokenization.
+
+    Fully vectorized — Arrow's regex kernels are RE2, the same engine
+    DuckDB uses, so `[^a-z0-9 ]` / `' +'` behave identically and the
+    md5 of the normalized text hash-matches the SQL oracle exactly.
+    Output: (doc_id, norm_md5, norm_len).
+    """
+    def _norm(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(b[text_col])
+        t = pc.replace_substring_regex(t, pattern="[^a-z0-9 ]", replacement=" ")
+        t = pc.replace_substring_regex(t, pattern=" +", replacement=" ")
+        t = pc.utf8_trim(t, " ")
+        md5s = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b[id_col],
+                "norm_md5": pa.array(md5s, pa.string()),
+                "norm_len": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_norm, batch_format="pyarrow", zero_copy_batch=True)

@@ -309,3 +309,59 @@ def distinct_users_per_type(
         ),
         batch_format="pyarrow",
     )
+
+
+def outlier_events(events: ray.data.Dataset, z: float = 3.0) -> ray.data.Dataset:
+    """Grouped z-score outlier screen: events whose value lies more
+    than ``z`` standard deviations from their type's mean — the
+    anomaly / bad-sample filter of a training-data pipeline, built on
+    :func:`grouped_stats` so the comparison stays bit-exact: both
+    sides of ``(f8(c) - mean)² > z²·var`` are computed from the same
+    pinned expressions the SQL oracle uses, so the boundary decision
+    is identical on every engine.
+
+    Stats (keys × 6 columns) broadcast once; the stream filters with
+    one vectorized lookup per batch.  Output: (event_id, source,
+    value_cents).
+    """
+    stats = grouped_stats(events)
+    ks, ms, vs = [], [], []
+    for b in stats.iter_batches(batch_size=None, batch_format="pyarrow"):
+        ks.append(np.asarray(b["source"].to_pylist(), dtype=object))
+        ms.append(b["mean_cents"].to_numpy(zero_copy_only=False))
+        vs.append(b["var_cents"].to_numpy(zero_copy_only=False))
+    keys = np.concatenate(ks or [np.array([], object)])
+    mean = np.concatenate(ms or [np.array([], np.float64)])
+    var = np.concatenate(vs or [np.array([], np.float64)])
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order], mean[order], var[order]))
+    z2 = np.float64(z) * np.float64(z)
+
+    class _Flag:
+        def __init__(self, ref):
+            self.keys, self.mean, self.var = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            c = _cents(b).to_numpy(zero_copy_only=False)
+            src = np.asarray(b["event_type"].to_pylist(), dtype=object)
+            pos = np.searchsorted(self.keys, src)
+            d = c.astype(np.float64) - self.mean[pos]
+            keep = d * d > z2 * self.var[pos]
+            out = pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "source": b["event_type"],
+                    "value_cents": pa.array(c, pa.int64()),
+                }
+            )
+            return out.filter(pa.array(keep))
+
+    return events.map_batches(
+        _Flag,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
