@@ -876,6 +876,12 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(_documents(sf_dir))
 
 
+def _q_ohlc_1h(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import ohlc_1h
+
+    return ohlc_1h(_events(sf_dir))
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     from workbook_exporter_fe_ray.stages.text import tfidf_top_terms
 
@@ -1010,6 +1016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": _q_distinct_users_per_type,  # COUNT(DISTINCT)
         "outlier_events": _q_outlier_events,          # grouped z-score screen
         "normalize_text": _q_normalize_text,          # canonical text cleanup
+        "ohlc_1h": _q_ohlc_1h,                        # per-bucket OHLC candle
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -1640,5 +1647,26 @@ SELECT doc_id,
        CAST(length(trim(regexp_replace(regexp_replace(lower(text),
            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
 FROM documents
+""",
+        # open/close tie-break pinned to (ts, event_id) on both sides
+        "ohlc_1h": f"""
+WITH c AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts,
+         ts, event_id, {_CENTS} AS c
+  FROM events),
+w AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source, bucket_ts
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY source, bucket_ts
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM c)
+SELECT source, bucket_ts,
+       CAST(max(CASE WHEN rn_a = 1 THEN c END) AS BIGINT) AS open_cents,
+       CAST(max(c) AS BIGINT) AS high_cents,
+       CAST(min(c) AS BIGINT) AS low_cents,
+       CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS close_cents,
+       count(*) AS n_events
+FROM w GROUP BY 1, 2
 """,
     }

@@ -84,6 +84,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "grouped_stats",
         "outlier_events",
         "normalize_text",
+        "ohlc_1h",
     ],
 )
 def test_query_matches_oracle(name, ray_session):

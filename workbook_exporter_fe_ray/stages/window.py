@@ -365,3 +365,124 @@ def outlier_events(events: ray.data.Dataset, z: float = 3.0) -> ray.data.Dataset
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
+
+
+def ohlc_1h(events: ray.data.Dataset, num_partitions: int = 32) -> ray.data.Dataset:
+    """Per (source, hour) OHLC candle — open/high/low/close of value
+    cents with the open/close picked by the pinned tie-break
+    (ts, event_id), the financial-style downsample of a point stream.
+
+    Associative two-level reduce: each block emits ONE partial row per
+    (source, hour) it sees — (open, close, their tie-break keys, low,
+    high, n) — so the shuffle carries keys × blocks tiny rows, never
+    points.  Partials merge in a coarse-partition vectorized sweep
+    (``stages/sweep.py`` pattern): two sorts over the partial table
+    pick the globally-first open and globally-last close per run, and
+    ``reduceat`` folds low/high/n.  Bit-exact: all columns are int64 /
+    timestamps; no float math.
+
+    Output: (source, bucket_ts, open_cents, high_cents, low_cents,
+    close_cents, n_events).
+
+    Reference parity: beyond-reference — the reference only averages
+    per host (workbook_exporter-fe.py:1741-1788); OHLC is the
+    retention-tier downsample a monitoring/training-telemetry store
+    keeps alongside mean rollups.
+    """
+    from .sweep import run_starts_table, with_part
+
+    HOUR = np.int64(3_600_000_000)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        c = _cents(b)
+        tsv = pc.cast(b["ts"], pa.int64())
+        ts_np = tsv.to_numpy(zero_copy_only=False)
+        bucket_np = ts_np - ts_np % HOUR
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "bucket": pa.array(bucket_np, pa.int64()),
+                "ts": tsv,
+                "event_id": b["event_id"],
+                "c": c,
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("source", "ascending"),
+                ("bucket", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        starts = run_starts_table(t, ["source", "bucket"])
+        lens = np.diff(np.r_[starts, len(t)])
+        ends = starts + lens - 1
+        cv = t["c"].to_numpy(zero_copy_only=False)
+        tv = t["ts"].to_numpy(zero_copy_only=False)
+        ev = t["event_id"].to_numpy(zero_copy_only=False)
+        part = pa.table(
+            {
+                "source": t["source"].take(pa.array(starts)),
+                "bucket": t["bucket"].take(pa.array(starts)),
+                "open_c": pa.array(cv[starts], pa.int64()),
+                "open_ts": pa.array(tv[starts], pa.int64()),
+                "open_eid": pa.array(ev[starts], pa.int64()),
+                "close_c": pa.array(cv[ends], pa.int64()),
+                "close_ts": pa.array(tv[ends], pa.int64()),
+                "close_eid": pa.array(ev[ends], pa.int64()),
+                "low": pa.array(np.minimum.reduceat(cv, starts), pa.int64()),
+                "high": pa.array(np.maximum.reduceat(cv, starts), pa.int64()),
+                "n": pa.array(lens, pa.int64()),
+            }
+        )
+        return with_part(part, ["source", "bucket"], num_partitions)
+
+    def _merge(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("bucket", "ascending"),
+                ("open_ts", "ascending"),
+                ("open_eid", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "bucket"])
+        lens = np.diff(np.r_[starts, len(g)])
+        open_c = g["open_c"].to_numpy(zero_copy_only=False)[starts]
+        low = np.minimum.reduceat(g["low"].to_numpy(zero_copy_only=False), starts)
+        high = np.maximum.reduceat(g["high"].to_numpy(zero_copy_only=False), starts)
+        n = np.add.reduceat(g["n"].to_numpy(zero_copy_only=False), starts)
+        # second sort for the globally-last close per run
+        idx2 = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("bucket", "ascending"),
+                ("close_ts", "ascending"),
+                ("close_eid", "ascending"),
+            ],
+        )
+        g2 = g.take(idx2)
+        ends = starts + lens - 1
+        close_c = g2["close_c"].to_numpy(zero_copy_only=False)[ends]
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(starts)),
+                "bucket_ts": pc.cast(
+                    g["bucket"].take(pa.array(starts)), pa.timestamp("us")
+                ),
+                "open_cents": pa.array(open_c, pa.int64()),
+                "high_cents": pa.array(high, pa.int64()),
+                "low_cents": pa.array(low, pa.int64()),
+                "close_cents": pa.array(close_c, pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+            }
+        )
+
+    partials = events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("__part").map_groups(_merge, batch_format="pyarrow")
