@@ -882,6 +882,18 @@ def _q_ohlc_1h(sf_dir: str):
     return ohlc_1h(_events(sf_dir))
 
 
+def _q_sequence_pack_spans(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.pack import sequence_pack_spans
+
+    return sequence_pack_spans(_documents(sf_dir), pack_len=256)
+
+
+def _q_pack_fill_stats(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.pack import pack_fill_stats, sequence_pack_spans
+
+    return pack_fill_stats(sequence_pack_spans(_documents(sf_dir), pack_len=256))
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     from workbook_exporter_fe_ray.stages.text import tfidf_top_terms
 
@@ -1017,6 +1029,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events": _q_outlier_events,          # grouped z-score screen
         "normalize_text": _q_normalize_text,          # canonical text cleanup
         "ohlc_1h": _q_ohlc_1h,                        # per-bucket OHLC candle
+        "sequence_pack_spans": _q_sequence_pack_spans,  # concat-chunk packer span map
+        "pack_fill_stats": _q_pack_fill_stats,        # per-pack occupancy
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -1668,5 +1682,43 @@ SELECT source, bucket_ts,
        CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS close_cents,
        count(*) AS n_events
 FROM w GROUP BY 1, 2
+""",
+        # global concat-and-chunk packing in doc_id order; whitespace
+        # token count = string_split(text,' ') (token_count convention)
+        "sequence_pack_spans": """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(length(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+c AS (
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS s
+  FROM t),
+b AS (
+  SELECT doc_id, n, s,
+         unnest(generate_series(s // 256, (s + n - 1) // 256)) AS p
+  FROM c WHERE n > 0)
+SELECT doc_id, p AS pack_id,
+       GREATEST(s, p*256) - s AS doc_off,
+       GREATEST(s, p*256) - p*256 AS pack_off,
+       LEAST(s+n, (p+1)*256) - GREATEST(s, p*256) AS span_len
+FROM b
+""",
+        "pack_fill_stats": """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(length(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+c AS (
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS s
+  FROM t),
+b AS (
+  SELECT doc_id, n, s,
+         unnest(generate_series(s // 256, (s + n - 1) // 256)) AS p
+  FROM c WHERE n > 0)
+SELECT p AS pack_id, count(*) AS n_docs,
+       CAST(sum(LEAST(s+n, (p+1)*256) - GREATEST(s, p*256)) AS BIGINT) AS filled
+FROM b GROUP BY 1
 """,
     }

@@ -85,6 +85,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "outlier_events",
         "normalize_text",
         "ohlc_1h",
+        "sequence_pack_spans",
+        "pack_fill_stats",
     ],
 )
 def test_query_matches_oracle(name, ray_session):
@@ -432,3 +434,58 @@ def test_label_propagation_chain(ray_session):
             .reset_index(drop=True)
         )
         assert out["cluster_rep"].tolist() == [0, 0, 0, 0, 0, 0, 10, 10, 20], p
+
+
+def test_sequence_pack_invariants(ray_session):
+    """Partition-invariance (P=1 ≡ P=32) and the packer contract: spans
+    tile each doc exactly (sum span_len = n), every pack but the last
+    is exactly full, pack offsets tile each pack contiguously."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.pack import sequence_pack_spans
+
+    docs = read_table(f"{SF}/documents.parquet")
+    outs = []
+    for p in (1, 32):
+        df = (
+            sequence_pack_spans(docs, pack_len=256, num_partitions=p)
+            .to_pandas()
+            .sort_values(["pack_id", "doc_id"])
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    df = outs[0]
+    # per-doc: spans cover [0, n) contiguously
+    n_by_doc = (
+        read_table(f"{SF}/documents.parquet")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                    "n": pc.cast(
+                        pc.list_value_length(pc.split_pattern(b["text"], " ")),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index("doc_id")["n"]
+    )
+    got_n = df.groupby("doc_id")["span_len"].sum()
+    assert (got_n == n_by_doc.loc[got_n.index]).all()
+    # per-pack: full except the last
+    fill = df.groupby("pack_id")["span_len"].sum().sort_index()
+    assert (fill.iloc[:-1] == 256).all() and fill.iloc[-1] <= 256
+    # pack tiling: sorted spans within a pack are contiguous from 0
+    for pk, g in df.groupby("pack_id"):
+        g = g.sort_values("pack_off")
+        assert g["pack_off"].iloc[0] == 0
+        assert (
+            g["pack_off"].iloc[1:].to_numpy()
+            == (g["pack_off"] + g["span_len"]).iloc[:-1].to_numpy()
+        ).all()

@@ -1,0 +1,154 @@
+"""Sequence packing: concat-and-chunk the global token stream into
+fixed-length context windows (the GPT-style pre-training packer).
+
+Documents are laid end-to-end in ``doc_id`` order and the concatenated
+token stream is cut into packs of exactly ``pack_len`` tokens; a
+document that straddles a cut contributes one span row per pack it
+touches.  Output is the *span map* ``(doc_id, pack_id, doc_off,
+pack_off, span_len)`` — the shuffle-free recipe from which a writer can
+assemble each pack by slicing token arrays locally.
+
+Scale shape (10^12 docs): the global ordered prefix-sum is done as a
+classic two-level scan —
+
+1. one streaming pass over the pruned ``(doc_id, n)`` projection
+   computes per-*range-bucket* token sums (``P`` tiny rows to the
+   driver),
+2. the driver prefix-sums those ``P`` numbers into bucket base
+   offsets (broadcast in a closure),
+3. each bucket then sorts only its own slice by ``doc_id`` and emits
+   its span rows fully vectorized (``np.repeat`` fan-out).
+
+Buckets are **order-preserving** ranges of ``doc_id`` (not hashes), so
+bucket-local prefix sums + the bucket base offset equal the global
+scan.  No stage ever materializes more than one bucket; the exchange
+carries 16-byte ``(id, n)`` rows, never tokens.  The id range is found
+with one cheap associative min/max pass — pass ``id_range=(lo, hi)``
+to skip it when known (e.g. from the manifest of a previous stage).
+
+Reference parity: beyond-reference — the reference exports rows 1:1
+(workbook_exporter-fe.py:1741-1788); packing is the canonical
+training-data batcher over the same tokenized-sequence table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _span_fanout(
+    ids: np.ndarray, s: np.ndarray, n: np.ndarray, pack_len: int
+) -> pa.Table:
+    """Vectorized span emission for docs with global starts ``s``."""
+    L = np.int64(pack_len)
+    keep = n > 0
+    ids, s, n = ids[keep], s[keep], n[keep]
+    p0 = s // L
+    p1 = (s + n - 1) // L
+    cnt = p1 - p0 + 1
+    total = int(cnt.sum())
+    rep = np.repeat(np.arange(len(n), dtype=np.int64), cnt)
+    cc = np.cumsum(cnt) - cnt
+    p = p0[rep] + (np.arange(total, dtype=np.int64) - cc[rep])
+    sr, nr = s[rep], n[rep]
+    lo = np.maximum(sr, p * L)
+    hi = np.minimum(sr + nr, (p + 1) * L)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[rep], pa.int64()),
+            "pack_id": pa.array(p, pa.int64()),
+            "doc_off": pa.array(lo - sr, pa.int64()),
+            "pack_off": pa.array(lo - p * L, pa.int64()),
+            "span_len": pa.array(hi - lo, pa.int64()),
+        }
+    )
+
+
+def sequence_pack_spans(
+    docs: ray.data.Dataset,
+    pack_len: int = 256,
+    num_partitions: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_col: str | None = None,
+    id_range: tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Span map of fixed-length packing in global ``id_col`` order.
+
+    ``n_col`` names a precomputed token-count column (the engine's own
+    ``(doc_id, tokens, n_tok, source)`` table); otherwise counts are
+    whitespace tokens of ``text_col`` (``string_split(text, ' ')``
+    convention, matching the token_count oracle).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def _counts(b: pa.Table) -> pa.Table:
+        if n_col is not None:
+            n = pc.cast(b[n_col], pa.int64())
+        else:
+            n = pc.cast(
+                pc.list_value_length(pc.split_pattern(b[text_col], " ")),
+                pa.int64(),
+            )
+        return pa.table({"id": pc.cast(b[id_col], pa.int64()), "n": n})
+
+    counts = docs.map_batches(_counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    if id_range is None:
+        mm = counts.aggregate(Min("id"), Max("id"))
+        lo_id, hi_id = int(mm["min(id)"]), int(mm["max(id)"])
+    else:
+        lo_id, hi_id = int(id_range[0]), int(id_range[1])
+    span = max(hi_id - lo_id + 1, 1)
+    P = int(num_partitions)
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        bk = ((ids - lo_id) * P) // span
+        return b.append_column("__bucket", pa.array(bk.astype(np.int32)))
+
+    bucketed = counts.map_batches(_bucket, batch_format="pyarrow")
+
+    # two-level scan, level 1: P bucket sums to the driver (tiny)
+    sums = bucketed.groupby("__bucket").aggregate(Sum("n")).take_all()
+    base = np.zeros(P, dtype=np.int64)
+    per = np.zeros(P, dtype=np.int64)
+    for r in sums:
+        per[int(r["__bucket"])] = int(r["sum(n)"])
+    base[1:] = np.cumsum(per)[:-1]
+
+    def _emit(g: pa.Table) -> pa.Table:
+        bk = int(g["__bucket"][0].as_py())
+        idx = pc.sort_indices(g, sort_keys=[("id", "ascending")])
+        g = g.take(idx)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        s = (np.cumsum(n) - n) + base[bk]
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        return _span_fanout(ids, s, n, pack_len)
+
+    return bucketed.groupby("__bucket").map_groups(_emit, batch_format="pyarrow")
+
+
+def pack_fill_stats(spans: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-pack occupancy: ``(pack_id, n_docs, filled)`` — every pack is
+    exactly ``pack_len`` full except the final one.  Associative
+    groupby over the span map (pack_id cardinality = tokens/pack_len,
+    bounded rows per key = docs touching the pack)."""
+    from ray.data.aggregate import Count, Sum
+
+    agg = spans.groupby("pack_id").aggregate(Count(), Sum("span_len"))
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pack_id": pc.cast(b["pack_id"], pa.int64()),
+                "n_docs": pc.cast(b["count()"], pa.int64()),
+                "filled": pc.cast(b["sum(span_len)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
