@@ -894,6 +894,28 @@ def _q_pack_fill_stats(sf_dir: str):
     return pack_fill_stats(sequence_pack_spans(_documents(sf_dir), pack_len=256))
 
 
+def _q_pack_tokens_synthetic(sf_dir: str):
+    """Materialized packer on the deterministic synthetic token table
+    (rows-only check; token-array equality vs the single-process numpy
+    reference is asserted in tests/test_pack_assembly.py)."""
+    import glob
+    import os
+
+    from workbook_exporter_fe_ray import datagen
+    from workbook_exporter_fe_ray.stages.dedup import exact_dedup
+    from workbook_exporter_fe_ray.stages.pack import assemble_packs, doc_rank_batch
+
+    d = "/tmp/wfer_flagship_sf"
+    if not os.path.isdir(d) or not os.listdir(d):
+        datagen.generate(d, n_sources=8, base_seqs=600, seed=42, n_shards=4)
+    paths = sorted(glob.glob(f"{d}/*.parquet"))
+    docs = ray.data.read_parquet(paths, columns=["doc_id", "tokens"]).map_batches(
+        doc_rank_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    docs = exact_dedup(docs, keys=["rank"], tie_col="rank")
+    return assemble_packs(docs, pack_len=2048)
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     from workbook_exporter_fe_ray.stages.text import tfidf_top_terms
 
@@ -1031,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_1h": _q_ohlc_1h,                        # per-bucket OHLC candle
         "sequence_pack_spans": _q_sequence_pack_spans,  # concat-chunk packer span map
         "pack_fill_stats": _q_pack_fill_stats,        # per-pack occupancy
+        "pack_tokens_synthetic": _q_pack_tokens_synthetic,  # materialized token packs
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,

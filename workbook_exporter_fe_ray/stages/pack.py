@@ -133,6 +133,191 @@ def sequence_pack_spans(
     return bucketed.groupby("__bucket").map_groups(_emit, batch_format="pyarrow")
 
 
+def doc_rank_batch(b: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """int64 ``rank`` for the synthetic ``"src-III-SSSSSSSSSSSS"`` ids:
+    ``src_idx << 44 | seq`` — lexicographic doc_id order, as one
+    vectorized slice+cast (no per-row parsing)."""
+    ids = b[id_col]
+    src = pc.cast(pc.utf8_slice_codeunits(ids, 4, 7), pa.int64())
+    seq = pc.cast(pc.utf8_slice_codeunits(ids, 8, 20), pa.int64())
+    rank = pc.bit_wise_or(pc.shift_left(src, 44), seq)
+    return b.append_column("rank", pc.cast(rank, pa.int64()))
+
+
+def assemble_packs(
+    docs: ray.data.Dataset,
+    pack_len: int = 256,
+    num_partitions: int = 32,
+    pack_partitions: int = 32,
+    id_col: str = "rank",
+    tokens_col: str = "tokens",
+    docs_slim: ray.data.Dataset | None = None,
+    id_range: tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Materialized packer: emits ``(pack_id, tokens, n_spans)`` where
+    ``tokens`` is the actual ``pack_len``-token window cut from the
+    concatenated corpus in ``id_col`` order (last pack ragged).
+
+    Every row satisfies exact token-array equality against the input —
+    the north-rule invariant — asserted in
+    ``tests/test_packed_property.py``.
+
+    Scale shape: the span arithmetic runs on the pruned ``(id, n)``
+    projection (pass ``docs_slim`` as a tokens-free read so the scan
+    passes never load payload); tokens move through exactly TWO
+    exchanges, the minimum for a packer — (1) keyed on the
+    order-preserving id-range bucket to line docs up in global order
+    and slice them, (2) keyed on ``pack_id % pack_partitions`` to
+    co-locate each pack's spans for concatenation.  All slicing is one
+    flat-values gather (``np.repeat``/``arange`` index build, no
+    per-row Python).  Group tasks are plain functions (autoscaling
+    task pool), ``num_partitions`` / ``pack_partitions`` bound
+    per-task memory to corpus_tokens/P.
+    """
+    slim = docs_slim if docs_slim is not None else docs
+
+    def _counts(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return pa.table(
+            {
+                "id": pc.cast(b[id_col], pa.int64()),
+                "n": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    counts = slim.map_batches(_counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    if id_range is None:
+        mm = counts.aggregate(Min("id"), Max("id"))
+        lo_id, hi_id = int(mm["min(id)"]), int(mm["max(id)"])
+    else:
+        lo_id, hi_id = int(id_range[0]), int(id_range[1])
+    span = max(hi_id - lo_id + 1, 1)
+    P = int(num_partitions)
+    L = np.int64(pack_len)
+    Q = int(pack_partitions)
+
+    def _bucket_of(ids: np.ndarray) -> np.ndarray:
+        return (((ids - lo_id) * P) // span).astype(np.int32)
+
+    def _bucket_counts(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        return b.append_column("__bucket", pa.array(_bucket_of(ids)))
+
+    sums = (
+        counts.map_batches(_bucket_counts, batch_format="pyarrow")
+        .groupby("__bucket")
+        .aggregate(Sum("n"))
+        .take_all()
+    )
+    base = np.zeros(P, dtype=np.int64)
+    per = np.zeros(P, dtype=np.int64)
+    for r in sums:
+        per[int(r["__bucket"])] = int(r["sum(n)"])
+    base[1:] = np.cumsum(per)[:-1]
+
+    def _bucket_docs(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "toks": b[tokens_col],
+                "__bucket": pa.array(_bucket_of(ids)),
+            }
+        )
+
+    def _slice(g: pa.Table) -> pa.Table:
+        bk = int(g["__bucket"][0].as_py())
+        idx = pc.sort_indices(g, sort_keys=[("id", "ascending")])
+        g = g.take(idx)
+        toks = g["toks"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        # flatten() applies list offsets → values are exactly the rows'
+        # concatenation; rebuild zero-based offsets from lengths
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs0 = np.cumsum(n) - n
+        s = offs0 + base[bk]
+        keep = n > 0
+        sK, nK, offK = s[keep], n[keep], offs0[keep]
+        p0 = sK // L
+        p1 = (sK + nK - 1) // L
+        cnt = p1 - p0 + 1
+        total = int(cnt.sum())
+        rep = np.repeat(np.arange(len(nK), dtype=np.int64), cnt)
+        cc = np.cumsum(cnt) - cnt
+        p = p0[rep] + (np.arange(total, dtype=np.int64) - cc[rep])
+        sr, nr = sK[rep], nK[rep]
+        lo = np.maximum(sr, p * L)
+        hi = np.minimum(sr + nr, (p + 1) * L)
+        span_len = hi - lo
+        # flat-values gather for every emitted span at once
+        flat_start = offK[rep] + (lo - sr)
+        tot_tok = int(span_len.sum())
+        starts_rep = np.repeat(np.cumsum(span_len) - span_len, span_len)
+        gather = np.repeat(flat_start, span_len) + (
+            np.arange(tot_tok, dtype=np.int64) - starts_rep
+        )
+        vals = flat[gather]
+        out_offs = np.zeros(len(span_len) + 1, dtype=np.int32)
+        np.cumsum(span_len, out=out_offs[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(out_offs), pa.array(vals, pa.int32())
+        )
+        return pa.table(
+            {
+                "pack_id": pa.array(p, pa.int64()),
+                "pack_off": pa.array(lo - p * L, pa.int64()),
+                "toks": lst,
+                "__pb": pa.array((p % Q).astype(np.int32)),
+            }
+        )
+
+    def _assemble(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("pack_id", "ascending"), ("pack_off", "ascending")]
+        )
+        g = g.take(idx)
+        from .sweep import run_starts_table
+
+        starts = run_starts_table(g, ["pack_id"])
+        lens = np.diff(np.r_[starts, len(g)])
+        toks = g["toks"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        row_len = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        # rows are sorted (pack_id, pack_off) → flattened values are
+        # already in concatenation order; only offsets need building
+        pack_tok = np.add.reduceat(row_len, starts) if len(starts) else row_len[:0]
+        out_offs = np.zeros(len(pack_tok) + 1, dtype=np.int32)
+        np.cumsum(pack_tok, out=out_offs[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(out_offs), pa.array(flat, pa.int32())
+        )
+        return pa.table(
+            {
+                "pack_id": g["pack_id"].take(pa.array(starts)),
+                "tokens": lst,
+                "n_spans": pa.array(lens, pa.int64()),
+            }
+        )
+
+    sliced = (
+        docs.map_batches(_bucket_docs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(_slice, batch_format="pyarrow")
+    )
+    return sliced.groupby("__pb").map_groups(_assemble, batch_format="pyarrow")
+
+
 def pack_fill_stats(spans: ray.data.Dataset) -> ray.data.Dataset:
     """Per-pack occupancy: ``(pack_id, n_docs, filled)`` — every pack is
     exactly ``pack_len`` full except the final one.  Associative
