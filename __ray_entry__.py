@@ -909,11 +909,34 @@ def _q_pack_tokens_synthetic(sf_dir: str):
     if not os.path.isdir(d) or not os.listdir(d):
         datagen.generate(d, n_sources=8, base_seqs=600, seed=42, n_shards=4)
     paths = sorted(glob.glob(f"{d}/*.parquet"))
+    # scan passes run on the pruned 16-B (rank, n_tok) projection;
+    # the token payload is read once and deduped in the slice sweep
+    slim = ray.data.read_parquet(paths, columns=["doc_id", "n_tok"]).map_batches(
+        doc_rank_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    slim = exact_dedup(slim, keys=["rank"], tie_col="n_tok")
     docs = ray.data.read_parquet(paths, columns=["doc_id", "tokens"]).map_batches(
         doc_rank_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    docs = exact_dedup(docs, keys=["rank"], tie_col="rank")
-    return assemble_packs(docs, pack_len=2048)
+    return assemble_packs(
+        docs,
+        pack_len=2048,
+        n_col="n_tok",
+        docs_slim=slim,
+        drop_dup_ids=True,
+    )
+
+
+def _q_epoch_shuffle(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.split import epoch_shuffle
+
+    return epoch_shuffle(_documents(sf_dir), seed=0)
+
+
+def _q_train_val_split(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.split import train_val_split
+
+    return train_val_split(_documents(sf_dir), seed=0)
 
 
 def _q_tfidf_top_terms(sf_dir: str):
@@ -1054,6 +1077,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack_spans": _q_sequence_pack_spans,  # concat-chunk packer span map
         "pack_fill_stats": _q_pack_fill_stats,        # per-pack occupancy
         "pack_tokens_synthetic": _q_pack_tokens_synthetic,  # materialized token packs
+        "epoch_shuffle": _q_epoch_shuffle,            # seeded global training order
+        "train_val_split": _q_train_val_split,        # hash holdout assignment
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -1743,5 +1768,25 @@ b AS (
 SELECT p AS pack_id, count(*) AS n_docs,
        CAST(sum(LEAST(s+n, (p+1)*256) - GREATEST(s, p*256)) AS BIGINT) AS filled
 FROM b GROUP BY 1
+""",
+        # seeded deterministic shuffle: rank of md5(seed ':' doc_id)
+        "epoch_shuffle": """
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         md5('0:' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY hx, doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM h
+""",
+        "train_val_split": """
+WITH h AS (
+  SELECT source, md5('0:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+SELECT source,
+       CASE WHEN hx < '0d' THEN 'val'
+            WHEN hx < '1a' THEN 'test'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs
+FROM h GROUP BY 1, 2
 """,
     }

@@ -87,6 +87,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "ohlc_1h",
         "sequence_pack_spans",
         "pack_fill_stats",
+        "epoch_shuffle",
+        "train_val_split",
     ],
 )
 def test_query_matches_oracle(name, ray_session):

@@ -43,8 +43,11 @@ def _reference_packs(d: str) -> list[np.ndarray]:
     return [stream[i : i + PACK_LEN] for i in range(0, len(stream), PACK_LEN)]
 
 
-@pytest.mark.parametrize("parts", [(1, 1), (5, 3), (32, 32)])
-def test_assembled_packs_token_equality(ray_session, corpus, parts):
+@pytest.mark.parametrize(
+    "parts,slim",
+    [((1, 1), False), ((5, 3), True), ((32, 32), True), ((5, 3), False)],
+)
+def test_assembled_packs_token_equality(ray_session, corpus, parts, slim):
     P, Q = parts
     import glob
 
@@ -52,10 +55,27 @@ def test_assembled_packs_token_equality(ray_session, corpus, parts):
     docs = ray.data.read_parquet(paths, columns=["doc_id", "tokens"]).map_batches(
         doc_rank_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    docs = exact_dedup(docs, keys=["rank"], tie_col="rank")
-    out = assemble_packs(
-        docs, pack_len=PACK_LEN, num_partitions=P, pack_partitions=Q
-    ).to_pandas()
+    if slim:
+        # scale path: dedup only the pruned projection, drop dup ids
+        # inside the slice sweep — must be bit-identical to payload dedup
+        sl = ray.data.read_parquet(paths, columns=["doc_id", "n_tok"]).map_batches(
+            doc_rank_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        sl = exact_dedup(sl, keys=["rank"], tie_col="n_tok")
+        out = assemble_packs(
+            docs,
+            pack_len=PACK_LEN,
+            num_partitions=P,
+            pack_partitions=Q,
+            n_col="n_tok",
+            docs_slim=sl,
+            drop_dup_ids=True,
+        ).to_pandas()
+    else:
+        docs = exact_dedup(docs, keys=["rank"], tie_col="rank")
+        out = assemble_packs(
+            docs, pack_len=PACK_LEN, num_partitions=P, pack_partitions=Q
+        ).to_pandas()
     out = out.sort_values("pack_id").reset_index(drop=True)
     want = _reference_packs(corpus)
     assert out["pack_id"].tolist() == list(range(len(want)))

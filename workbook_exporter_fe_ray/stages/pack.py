@@ -151,7 +151,9 @@ def assemble_packs(
     pack_partitions: int = 32,
     id_col: str = "rank",
     tokens_col: str = "tokens",
+    n_col: str | None = None,
     docs_slim: ray.data.Dataset | None = None,
+    drop_dup_ids: bool = False,
     id_range: tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Materialized packer: emits ``(pack_id, tokens, n_spans)`` where
@@ -163,29 +165,36 @@ def assemble_packs(
     ``tests/test_packed_property.py``.
 
     Scale shape: the span arithmetic runs on the pruned ``(id, n)``
-    projection (pass ``docs_slim`` as a tokens-free read so the scan
-    passes never load payload); tokens move through exactly TWO
-    exchanges, the minimum for a packer — (1) keyed on the
-    order-preserving id-range bucket to line docs up in global order
-    and slice them, (2) keyed on ``pack_id % pack_partitions`` to
-    co-locate each pack's spans for concatenation.  All slicing is one
-    flat-values gather (``np.repeat``/``arange`` index build, no
+    projection — **pass ``docs_slim``** as a tokens-free read (its
+    ``n_col`` carrying the token count) so the two scan passes
+    (id-range min/max, bucket sums) never load or shuffle payload.
+    Without it, each scan pass re-executes the full ``docs`` pipeline.
+    Tokens then move through exactly TWO exchanges, the minimum for a
+    packer — (1) keyed on the order-preserving id-range bucket to line
+    docs up in global order and slice them, (2) keyed on
+    ``pack_id % pack_partitions`` to co-locate each pack's spans for
+    concatenation.  With ``drop_dup_ids=True``, byte-identical
+    duplicate rows (same id) are dropped inside the slice sweep — same
+    id → same bucket, adjacent after the sort — so the caller dedups
+    only the 16-byte ``docs_slim`` rows, never the token payload
+    (``docs_slim`` must then already be id-unique).  All slicing is
+    one flat-values gather (``np.repeat``/``arange`` index build, no
     per-row Python).  Group tasks are plain functions (autoscaling
     task pool), ``num_partitions`` / ``pack_partitions`` bound
     per-task memory to corpus_tokens/P.
     """
     slim = docs_slim if docs_slim is not None else docs
+    slim_n = n_col if (docs_slim is not None and n_col is not None) else None
 
     def _counts(b: pa.Table) -> pa.Table:
-        toks = b[tokens_col]
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        return pa.table(
-            {
-                "id": pc.cast(b[id_col], pa.int64()),
-                "n": pc.cast(pc.list_value_length(toks), pa.int64()),
-            }
-        )
+        if slim_n is not None:
+            n = pc.cast(b[slim_n], pa.int64())
+        else:
+            toks = b[tokens_col]
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            n = pc.cast(pc.list_value_length(toks), pa.int64())
+        return pa.table({"id": pc.cast(b[id_col], pa.int64()), "n": n})
 
     counts = slim.map_batches(_counts, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -234,6 +243,10 @@ def assemble_packs(
         bk = int(g["__bucket"][0].as_py())
         idx = pc.sort_indices(g, sort_keys=[("id", "ascending")])
         g = g.take(idx)
+        if drop_dup_ids:
+            from .sweep import run_starts_table
+
+            g = g.take(pa.array(run_starts_table(g, ["id"])))
         toks = g["toks"]
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
