@@ -169,11 +169,15 @@ def assemble_packs(
     ``n_col`` carrying the token count) so the two scan passes
     (id-range min/max, bucket sums) never load or shuffle payload.
     Without it, each scan pass re-executes the full ``docs`` pipeline.
-    Tokens then move through exactly TWO exchanges, the minimum for a
-    packer — (1) keyed on the order-preserving id-range bucket to line
-    docs up in global order and slice them, (2) keyed on
-    ``pack_id % pack_partitions`` to co-locate each pack's spans for
-    concatenation.  With ``drop_dup_ids=True``, byte-identical
+    Tokens then move through exactly ONE exchange — the order-bucket
+    sort that lines docs up in global order.  A bucket's flattened
+    token values are its contiguous window of the global stream, so
+    interior packs are cut out locally with zero copies beyond the
+    flatten; only the ≤2 boundary fragments per bucket (≤ ``pack_len``
+    tokens each) cross buckets, and those are stitched on the driver
+    (``P × 2`` tiny rows — no second all-to-all).
+    ``pack_partitions`` is retained for API compatibility and unused.
+    With ``drop_dup_ids=True``, byte-identical
     duplicate rows (same id) are dropped inside the slice sweep — same
     id → same bucket, adjacent after the sort — so the caller dedups
     only the 16-byte ``docs_slim`` rows, never the token payload
@@ -208,7 +212,6 @@ def assemble_packs(
     span = max(hi_id - lo_id + 1, 1)
     P = int(num_partitions)
     L = np.int64(pack_len)
-    Q = int(pack_partitions)
 
     def _bucket_of(ids: np.ndarray) -> np.ndarray:
         return (((ids - lo_id) * P) // span).astype(np.int32)
@@ -250,85 +253,116 @@ def assemble_packs(
         toks = g["toks"]
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
-        # flatten() applies list offsets → values are exactly the rows'
-        # concatenation; rebuild zero-based offsets from lengths
+        # flatten() applies list offsets → the flat values ARE this
+        # bucket's contiguous window [b0, b0+tot) of the global token
+        # stream; packs are cut straight out of it, no gather needed
         flat = toks.flatten().to_numpy(zero_copy_only=False)
         n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        offs0 = np.cumsum(n) - n
-        s = offs0 + base[bk]
+        tot = int(n.sum())
+        if tot == 0:
+            return pa.table(
+                {
+                    "pack_id": pa.array([], pa.int64()),
+                    "pack_off": pa.array([], pa.int64()),
+                    "toks": pa.array([], pa.list_(pa.int32())),
+                    "n_spans": pa.array([], pa.int64()),
+                    "complete": pa.array([], pa.bool_()),
+                }
+            )
+        if tot > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"bucket holds {tot} tokens > int32 list-offset limit; "
+                "raise num_partitions"
+            )
+        b0 = int(base[bk])
         keep = n > 0
-        sK, nK, offK = s[keep], n[keep], offs0[keep]
-        p0 = sK // L
-        p1 = (sK + nK - 1) // L
-        cnt = p1 - p0 + 1
-        total = int(cnt.sum())
-        rep = np.repeat(np.arange(len(nK), dtype=np.int64), cnt)
-        cc = np.cumsum(cnt) - cnt
-        p = p0[rep] + (np.arange(total, dtype=np.int64) - cc[rep])
-        sr, nr = sK[rep], nK[rep]
-        lo = np.maximum(sr, p * L)
-        hi = np.minimum(sr + nr, (p + 1) * L)
-        span_len = hi - lo
-        # flat-values gather for every emitted span at once
-        flat_start = offK[rep] + (lo - sr)
-        tot_tok = int(span_len.sum())
-        starts_rep = np.repeat(np.cumsum(span_len) - span_len, span_len)
-        gather = np.repeat(flat_start, span_len) + (
-            np.arange(tot_tok, dtype=np.int64) - starts_rep
-        )
-        vals = flat[gather]
-        out_offs = np.zeros(len(span_len) + 1, dtype=np.int32)
-        np.cumsum(span_len, out=out_offs[1:])
-        lst = pa.ListArray.from_arrays(
-            pa.array(out_offs), pa.array(vals, pa.int32())
+        s_abs = (np.cumsum(n) - n)[keep] + b0  # doc starts, sorted
+        e_abs = s_abs + n[keep]                # doc ends, also sorted
+        p_lo = b0 // L
+        p_hi = (b0 + tot - 1) // L
+        packs = np.arange(p_lo, p_hi + 1, dtype=np.int64)
+        a = np.maximum(packs * L, b0)
+        b_ = np.minimum((packs + 1) * L, b0 + tot)
+        complete = (packs * L >= b0) & ((packs + 1) * L <= b0 + tot)
+        offs = np.empty(len(packs) + 1, dtype=np.int32)
+        offs[0] = 0
+        np.cumsum(b_ - a, out=offs[1:])
+        lst = pa.ListArray.from_arrays(pa.array(offs), pa.array(flat, pa.int32()))
+        # docs overlapping [a, b): starts before b AND ends after a
+        nsp = np.searchsorted(s_abs, b_, side="left") - np.searchsorted(
+            e_abs, a, side="right"
         )
         return pa.table(
             {
-                "pack_id": pa.array(p, pa.int64()),
-                "pack_off": pa.array(lo - p * L, pa.int64()),
+                "pack_id": pa.array(packs, pa.int64()),
+                "pack_off": pa.array(a - packs * L, pa.int64()),
                 "toks": lst,
-                "__pb": pa.array((p % Q).astype(np.int32)),
+                "n_spans": pa.array(nsp.astype(np.int64), pa.int64()),
+                "complete": pa.array(complete),
             }
         )
 
-    def _assemble(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            g, sort_keys=[("pack_id", "ascending"), ("pack_off", "ascending")]
-        )
-        g = g.take(idx)
-        from .sweep import run_starts_table
-
-        starts = run_starts_table(g, ["pack_id"])
-        lens = np.diff(np.r_[starts, len(g)])
-        toks = g["toks"]
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
-        row_len = (
-            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        # rows are sorted (pack_id, pack_off) → flattened values are
-        # already in concatenation order; only offsets need building
-        pack_tok = np.add.reduceat(row_len, starts) if len(starts) else row_len[:0]
-        out_offs = np.zeros(len(pack_tok) + 1, dtype=np.int32)
-        np.cumsum(pack_tok, out=out_offs[1:])
-        lst = pa.ListArray.from_arrays(
-            pa.array(out_offs), pa.array(flat, pa.int32())
-        )
-        return pa.table(
-            {
-                "pack_id": g["pack_id"].take(pa.array(starts)),
-                "tokens": lst,
-                "n_spans": pa.array(lens, pa.int64()),
-            }
-        )
-
+    # ONE token exchange (the order-bucket sort). The materialize() is
+    # not an extra cost: the all-to-all it replaces is itself a full
+    # materialization barrier — here the blocks just stay put instead
+    # of moving a second time.
     sliced = (
         docs.map_batches(_bucket_docs, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
         .map_groups(_slice, batch_format="pyarrow")
+        .materialize()
     )
-    return sliced.groupby("__pb").map_groups(_assemble, batch_format="pyarrow")
+
+    def _completes(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["complete"], True))
+        toks = t["toks"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return pa.table(
+            {
+                "pack_id": t["pack_id"],
+                "tokens": pc.cast(toks, pa.list_(pa.int32())),
+                "n_spans": t["n_spans"],
+            }
+        )
+
+    def _frags(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["complete"], False))
+
+    completes = sliced.map_batches(
+        _completes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # boundary fragments: ≤2 per bucket, ≤pack_len tokens each → tiny;
+    # assembled on the driver (the only cross-bucket stitching needed)
+    frows = sliced.map_batches(
+        _frags, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    frows.sort(key=lambda r: (int(r["pack_id"]), int(r["pack_off"])))
+    b_ids: list[int] = []
+    b_toks: list[np.ndarray] = []
+    b_nsp: list[int] = []
+    for r in frows:
+        pid = int(r["pack_id"])
+        t = np.asarray(r["toks"], dtype=np.int32)
+        if b_ids and b_ids[-1] == pid:
+            b_toks[-1] = np.concatenate([b_toks[-1], t])
+            b_nsp[-1] += int(r["n_spans"])
+        else:
+            b_ids.append(pid)
+            b_toks.append(t)
+            b_nsp.append(int(r["n_spans"]))
+    boundary_tbl = pa.table(
+        {
+            "pack_id": pa.array(b_ids, pa.int64()),
+            "tokens": pa.array(
+                [t.tolist() for t in b_toks], pa.list_(pa.int32())
+            ),
+            "n_spans": pa.array(b_nsp, pa.int64()),
+        }
+    )
+    if len(boundary_tbl) == 0:
+        return completes
+    return completes.union(ray.data.from_arrow(boundary_tbl))
 
 
 def pack_fill_stats(spans: ray.data.Dataset) -> ray.data.Dataset:
