@@ -133,6 +133,110 @@ def sequence_pack_spans(
     return bucketed.groupby("__bucket").map_groups(_emit, batch_format="pyarrow")
 
 
+_EMPTY_CUT = pa.table(
+    {
+        "pack_id": pa.array([], pa.int64()),
+        "pack_off": pa.array([], pa.int64()),
+        "toks": pa.array([], pa.list_(pa.int32())),
+        "n_spans": pa.array([], pa.int64()),
+        "complete": pa.array([], pa.bool_()),
+    }
+)
+
+
+def cut_bucket_packs(
+    g: pa.Table,
+    b0: int,
+    pack_len: int,
+    drop_dup_ids: bool = False,
+    id_col: str = "id",
+    toks_col: str = "toks",
+) -> pa.Table:
+    """Cut one order-bucket's docs into packs.
+
+    ``g`` holds all docs of one contiguous id range; ``b0`` is the
+    bucket's global token offset.  Sorts by ``id_col`` (optionally
+    dropping duplicate-id rows — they are byte-identical by contract),
+    flattens — the flat values ARE the bucket's window ``[b0,
+    b0+tot)`` of the global token stream — and cuts packs straight out
+    of it with zero copies beyond the flatten.  Rows fully inside the
+    window get ``complete=True``; the ≤2 boundary fragments carry
+    ``pack_off`` for cross-bucket stitching.
+    """
+    L = np.int64(pack_len)
+    idx = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
+    g = g.take(idx)
+    if drop_dup_ids:
+        from .sweep import run_starts_table
+
+        g = g.take(pa.array(run_starts_table(g, [id_col])))
+    toks = g[toks_col]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    tot = int(n.sum())
+    if tot == 0:
+        return _EMPTY_CUT
+    if tot > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"bucket holds {tot} tokens > int32 list-offset limit; "
+            "raise num_partitions"
+        )
+    keep = n > 0
+    s_abs = (np.cumsum(n) - n)[keep] + b0  # doc starts, sorted
+    e_abs = s_abs + n[keep]                # doc ends, also sorted
+    p_lo = b0 // L
+    p_hi = (b0 + tot - 1) // L
+    packs = np.arange(p_lo, p_hi + 1, dtype=np.int64)
+    a = np.maximum(packs * L, b0)
+    b_ = np.minimum((packs + 1) * L, b0 + tot)
+    complete = (packs * L >= b0) & ((packs + 1) * L <= b0 + tot)
+    offs = np.empty(len(packs) + 1, dtype=np.int32)
+    offs[0] = 0
+    np.cumsum(b_ - a, out=offs[1:])
+    lst = pa.ListArray.from_arrays(pa.array(offs), pa.array(flat, pa.int32()))
+    # docs overlapping [a, b): starts before b AND ends after a
+    nsp = np.searchsorted(s_abs, b_, side="left") - np.searchsorted(
+        e_abs, a, side="right"
+    )
+    return pa.table(
+        {
+            "pack_id": pa.array(packs, pa.int64()),
+            "pack_off": pa.array(a - packs * L, pa.int64()),
+            "toks": lst,
+            "n_spans": pa.array(nsp.astype(np.int64), pa.int64()),
+            "complete": pa.array(complete),
+        }
+    )
+
+
+def stitch_fragments(frows: list[dict]) -> pa.Table:
+    """Driver-side assembly of cross-bucket boundary fragments (tiny:
+    ≤2 rows × ≤pack_len tokens per bucket)."""
+    frows = sorted(frows, key=lambda r: (int(r["pack_id"]), int(r["pack_off"])))
+    b_ids: list[int] = []
+    b_toks: list[np.ndarray] = []
+    b_nsp: list[int] = []
+    for r in frows:
+        pid = int(r["pack_id"])
+        t = np.asarray(r["toks"], dtype=np.int32)
+        if b_ids and b_ids[-1] == pid:
+            b_toks[-1] = np.concatenate([b_toks[-1], t])
+            b_nsp[-1] += int(r["n_spans"])
+        else:
+            b_ids.append(pid)
+            b_toks.append(t)
+            b_nsp.append(int(r["n_spans"]))
+    return pa.table(
+        {
+            "pack_id": pa.array(b_ids, pa.int64()),
+            "tokens": pa.array([t.tolist() for t in b_toks], pa.list_(pa.int32())),
+            "n_spans": pa.array(b_nsp, pa.int64()),
+        }
+    )
+
+
 def doc_rank_batch(b: pa.Table, id_col: str = "doc_id") -> pa.Table:
     """int64 ``rank`` for the synthetic ``"src-III-SSSSSSSSSSSS"`` ids:
     ``src_idx << 44 | seq`` — lexicographic doc_id order, as one
@@ -244,63 +348,7 @@ def assemble_packs(
 
     def _slice(g: pa.Table) -> pa.Table:
         bk = int(g["__bucket"][0].as_py())
-        idx = pc.sort_indices(g, sort_keys=[("id", "ascending")])
-        g = g.take(idx)
-        if drop_dup_ids:
-            from .sweep import run_starts_table
-
-            g = g.take(pa.array(run_starts_table(g, ["id"])))
-        toks = g["toks"]
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        # flatten() applies list offsets → the flat values ARE this
-        # bucket's contiguous window [b0, b0+tot) of the global token
-        # stream; packs are cut straight out of it, no gather needed
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
-        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        tot = int(n.sum())
-        if tot == 0:
-            return pa.table(
-                {
-                    "pack_id": pa.array([], pa.int64()),
-                    "pack_off": pa.array([], pa.int64()),
-                    "toks": pa.array([], pa.list_(pa.int32())),
-                    "n_spans": pa.array([], pa.int64()),
-                    "complete": pa.array([], pa.bool_()),
-                }
-            )
-        if tot > np.iinfo(np.int32).max:
-            raise ValueError(
-                f"bucket holds {tot} tokens > int32 list-offset limit; "
-                "raise num_partitions"
-            )
-        b0 = int(base[bk])
-        keep = n > 0
-        s_abs = (np.cumsum(n) - n)[keep] + b0  # doc starts, sorted
-        e_abs = s_abs + n[keep]                # doc ends, also sorted
-        p_lo = b0 // L
-        p_hi = (b0 + tot - 1) // L
-        packs = np.arange(p_lo, p_hi + 1, dtype=np.int64)
-        a = np.maximum(packs * L, b0)
-        b_ = np.minimum((packs + 1) * L, b0 + tot)
-        complete = (packs * L >= b0) & ((packs + 1) * L <= b0 + tot)
-        offs = np.empty(len(packs) + 1, dtype=np.int32)
-        offs[0] = 0
-        np.cumsum(b_ - a, out=offs[1:])
-        lst = pa.ListArray.from_arrays(pa.array(offs), pa.array(flat, pa.int32()))
-        # docs overlapping [a, b): starts before b AND ends after a
-        nsp = np.searchsorted(s_abs, b_, side="left") - np.searchsorted(
-            e_abs, a, side="right"
-        )
-        return pa.table(
-            {
-                "pack_id": pa.array(packs, pa.int64()),
-                "pack_off": pa.array(a - packs * L, pa.int64()),
-                "toks": lst,
-                "n_spans": pa.array(nsp.astype(np.int64), pa.int64()),
-                "complete": pa.array(complete),
-            }
-        )
+        return cut_bucket_packs(g, int(base[bk]), pack_len, drop_dup_ids)
 
     # ONE token exchange (the order-bucket sort). The materialize() is
     # not an extra cost: the all-to-all it replaces is itself a full
@@ -337,29 +385,7 @@ def assemble_packs(
     frows = sliced.map_batches(
         _frags, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
-    frows.sort(key=lambda r: (int(r["pack_id"]), int(r["pack_off"])))
-    b_ids: list[int] = []
-    b_toks: list[np.ndarray] = []
-    b_nsp: list[int] = []
-    for r in frows:
-        pid = int(r["pack_id"])
-        t = np.asarray(r["toks"], dtype=np.int32)
-        if b_ids and b_ids[-1] == pid:
-            b_toks[-1] = np.concatenate([b_toks[-1], t])
-            b_nsp[-1] += int(r["n_spans"])
-        else:
-            b_ids.append(pid)
-            b_toks.append(t)
-            b_nsp.append(int(r["n_spans"]))
-    boundary_tbl = pa.table(
-        {
-            "pack_id": pa.array(b_ids, pa.int64()),
-            "tokens": pa.array(
-                [t.tolist() for t in b_toks], pa.list_(pa.int32())
-            ),
-            "n_spans": pa.array(b_nsp, pa.int64()),
-        }
-    )
+    boundary_tbl = stitch_fragments(frows)
     if len(boundary_tbl) == 0:
         return completes
     return completes.union(ray.data.from_arrow(boundary_tbl))
