@@ -127,6 +127,40 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("docs_text_analysis", lambda: em.queries()["quality_score"](sf_dir).materialize())
     timed("ann_topk", lambda: em.queries()["ann_topk"](sf_dir).materialize())
 
+    # 5) materialized token packer over a 4-shard slice of the synthetic
+    # corpus (~100M tokens): the tokens-axis headline — one payload
+    # exchange, driver-stitched boundaries
+    def _pack():
+        import ray
+
+        from workbook_exporter_fe_ray.stages.dedup import exact_dedup
+        from workbook_exporter_fe_ray.stages.pack import (
+            assemble_packs,
+            doc_rank_batch,
+        )
+
+        sub = paths[:4]
+        slim = ray.data.read_parquet(sub, columns=["doc_id", "n_tok"]).map_batches(
+            doc_rank_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        slim = exact_dedup(slim, keys=["rank"], tie_col="n_tok", num_partitions=64)
+        docs = ray.data.read_parquet(sub, columns=["doc_id", "tokens"]).map_batches(
+            doc_rank_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        out = assemble_packs(
+            docs,
+            pack_len=2048,
+            num_partitions=64,
+            n_col="n_tok",
+            docs_slim=slim,
+            drop_dup_ids=True,
+        ).materialize()
+        meta["packs"] = out.count()
+        return out
+
+    timed("tokens_pack_2048", _pack)
+    meta["packed_tokens"] = max(meta["packs"] - 1, 0) * 2048  # last pack ragged
+
     total = round(sum(queries.values()), 3)
     comp_secs = queries["synthetic_compress_gorilla"]
     roll_secs = queries["synthetic_cascade_4tiers"]
@@ -143,6 +177,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "points_per_s": round(meta["points"] / roll_secs, 1) if roll_secs else None,
         "compressed_bytes_per_s": round(meta["compressed_bytes"] / comp_secs, 1)
         if comp_secs
+        else None,
+        "packs": meta["packs"],
+        "packed_tokens_per_s": round(meta["packed_tokens"] / queries["tokens_pack_2048"], 1)
+        if queries["tokens_pack_2048"]
         else None,
     }
 
