@@ -96,7 +96,13 @@ def sequence_pack_spans(
             )
         return pa.table({"id": pc.cast(b[id_col], pa.int64()), "n": n})
 
-    counts = docs.map_batches(_counts, batch_format="pyarrow", zero_copy_batch=True)
+    # The (id, n) projection feeds up to three passes (id-range scan,
+    # bucket sums, span emission); materialize it ONCE — 16 B/doc,
+    # object-store-spillable — instead of re-executing the upstream
+    # pipeline per pass.
+    counts = docs.map_batches(
+        _counts, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     if id_range is None:
         mm = counts.aggregate(Min("id"), Max("id"))
@@ -304,7 +310,12 @@ def assemble_packs(
             n = pc.cast(pc.list_value_length(toks), pa.int64())
         return pa.table({"id": pc.cast(b[id_col], pa.int64()), "n": n})
 
-    counts = slim.map_batches(_counts, batch_format="pyarrow", zero_copy_batch=True)
+    # Two scan passes (id range, bucket sums) read this projection;
+    # materialize once (16 B/doc, spillable) so the slim pipeline —
+    # which may itself contain a dedup exchange — runs a single time.
+    counts = slim.map_batches(
+        _counts, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     from ray.data.aggregate import Max, Min, Sum
 
