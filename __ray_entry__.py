@@ -882,6 +882,44 @@ def _q_ohlc_1h(sf_dir: str):
     return ohlc_1h(_events(sf_dir))
 
 
+def _q_rolling_min(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import rolling_min_per_user
+
+    return rolling_min_per_user(_events(sf_dir))
+
+
+def _q_grouped_corr(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import grouped_corr
+
+    return grouped_corr(_events(sf_dir))
+
+
+def _q_bloom_semi_join(sf_dir: str):
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import bloom_semi_join
+
+    urgent = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_suppkey"],
+    )
+    return bloom_semi_join(li, urgent)
+
+
+def _q_grouping_sets(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import grouping_sets_counts
+
+    return grouping_sets_counts(_documents(sf_dir))
+
+
+def _q_median_interp(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.sketch import median_interp
+
+    return median_interp(_documents(sf_dir))
+
+
 def _q_sequence_pack_spans(sf_dir: str):
     from workbook_exporter_fe_ray.stages.pack import sequence_pack_spans
 
@@ -1074,6 +1112,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events": _q_outlier_events,          # grouped z-score screen
         "normalize_text": _q_normalize_text,          # canonical text cleanup
         "ohlc_1h": _q_ohlc_1h,                        # per-bucket OHLC candle
+        "rolling_min_per_user": _q_rolling_min,       # bounded ROWS-frame window
+        "grouped_corr": _q_grouped_corr,              # bit-exact Pearson corr
+        "bloom_semi_join": _q_bloom_semi_join,        # Bloom prefilter + exact verify
+        "grouping_sets_counts": _q_grouping_sets,     # cube-from-partials levels
+        "median_interp": _q_median_interp,            # percentile_cont(0.5)
         "sequence_pack_spans": _q_sequence_pack_spans,  # concat-chunk packer span map
         "pack_fill_stats": _q_pack_fill_stats,        # per-pack occupancy
         "pack_tokens_synthetic": _q_pack_tokens_synthetic,  # materialized token packs
@@ -1730,6 +1773,55 @@ SELECT source, bucket_ts,
        CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS close_cents,
        count(*) AS n_events
 FROM w GROUP BY 1, 2
+""",
+        "rolling_min_per_user": f"""
+SELECT event_id, user_id, ts,
+       min({_CENTS}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rmin_cents
+FROM events
+""",
+        # corr: int64 sums widened to DOUBLE before the n-products
+        # (n*sumsq overflows int64); every float op once, pinned order
+        "grouped_corr": f"""
+WITH c AS (SELECT event_type AS source, {_CENTS} AS x,
+                  CAST(hour(ts) AS BIGINT) AS y FROM events),
+s AS (SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) sx,
+             CAST(sum(y) AS BIGINT) sy, CAST(sum(x*x) AS BIGINT) sxx,
+             CAST(sum(y*y) AS BIGINT) syy, CAST(sum(x*y) AS BIGINT) sxy
+      FROM c GROUP BY 1)
+SELECT source, n AS n_events,
+  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+  / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+   * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+    AS corr_value_hour
+FROM s
+""",
+        # Bloom prefilter + exact verify == plain semi join, bit-for-bit
+        "bloom_semi_join": """
+SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l_orderkey
+                AND o.o_orderpriority = '1-URGENT')
+""",
+        "grouping_sets_counts": """
+SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
+       count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+""",
+        # percentile_cont(0.5) spelled out so the interpolation formula
+        # is pinned on both sides: f8(lo) + (f8(hi) - f8(lo)) * 0.5
+        "median_interp": """
+WITH o AS (SELECT source, CAST(n_chars AS BIGINT) v,
+                  row_number() OVER (PARTITION BY source ORDER BY n_chars) rn,
+                  count(*) OVER (PARTITION BY source) n
+           FROM documents),
+pick AS (SELECT source, n, max(CASE WHEN rn = (n-1)//2 + 1 THEN v END) AS lo,
+                max(CASE WHEN rn = n//2 + 1 THEN v END) AS hi
+         FROM o GROUP BY source, n)
+SELECT source, n AS n_rows,
+       CAST(lo AS DOUBLE) + (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * 0.5 AS median
+FROM pick
 """,
         # global concat-and-chunk packing in doc_id order; whitespace
         # token count = string_split(text,' ') (token_count convention)

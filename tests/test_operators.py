@@ -89,6 +89,11 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "pack_fill_stats",
         "epoch_shuffle",
         "train_val_split",
+        "rolling_min_per_user",
+        "grouped_corr",
+        "bloom_semi_join",
+        "grouping_sets_counts",
+        "median_interp",
     ],
 )
 def test_query_matches_oracle(name, ray_session):
@@ -491,3 +496,74 @@ def test_sequence_pack_invariants(ray_session):
             g["pack_off"].iloc[1:].to_numpy()
             == (g["pack_off"] + g["span_len"]).iloc[:-1].to_numpy()
         ).all()
+
+
+def test_rolling_min_partition_invariance(ray_session):
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.window import rolling_min_per_user
+
+    ev = read_table(f"{SF}/events.parquet")
+    a = _canon(rolling_min_per_user(ev, num_partitions=4).to_pandas())
+    b = _canon(rolling_min_per_user(ev, num_partitions=64).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bloom_semi_join_exact_under_high_fp(ray_session):
+    """A deliberately tiny bitmap (512 bits for ~hundreds of keys →
+    massive false-positive rate) must still produce the exact semi-join
+    output: the verify stage owns correctness, the Bloom only prunes."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import bloom_semi_join
+
+    urgent = read_table(f"{SF}/orders.parquet").filter(
+        expr="o_orderpriority == '1-URGENT'"
+    )
+    li = read_table(f"{SF}/lineitem.parquet")
+    got = _canon(
+        bloom_semi_join(li, urgent, m_bits=512, k_hashes=2).to_pandas()
+    )
+    want = _canon(_duck(entrymod.oracle_sql()["bloom_semi_join"]))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouping_sets_levels_consistent(ray_session):
+    got = entrymod.queries()["grouping_sets_counts"](SF).to_pandas()
+    fine = got[(got.source != "(all)") & (got.lang != "(all)")]
+    by_a = got[(got.source != "(all)") & (got.lang == "(all)")]
+    by_b = got[(got.source == "(all)") & (got.lang != "(all)")]
+    grand = got[(got.source == "(all)") & (got.lang == "(all)")]
+    assert len(grand) == 1
+    for lvl in (fine, by_a, by_b, grand):
+        assert lvl.n_rows.sum() == fine.n_rows.sum()
+        assert lvl.sum_n_chars.sum() == fine.sum_n_chars.sum()
+
+
+def test_median_interp_odd_even(ray_session):
+    import ray as _ray
+
+    from workbook_exporter_fe_ray.stages.sketch import median_interp
+
+    import pandas as _pd
+
+    ds = _ray.data.from_pandas(
+        _pd.DataFrame(
+            {
+                "source": ["odd"] * 3 + ["even"] * 4,
+                "n_chars": [1, 9, 5, 10, 2, 4, 8],
+            }
+        )
+    )
+    out = median_interp(ds).to_pandas().set_index("source")
+    assert out.loc["odd", "median"] == 5.0  # middle element exactly
+    assert out.loc["even", "median"] == 6.0  # (4 + 8) / 2 interpolated
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    got = entrymod.queries()["grouped_corr"](SF).to_pandas().set_index("source")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["x"] = np.round(ev.value * 100).astype(np.int64)
+    us = ev.ts.to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev["y"] = (us // 3_600_000_000) % 24
+    for src, g in ev.groupby("event_type"):
+        ref = np.corrcoef(g.x.to_numpy(), g.y.to_numpy())[0, 1]
+        assert abs(got.loc[src, "corr_value_hour"] - ref) < 1e-9, src

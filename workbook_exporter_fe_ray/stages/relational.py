@@ -1434,3 +1434,190 @@ def semi_join_hot_orders(
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
+
+
+def bloom_semi_join(
+    fact: ray.data.Dataset,
+    keys: ray.data.Dataset,
+    fact_key: str = "l_orderkey",
+    key_col: str = "o_orderkey",
+    out_cols: tuple[str, ...] = ("l_orderkey", "l_linenumber", "l_suppkey"),
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> ray.data.Dataset:
+    """Semi join with a broadcast Bloom prefilter — the 100 TB shape of
+    "filter the fact table to rows whose key appears in a driver-side
+    predicate set".
+
+    Why not just broadcast the key set (``semi_join_hot_orders``)?  At
+    scale the qualifying keys can be 10^8 × 8 B — sending that array to
+    every fact task dominates.  The Bloom bitmap is ``m_bits/8`` bytes
+    REGARDLESS of key count: each key-side block folds its keys into a
+    partial bitmap (k double-hashed bits via splitmix64), the ≤blocks
+    partials OR together on the driver (associative, tiny), and the
+    fused filter ships once via ``ray.put``.  Fact batches test
+    membership fully vectorized; Bloom false positives (~0.6% at 10
+    bits/key, k=4) are removed by an EXACT verify so the output equals
+    the plain semi join bit-for-bit.  Here the verify is the broadcast
+    sorted key array (the small side by contract); when even that is
+    too big, verify only the survivors — a hash-partition join whose
+    left side the Bloom has already shrunk ~100×.
+
+    Output: ``out_cols`` of the matching fact rows.
+    """
+    from .sweep import _splitmix64
+
+    words = m_bits // 64
+
+    def _hash_bits(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h1 = _splitmix64(ids.astype(np.int64).view(np.uint64))
+        h2 = _splitmix64(h1) | np.uint64(1)
+        return h1, h2
+
+    def _partial_bloom(b: pa.Table) -> dict:
+        bits = np.zeros(words, dtype=np.uint64)
+        ids = b[key_col].to_numpy(zero_copy_only=False)
+        h1, h2 = _hash_bits(ids)
+        for i in range(k_hashes):
+            with np.errstate(over="ignore"):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table(
+            {
+                "bloom": pa.array([bits.tobytes()], pa.binary()),
+                "ids": pa.array([ids.astype(np.int64).tobytes()], pa.binary()),
+            }
+        )
+
+    bits = np.zeros(words, dtype=np.uint64)
+    id_chunks: list[np.ndarray] = []
+    for row in keys.map_batches(_partial_bloom, batch_format="pyarrow").iter_rows():
+        bits |= np.frombuffer(row["bloom"], dtype=np.uint64)
+        id_chunks.append(np.frombuffer(row["ids"], dtype=np.int64))
+    exact = np.unique(np.concatenate(id_chunks or [np.array([], np.int64)]))
+    ref = ray.put((bits, exact))
+
+    class _Filter:
+        def __init__(self, ref):
+            self.bits, self.exact = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b[fact_key].to_numpy(zero_copy_only=False)
+            h1, h2 = _hash_bits(ids)
+            maybe = np.ones(len(ids), dtype=bool)
+            for i in range(k_hashes):
+                with np.errstate(over="ignore"):
+                    pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                w = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+                maybe &= (w >> (pos & np.uint64(63))) & np.uint64(1) != 0
+            if not maybe.any():
+                return b.slice(0, 0).select(list(out_cols))
+            # exact verify of the (rare) survivors only
+            surv = np.flatnonzero(maybe)
+            p = np.searchsorted(self.exact, ids[surv])
+            p_c = np.minimum(p, max(len(self.exact) - 1, 0))
+            hit = (
+                self.exact[p_c] == ids[surv]
+                if len(self.exact)
+                else np.zeros(len(surv), dtype=bool)
+            )
+            keep = np.zeros(len(ids), dtype=bool)
+            keep[surv[hit]] = True
+            return b.filter(pa.array(keep)).select(list(out_cols))
+
+    return fact.map_batches(
+        _Filter,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def grouping_sets_counts(
+    docs: ray.data.Dataset,
+    a_col: str = "source",
+    b_col: str = "lang",
+    sum_col: str = "n_chars",
+    all_label: str = "(all)",
+) -> ray.data.Dataset:
+    """Multi-granularity aggregate — ``GROUP BY GROUPING SETS ((a, b),
+    (a), (b), ())`` — count and int64 sum at every level, with
+    ``all_label`` marking the rolled-up dimension (so the schema stays
+    null-free and hash-comparable).
+
+    One exchange total: blocks pre-aggregate to the FINEST level (a, b)
+    partials; after the small finest groupby, the three coarser levels
+    are derived from the finest rows — aggregates over the (a, b)
+    domain, dimension-sized, never the fact stream — with three more
+    tiny groupbys.  This is the cube-from-partials plan: adding levels
+    costs nothing at fact-table scale.
+
+    Output: (a_col, b_col, n_rows, sum_<sum_col>).
+    """
+    from ray.data.aggregate import Sum
+
+    sum_name = f"sum_{sum_col}"
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                a_col: b[a_col],
+                b_col: b[b_col],
+                "n": pa.array(np.ones(len(b), np.int64)),
+                "s": pc.cast(b[sum_col], pa.int64()),
+            }
+        )
+        g = t.group_by([a_col, b_col]).aggregate([("n", "sum"), ("s", "sum")])
+        return g.rename_columns([a_col, b_col, "n", "s"])
+
+    # materialized: the four output levels all derive from this tiny
+    # (a × b domain) table — without it Ray re-executes the fact scan
+    # once per union branch
+    finest = (
+        docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([a_col, b_col])
+        .aggregate(Sum("n"), Sum("s"))
+        .materialize()
+    )
+
+    def _label(b: pa.Table, a_all: bool, b_all: bool) -> pa.Table:
+        n = len(b)
+        fill = pa.array([all_label] * n, pa.string())
+        return pa.table(
+            {
+                a_col: fill if a_all else b[a_col],
+                b_col: fill if b_all else b[b_col],
+                "n_rows": pc.cast(b["sum(n)"], pa.int64()),
+                sum_name: pc.cast(b["sum(s)"], pa.int64()),
+            }
+        )
+
+    fine = finest.map_batches(
+        lambda b: _label(b, False, False), batch_format="pyarrow"
+    )
+
+    def _re(level_col: str | None):
+        if level_col is None:  # grand total
+            agg = finest.groupby(None).aggregate(Sum("sum(n)"), Sum("sum(s)"))
+        else:
+            agg = finest.groupby(level_col).aggregate(Sum("sum(n)"), Sum("sum(s)"))
+
+        def _fmt(b: pa.Table) -> pa.Table:
+            n = len(b)
+            fill = pa.array([all_label] * n, pa.string())
+            return pa.table(
+                {
+                    a_col: b[a_col] if level_col == a_col else fill,
+                    b_col: b[b_col] if level_col == b_col else fill,
+                    "n_rows": pc.cast(b["sum(sum(n))"], pa.int64()),
+                    sum_name: pc.cast(b["sum(sum(s))"], pa.int64()),
+                }
+            )
+
+        return agg.map_batches(_fmt, batch_format="pyarrow")
+
+    return fine.union(_re(a_col)).union(_re(b_col)).union(_re(None))

@@ -512,3 +512,82 @@ def quantile_bin_counts(
         ),
         batch_format="pyarrow",
     )
+
+
+def median_interp(
+    ds: ray.data.Dataset,
+    key: str = "source",
+    value_col: str = "n_chars",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Exact per-key INTERPOLATED median (``percentile_cont(0.5)``) of
+    an integer column — the continuous sibling of
+    :func:`grouped_quantiles` (which is ``quantile_disc``).
+
+    Same bounded exchange: per-block (key, value, cnt) histogram
+    partials, coarse-partition sweep, per-run local cumsums picking the
+    two order statistics ``lo = v[(n-1)//2]`` and ``hi = v[n//2]`` with
+    one flat searchsorted each; the single float expression is pinned —
+    ``median = f8(lo) + (f8(hi) − f8(lo)) · 0.5`` — so the value is
+    bit-identical to the SQL oracle that uses the same formula.
+
+    Output: (key, n_rows, median).
+    """
+    from .sweep import run_starts_table, with_part
+
+    def _hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key], value_col: pc.cast(b[value_col], pa.int64())})
+        g = t.group_by([key, value_col]).aggregate([([], "count_all")])
+        g = g.rename_columns([key, value_col, "cnt"])
+        return with_part(g, [key], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), (value_col, "ascending")]
+        )
+        g = g.take(idx)
+        if len(g) == 0:
+            return pa.table(
+                {
+                    key: g[key],
+                    "n_rows": pa.array([], pa.int64()),
+                    "median": pa.array([], pa.float64()),
+                }
+            )
+        pair_starts = run_starts_table(g, [key, value_col])
+        c = np.add.reduceat(
+            g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64), pair_starts
+        )
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)[pair_starts]
+        keys_arr = g[key].take(pa.array(pair_starts))
+        dedup = pa.table({key: keys_arr})
+        starts = run_starts_table(dedup, [key])
+        k = len(starts)
+        lens = np.diff(np.r_[starts, len(v)])
+        cum = np.cumsum(c)
+        base = cum[starts] - c[starts]
+        local_cum = cum - np.repeat(base, lens)
+        n_per_key = local_cum[starts + lens - 1]
+        big = int(local_cum.max()) + 1
+        mono = local_cum + np.repeat(np.arange(k), lens) * big
+
+        def pick(kidx: np.ndarray) -> np.ndarray:
+            tgt = (kidx + 1) + np.arange(k) * big
+            return v[np.searchsorted(mono, tgt, side="left")]
+
+        lo = pick((n_per_key - 1) // 2).astype(np.float64)
+        hi = pick(n_per_key // 2).astype(np.float64)
+        med = lo + (hi - lo) * np.float64(0.5)
+        return pa.table(
+            {
+                key: keys_arr.take(pa.array(starts)),
+                "n_rows": pa.array(n_per_key, pa.int64()),
+                "median": pa.array(med, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_hist_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+    )

@@ -153,6 +153,128 @@ def keyed_lag_delta(
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
 
 
+def rolling_min_per_user(
+    events: ray.data.Dataset, window: int = 4, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Bounded ROWS-frame window aggregate — ``MIN(cents) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW)`` — the frame-based sibling of the
+    unbounded scans above (anomaly floors, debounce filters).
+
+    Same coarse-partition sweep shape as :func:`keyed_cumsum`; the
+    frame fold is ``window-1`` vectorized shift-and-minimum passes over
+    the whole partition (run boundaries masked by index-in-run), so
+    cost is O(window × partition) with no per-key or per-row Python.
+    For large windows swap the fold for a monotonic-deque kernel; the
+    exchange shape is unchanged.  Output: (event_id, user_id, ts,
+    rmin_cents).
+    """
+    from .sweep import with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "cents": _cents(b),
+            }
+        )
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        g, starts, lens = _sorted_runs(g)
+        c = g["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(c)
+        m = c.copy()
+        if n:
+            idx_in_run = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+            for k in range(1, window):
+                if k >= n:
+                    break
+                valid = idx_in_run >= k  # k rows back is inside the same run
+                sh = np.empty(n, dtype=np.int64)
+                sh[k:] = c[:-k]
+                sh[:k] = np.iinfo(np.int64).max
+                m = np.where(valid, np.minimum(m, sh), m)
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "ts": g["ts"],
+                "rmin_cents": pa.array(m, pa.int64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def grouped_corr(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Pearson correlation per event type between value cents and the
+    event's hour-of-day — is a type's spend time-of-day dependent? —
+    bit-exact via the :func:`grouped_stats` recipe extended to two
+    variables: per-block partial int64 sums (n, Σx, Σy, Σx², Σy², Σxy)
+    combine associatively, then every float op happens exactly once in
+    pinned order::
+
+        corr = (f8(n)·f8(Σxy) − f8(Σx)·f8(Σy))
+             / (√(f8(n)·f8(Σx²) − f8(Σx)²) · √(f8(n)·f8(Σy²) − f8(Σy)²))
+
+    (the int sums are widened to float64 BEFORE the n· products — n·Σx²
+    can exceed int64 even when every sum fits).  Output: (source,
+    n_events, corr_value_hour).
+    """
+    from ray.data.aggregate import Sum
+
+    HOUR = np.int64(3_600_000_000)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        x = _cents(b).to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        y = (tsv // HOUR) % np.int64(24)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "n": pa.array(np.ones(len(b), np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+                "sxy": pa.array(x * y),
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")]
+        )
+
+    partials = events.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partials.groupby("source").aggregate(
+        Sum("n_sum"), Sum("sx_sum"), Sum("sy_sum"),
+        Sum("sxx_sum"), Sum("syy_sum"), Sum("sxy_sum"),
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        f = lambda c: b[c].to_numpy(zero_copy_only=False).astype(np.float64)  # noqa: E731
+        nf, sx, sy = f("sum(n_sum)"), f("sum(sx_sum)"), f("sum(sy_sum)")
+        sxx, syy, sxy = f("sum(sxx_sum)"), f("sum(syy_sum)"), f("sum(sxy_sum)")
+        corr = (nf * sxy - sx * sy) / (
+            np.sqrt(nf * sxx - sx * sx) * np.sqrt(nf * syy - sy * sy)
+        )
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_events": pc.cast(b["sum(n_sum)"], pa.int64()),
+                "corr_value_hour": pa.array(corr, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
 def grouped_stats(events: ray.data.Dataset) -> ray.data.Dataset:
     """Per-event-type moment statistics from exact integer partials.
 
