@@ -920,6 +920,42 @@ def _q_median_interp(sf_dir: str):
     return median_interp(_documents(sf_dir))
 
 
+def _q_users_intersect(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import users_intersect
+
+    return users_intersect(_events(sf_dir))
+
+
+def _q_ntile(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import ntile_by_value
+
+    return ntile_by_value(_events(sf_dir), k=4)
+
+
+def _q_weighted_sample(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import weighted_sample
+
+    return weighted_sample(_documents(sf_dir))
+
+
+def _q_token_vocab_hist(sf_dir: str):
+    """Vocabulary histogram over the synthetic int-token table
+    (rows-only; exact bincount equality vs numpy is asserted in
+    tests/test_pack_assembly.py)."""
+    import glob
+    import os
+
+    from workbook_exporter_fe_ray import datagen
+    from workbook_exporter_fe_ray.stages.pack import token_vocab_hist
+
+    d = "/tmp/wfer_flagship_sf"
+    if not os.path.isdir(d) or not os.listdir(d):
+        datagen.generate(d, n_sources=8, base_seqs=600, seed=42, n_shards=4)
+    paths = sorted(glob.glob(f"{d}/*.parquet"))
+    docs = ray.data.read_parquet(paths, columns=["tokens"])
+    return token_vocab_hist(docs)
+
+
 def _q_sequence_pack_spans(sf_dir: str):
     from workbook_exporter_fe_ray.stages.pack import sequence_pack_spans
 
@@ -1117,6 +1153,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": _q_bloom_semi_join,        # Bloom prefilter + exact verify
         "grouping_sets_counts": _q_grouping_sets,     # cube-from-partials levels
         "median_interp": _q_median_interp,            # percentile_cont(0.5)
+        "users_intersect": _q_users_intersect,        # INTERSECT set op
+        "ntile_by_value": _q_ntile,                   # NTILE(k) rank buckets
+        "weighted_sample": _q_weighted_sample,        # weighted Bernoulli sample
+        "token_vocab_hist": _q_token_vocab_hist,      # vocab unigram histogram
         "sequence_pack_spans": _q_sequence_pack_spans,  # concat-chunk packer span map
         "pack_fill_stats": _q_pack_fill_stats,        # per-pack occupancy
         "pack_tokens_synthetic": _q_pack_tokens_synthetic,  # materialized token packs
@@ -1822,6 +1862,23 @@ pick AS (SELECT source, n, max(CASE WHEN rn = (n-1)//2 + 1 THEN v END) AS lo,
 SELECT source, n AS n_rows,
        CAST(lo AS DOUBLE) + (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * 0.5 AS median
 FROM pick
+""",
+        "users_intersect": """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+        "ntile_by_value": f"""
+SELECT event_id, event_type AS source,
+       CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY {_CENTS}, event_id) AS BIGINT) AS tile
+FROM events
+""",
+        # fixed-width lowercase hex compare == uint32 compare; the coin
+        # is the content hash, so the sample is partition-invariant
+        "weighted_sample": """
+SELECT doc_id, source, n_chars FROM documents
+WHERE substr(md5(text), 1, 8) < printf('%08x', n_chars * 4194304)
 """,
         # global concat-and-chunk packing in doc_id order; whitespace
         # token count = string_split(text,' ') (token_count convention)

@@ -94,6 +94,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "bloom_semi_join",
         "grouping_sets_counts",
         "median_interp",
+        "users_intersect",
+        "ntile_by_value",
+        "weighted_sample",
     ],
 )
 def test_query_matches_oracle(name, ray_session):
@@ -567,3 +570,38 @@ def test_grouped_corr_matches_numpy(ray_session):
     for src, g in ev.groupby("event_type"):
         ref = np.corrcoef(g.x.to_numpy(), g.y.to_numpy())[0, 1]
         assert abs(got.loc[src, "corr_value_hour"] - ref) < 1e-9, src
+
+
+def test_ntile_distribution(ray_session):
+    """NTILE(k) bucket sizes per group: first n%k buckets hold
+    n//k + 1 rows, the rest n//k."""
+    got = entrymod.queries()["ntile_by_value"](SF).to_pandas()
+    for src, g in got.groupby("source"):
+        n = len(g)
+        q, r = divmod(n, 4)
+        sizes = g.tile.value_counts().sort_index().tolist()
+        assert sizes == [q + 1] * r + [q] * (4 - r)
+
+
+def test_token_vocab_hist_exact(ray_session, tmp_path):
+    import ray as _ray
+
+    from workbook_exporter_fe_ray import datagen
+    from workbook_exporter_fe_ray.stages.pack import token_vocab_hist
+
+    d = str(tmp_path / "vocab_sf")
+    datagen.generate(d, n_sources=4, base_seqs=200, seed=7, n_shards=2)
+    ds = _ray.data.read_parquet(d, columns=["tokens"])
+    got = (
+        token_vocab_hist(ds, num_partitions=8)
+        .to_pandas()
+        .sort_values("token_id")
+        .reset_index(drop=True)
+    )
+    tbl = pq.read_table(d)
+    flat = tbl["tokens"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    cnt = np.bincount(flat)
+    nz = np.flatnonzero(cnt)
+    assert got.token_id.tolist() == nz.tolist()
+    assert got.n_occ.tolist() == cnt[nz].tolist()
+    assert got.n_occ.sum() == len(flat)

@@ -421,3 +421,60 @@ def pack_fill_stats(spans: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_vocab_hist(
+    docs: ray.data.Dataset,
+    tokens_col: str = "tokens",
+    vocab_size: int | None = None,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Corpus-wide token-id frequency (the vocabulary histogram /
+    unigram stats a tokenizer audit needs) WITHOUT exploding the token
+    stream: each block folds its flattened ``list<int32>`` values into
+    one dense ``np.bincount`` and emits only the nonzero (token_id,
+    cnt) partials — the exchange carries ≤ vocab × blocks tiny rows
+    instead of 10^15 exploded token rows; a final associative
+    groupby-sum merges partials.
+
+    ``vocab_size`` merely pre-sizes the bincount (ids beyond it still
+    counted via the data's own max).  Output: (token_id, n_occ),
+    one row per distinct token id.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "token_id": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        cnt = np.bincount(flat, minlength=int(vocab_size or 0))
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "token_id": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token_id")
+        .aggregate(Sum("cnt"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "token_id": pc.cast(b["token_id"], pa.int64()),
+                "n_occ": pc.cast(b["sum(cnt)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

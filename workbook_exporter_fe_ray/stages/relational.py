@@ -1621,3 +1621,81 @@ def grouping_sets_counts(
         return agg.map_batches(_fmt, batch_format="pyarrow")
 
     return fine.union(_re(a_col)).union(_re(b_col)).union(_re(None))
+
+
+def users_intersect(
+    events: ray.data.Dataset,
+    type_a: str = "click",
+    type_b: str = "purchase",
+) -> ray.data.Dataset:
+    """Set intersection — users appearing under BOTH event types
+    (``INTERSECT`` of the two distinct-user sets), completing the set-op
+    family (``union_distinct_users`` / ``broadcast_anti_join``).
+
+    One associative exchange: each block reduces to distinct (user,
+    saw_a, saw_b) flag partials (an Arrow hash group-by per batch), the
+    global groupby MAX-folds the flags — keys × blocks tiny rows, never
+    the event stream — and a final filter keeps users with both flags.
+
+    Output: (user_id,).
+    """
+    from ray.data.aggregate import Max
+
+    def _partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "a": pc.cast(pc.equal(et, type_a), pa.int64()),
+                "b": pc.cast(pc.equal(et, type_b), pa.int64()),
+            }
+        )
+        g = t.group_by("user_id").aggregate([("a", "max"), ("b", "max")])
+        return g.rename_columns(["user_id", "a", "b"])
+
+    agg = (
+        events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Max("a"), Max("b"))
+    )
+
+    def _both(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(b["max(a)"], 1), pc.equal(b["max(b)"], 1))
+        return b.filter(keep).select(["user_id"])
+
+    return agg.map_batches(_both, batch_format="pyarrow")
+
+
+def weighted_sample(
+    docs: ray.data.Dataset,
+    weight_col: str = "n_chars",
+    weight_domain: int = 1024,
+) -> ray.data.Dataset:
+    """Deterministic WEIGHTED Bernoulli sample — keep probability
+    proportional to ``weight_col`` (longer docs kept more often, the
+    length-balanced corpus subsample).  The coin is the doc's own
+    content hash, so the decision is reproducible on any engine and
+    any partitioning: keep iff
+    ``uint32(md5(text)[:8]) < weight · 2^32 / weight_domain``, an
+    integer compare both sides of the SQL oracle state identically
+    (the SQL compares fixed-width lowercase hex strings, which orders
+    the same as the integers).  Stateless per-row math — no exchange
+    at all.  Output: (doc_id, source, n_chars).
+    """
+    import hashlib
+
+    scale = (1 << 32) // int(weight_domain)
+
+    def _keep(b: pa.Table) -> pa.Table:
+        h = np.array(
+            [
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                for t in b["text"].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        w = pc.cast(b[weight_col], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = h < w * np.int64(scale)
+        return b.filter(pa.array(keep)).select(["doc_id", "source", "n_chars"])
+
+    return docs.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -608,3 +608,63 @@ def ohlc_1h(events: ray.data.Dataset, num_partitions: int = 32) -> ray.data.Data
 
     partials = events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby("__part").map_groups(_merge, batch_format="pyarrow")
+
+
+def ntile_by_value(
+    events: ray.data.Dataset, k: int = 4, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Equal-count rank buckets — ``NTILE(k) OVER (PARTITION BY
+    event_type ORDER BY cents, event_id)`` — quartile/decile labeling
+    for stratified training splits.
+
+    SQL NTILE semantics reproduced exactly: with n rows, q = n // k and
+    r = n %% k, the first r buckets hold q+1 rows.  Same coarse-
+    partition sweep as the scans above (event_type is low-cardinality
+    here, but the shape stays per-key-safe at any cardinality); the
+    bucket assignment is one vectorized where() over index-in-run.
+    Output: (event_id, source, tile).
+    """
+    from .sweep import with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": b["event_id"],
+                "source": b["event_type"],
+                "cents": _cents(b),
+            }
+        )
+        return with_part(t, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        from .sweep import run_starts_table
+
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("cents", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source"])
+        lens = np.diff(np.r_[starts, len(g)])
+        n_run = np.repeat(lens, lens).astype(np.int64)
+        pos = np.arange(len(g), dtype=np.int64) - np.repeat(starts, lens)
+        q = n_run // k
+        r = n_run % k
+        cut = r * (q + 1)
+        big = np.maximum(q + 1, 1)
+        small = np.maximum(q, 1)  # guarded: only rows past cut divide by q
+        tile = np.where(pos < cut, pos // big + 1, r + (pos - cut) // small + 1)
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "source": g["source"],
+                "tile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
