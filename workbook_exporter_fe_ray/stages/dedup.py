@@ -414,34 +414,55 @@ def minhash_lsh_pairs(
 ) -> ray.data.Dataset:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
-    shingle+MinHash signature (actor pool, one pass, text dropped) →
-    band rows → coarse-partition groupby (``bucket % num_partitions`` →
-    vectorized bucket sweep per partition, not per-bucket UDF calls) →
-    Jaccard verification → associative Max-merge for distinct pairs.
-    Every step is deterministic (seeded). Buckets larger than
-    ``max_bucket`` (degenerate near-constant content) are skipped.
+    Two-phase plan — candidates first, payloads later — so the wide
+    exchange never carries document content:
 
-    ``verify``:
-    - ``"exact"``: exact n-gram Jaccard over the per-doc shingle-hash
-      sets; band rows carry the shingle sets, so the exchange is
-      O(doc shingles × bands) — right when verified precision matters.
-    - ``"estimate"``: standard MinHash estimate (fraction of equal
-      signature components); band rows carry only the fixed-size
-      signature (num_perm × 8 B), so the exchange is O(1) per doc per
-      band regardless of document size — the 100 TB default."""
+    1. shingle+MinHash signature (actor pool, one pass, text dropped)
+       → SLIM band rows ``(bucket % num_partitions, bucket, id)`` —
+       24 B/row regardless of document size or verify mode →
+       coarse-partition vectorized bucket sweep emits distinct
+       candidate id pairs (no payload, no verification; buckets larger
+       than ``max_bucket`` — degenerate near-constant content — are
+       skipped and counted).
+    2. the globally-distinct candidate set (tiny: near-dups + LSH false
+       positives) names the INVOLVED docs; only their payloads are
+       recomputed — the input is re-read filtered to involved ids
+       (membership array broadcast once), so signature CPU for the
+       verify pass is candidate-proportional — and routed through two
+       candidate-sized sweep joins that attach each side's payload.
+       One vectorized/batched verification per distinct pair, then the
+       threshold filter.
+
+    Every step is deterministic (seeded), and the output is identical
+    to the one-phase formulation (same buckets → same candidates →
+    same exact jaccard values).
+
+    ``verify`` picks the payload, not the plan:
+    - ``"exact"``: exact n-gram Jaccard over per-doc shingle-hash sets.
+    - ``"estimate"``: MinHash estimate (fraction of equal signature
+      components) — fixed ``num_perm × 8`` B per involved doc.
+
+    Scale notes: the candidate set and the involved-id broadcast are
+    O(candidate pairs); a corpus that is mostly duplicates makes them
+    corpus-sized — raise ``threshold``/``bands`` selectivity or shard
+    the run before that point (the skipped-bucket counter flags the
+    degenerate case loudly)."""
     assert num_perm % bands == 0
     if verify not in ("exact", "estimate"):
         raise ValueError(f"unknown verify mode: {verify!r}")
 
+    from .sweep import with_part
+
+    sig_args = (text_col, id_col, num_perm, shingle_n, seed)
     signed = ds.map_batches(
         _SignatureStage,
-        fn_constructor_args=(text_col, id_col, num_perm, shingle_n, seed),
+        fn_constructor_args=sig_args,
         batch_format="pyarrow",
         batch_size=512,
         concurrency=concurrency,
     )
 
-    def _band_rows(batch: pa.Table) -> pa.Table:
+    def _slim_bands(batch: pa.Table) -> pa.Table:
         n = len(batch)
         sig = batch["signature"]
         if isinstance(sig, pa.ChunkedArray):
@@ -452,55 +473,32 @@ def minhash_lsh_pairs(
         buckets = _band_buckets(sigs, bands)  # (n, bands)
         part = (buckets.view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
         rep = np.repeat(np.arange(n), bands)
-        ids = batch[id_col].take(pa.array(rep))
-        payload_col = "shingles" if verify == "exact" else "signature"
-        payload = batch[payload_col].take(pa.array(rep))
-        if verify == "estimate":
-            payload = payload.cast(pa.list_(pa.int64()))
         return pa.table(
             {
                 "part": pa.array(part.reshape(-1)),
                 "bucket": pa.array(buckets.reshape(-1)),
-                id_col: ids,
-                "shingles": payload,
+                id_col: batch[id_col].take(pa.array(rep)),
             }
         )
 
-    banded = signed.map_batches(_band_rows, batch_format="pyarrow")
+    banded = signed.map_batches(_slim_bands, batch_format="pyarrow")
 
-    def _part_pairs(group: pa.Table) -> pa.Table:
-        """One coarse partition: sort by bucket, sweep bucket runs.
+    _EMPTY_PAIRS = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
 
-        Candidate generation is vectorized: each bucket run contributes
-        its triu index pairs (one ``np.triu_indices`` per bucket, all
-        bookkeeping in NumPy), duplicates across buckets collapse with
-        one ``np.unique`` over the (id_a, id_b) pair matrix BEFORE
-        verification, so each pair is verified at most once per
-        partition. Estimate-mode verification is one fully-vectorized
-        equal-component mean over the stacked signature matrix; exact
-        mode intersects the two sorted shingle sets per unique pair
-        (inherently per-pair, but only on deduplicated candidates)."""
+    def _part_candidates(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(group, sort_keys=[("bucket", "ascending")])
         g = group.take(order)
         buckets = g["bucket"].to_numpy(zero_copy_only=False)
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        sh_col = g["shingles"]
-        if isinstance(sh_col, pa.ChunkedArray):
-            sh_col = sh_col.combine_chunks()
-        flat = sh_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
-        offs = sh_col.offsets.to_numpy(zero_copy_only=False)
-
         starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
         ends = np.r_[starts[1:], len(buckets)]
-        empty = pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
-            }
-        )
-
-        cand_a: list[np.ndarray] = []  # row positions in g
+        cand_a: list[np.ndarray] = []
         cand_b: list[np.ndarray] = []
         skipped = 0
         for s, e in zip(starts, ends):
@@ -510,56 +508,228 @@ def minhash_lsh_pairs(
             if m > max_bucket:
                 skipped += 1
                 continue
-            sub = np.argsort(ids[s:e], kind="stable") + s
+            run = np.sort(ids[s:e], kind="stable")
             x, y = np.triu_indices(m, k=1)
-            cand_a.append(sub[x])
-            cand_b.append(sub[y])
+            cand_a.append(run[x])
+            cand_b.append(run[y])
         _log_skipped("minhash_lsh_pairs", skipped, max_bucket)
         if not cand_a:
-            return empty
-        pos_a = np.concatenate(cand_a)
-        pos_b = np.concatenate(cand_b)
-        ia, ib = ids[pos_a], ids[pos_b]
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        ia = np.concatenate(cand_a)
+        ib = np.concatenate(cand_b)
         real = ia != ib
-        pos_a, pos_b, ia, ib = pos_a[real], pos_b[real], ia[real], ib[real]
+        ia, ib = ia[real], ib[real]
         if len(ia) == 0:
-            return empty
-        # one verification per distinct pair in this partition
-        _, first = np.unique(np.stack([ia, ib], axis=1), axis=0, return_index=True)
-        pos_a, pos_b, ia, ib = pos_a[first], pos_b[first], ia[first], ib[first]
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        uniq = np.unique(np.stack([ia, ib], axis=1), axis=0)
+        return pa.table(
+            {
+                "id_a": pa.array(uniq[:, 0], pa.int64()),
+                "id_b": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
 
+    from ray.data.aggregate import Count
+
+    cand = (
+        banded.groupby("part")
+        .map_groups(_part_candidates, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count())
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    inv_chunks: list[np.ndarray] = []
+    for b in cand.iter_batches(batch_size=None, batch_format="pyarrow"):
+        inv_chunks.append(b["id_a"].to_numpy(zero_copy_only=False))
+        inv_chunks.append(b["id_b"].to_numpy(zero_copy_only=False))
+    involved = np.unique(np.concatenate(inv_chunks or [np.array([], np.int64)]))
+    if involved.size == 0:
+        return ray.data.from_arrow(_EMPTY_PAIRS)
+    inv_ref = ray.put(involved)
+    # attach exchanges are candidate-sized: pick their partition count
+    # from the MEASURED candidate count (cand is materialized), not the
+    # corpus-sized band-sweep width — tiny candidate sets would
+    # otherwise pay ~num_partitions empty-task overheads per sort
+    attach_parts = int(np.clip(cand.count() // 50_000, 4, num_partitions))
+
+    class _InvFilter:
+        """Keep only involved docs before recomputing their payloads."""
+
+        def __init__(self, ref, col):
+            self.inv = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.col = col
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = pc.cast(b[self.col], pa.int64()).to_numpy(zero_copy_only=False)
+            pos = np.minimum(
+                np.searchsorted(self.inv, ids), max(len(self.inv) - 1, 0)
+            )
+            return b.filter(pa.array(self.inv[pos] == ids))
+
+    payload_col = "shingles" if verify == "exact" else "signature"
+    payloads = ds.map_batches(
+        _InvFilter,
+        fn_constructor_args=(inv_ref, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).map_batches(
+        _SignatureStage,
+        fn_constructor_args=sig_args,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=concurrency,
+    )
+
+    LIST64 = pa.list_(pa.int64())
+
+    def _null_list(n: int) -> pa.Array:
+        return pa.array([None] * n, LIST64)
+
+    def _null_i64(n: int) -> pa.Array:
+        return pa.array([None] * n, pa.int64())
+
+    def _payload_list(b: pa.Table) -> pa.Array:
+        col = b[payload_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.cast(LIST64) if col.type != LIST64 else col
+
+    # ---- attach phase A: route on id_a ------------------------------
+    def _pairs_a(b: pa.Table) -> pa.Table:
+        n = len(b)
+        t = pa.table(
+            {"k": b["id_a"], "other": b["id_b"], "pl": _null_list(n)}
+        )
+        return with_part(t, ["k"], attach_parts)
+
+    def _payload_rows_a(b: pa.Table) -> pa.Table:
+        n = len(b)
+        t = pa.table(
+            {
+                "k": pc.cast(b[id_col], pa.int64()),
+                "other": _null_i64(n),
+                "pl": _payload_list(b),
+            }
+        )
+        return with_part(t, ["k"], attach_parts)
+
+    def _attach(g: pa.Table, carry: list[str]) -> tuple[pa.Table, pa.Array]:
+        """Generic sweep: payload rows have null ``other``; look up each
+        pair row's ``k`` in the partition's sorted payload ids."""
+        is_pl = pc.is_null(g["other"]).to_numpy(zero_copy_only=False)
+        ks = g["k"].to_numpy(zero_copy_only=False)
+        pl_idx = np.flatnonzero(is_pl)
+        order = np.argsort(ks[pl_idx], kind="stable")
+        pk = ks[pl_idx][order]
+        prow = pl_idx[order]
+        pair_idx = np.flatnonzero(~is_pl)
+        pos = np.minimum(np.searchsorted(pk, ks[pair_idx]), max(len(pk) - 1, 0))
+        hit = (pk[pos] == ks[pair_idx]) if len(pk) else np.zeros(len(pair_idx), bool)
+        pair_idx, pos = pair_idx[hit], pos[hit]
+        pl = g["pl"]
+        if isinstance(pl, pa.ChunkedArray):
+            pl = pl.combine_chunks()
+        looked = pl.take(pa.array(prow[pos]))
+        cols = {c: g[c].take(pa.array(pair_idx)) for c in ["k", "other", *carry]}
+        return pa.table(cols), looked
+
+    def _attach_a(g: pa.Table) -> pa.Table:
+        base, looked = _attach(g, [])
+        return pa.table(
+            {"id_a": base["k"], "id_b": base["other"], "pa_pl": looked}
+        )
+
+    routed_a = (
+        cand.map_batches(_pairs_a, batch_format="pyarrow")
+        .union(payloads.map_batches(_payload_rows_a, batch_format="pyarrow"))
+        .groupby("__part")
+        .map_groups(_attach_a, batch_format="pyarrow")
+    )
+
+    # ---- attach phase B: route on id_b, carry payload_a -------------
+    def _pairs_b(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": b["id_b"],
+                "other": b["id_a"],
+                "pa_pl": b["pa_pl"],
+                "pl": _null_list(len(b)),
+            }
+        )
+        return with_part(t, ["k"], attach_parts)
+
+    def _payload_rows_b(b: pa.Table) -> pa.Table:
+        n = len(b)
+        t = pa.table(
+            {
+                "k": pc.cast(b[id_col], pa.int64()),
+                "other": _null_i64(n),
+                "pa_pl": _null_list(n),
+                "pl": _payload_list(b),
+            }
+        )
+        return with_part(t, ["k"], attach_parts)
+
+    def _attach_b(g: pa.Table) -> pa.Table:
+        base, looked = _attach(g, ["pa_pl"])
+        return pa.table(
+            {
+                "id_a": base["other"],
+                "id_b": base["k"],
+                "pa_pl": base["pa_pl"],
+                "pb_pl": looked,
+            }
+        )
+
+    routed_b = (
+        routed_a.map_batches(_pairs_b, batch_format="pyarrow")
+        .union(payloads.map_batches(_payload_rows_b, batch_format="pyarrow"))
+        .groupby("__part")
+        .map_groups(_attach_b, batch_format="pyarrow")
+    )
+
+    # ---- verification: once per globally-distinct pair --------------
+    def _verify(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _EMPTY_PAIRS
+        a_col, b_col = b["pa_pl"], b["pb_pl"]
+        if isinstance(a_col, pa.ChunkedArray):
+            a_col = a_col.combine_chunks()
+        if isinstance(b_col, pa.ChunkedArray):
+            b_col = b_col.combine_chunks()
+        fa = a_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+        fb = b_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+        oa = a_col.offsets.to_numpy(zero_copy_only=False)
+        ob = b_col.offsets.to_numpy(zero_copy_only=False)
+        n = len(b)
         if verify == "estimate":
-            # signatures are fixed-width → one vectorized gather+compare
-            lens = np.diff(offs)
-            width = int(lens[0]) if len(lens) else num_perm
-            mat = flat.reshape(-1, width)
-            row_of = (offs[:-1] // width).astype(np.int64)
-            jac = np.mean(mat[row_of[pos_a]] == mat[row_of[pos_b]], axis=1)
+            jac = np.mean(
+                fa.reshape(n, num_perm) == fb.reshape(n, num_perm), axis=1
+            )
         else:
-            jac = np.empty(len(ia), dtype=np.float64)
-            for i in range(len(ia)):
+            jac = np.empty(n, dtype=np.float64)
+            for i in range(n):
                 jac[i] = hashed_jaccard(
-                    flat[offs[pos_a[i]] : offs[pos_a[i] + 1]],
-                    flat[offs[pos_b[i]] : offs[pos_b[i] + 1]],
+                    fa[oa[i] : oa[i + 1]], fb[ob[i] : ob[i + 1]]
                 )
         hit = jac >= threshold
         return pa.table(
             {
-                "id_a": pa.array(ia[hit], pa.int64()),
-                "id_b": pa.array(ib[hit], pa.int64()),
+                "id_a": b["id_a"].filter(pa.array(hit)),
+                "id_b": b["id_b"].filter(pa.array(hit)),
                 "jaccard": pa.array(jac[hit], pa.float64()),
             }
         )
 
-    pairs = banded.groupby("part").map_groups(_part_pairs, batch_format="pyarrow")
-    # a pair can surface from several bands → different partitions; the
-    # global distinct is an associative Max (jaccard identical per pair)
-    agg = pairs.groupby(["id_a", "id_b"]).aggregate(Max("jaccard"))
-    return agg.map_batches(
-        lambda b: pa.table(
-            {"id_a": b["id_a"], "id_b": b["id_b"], "jaccard": b["max(jaccard)"]}
-        ),
-        batch_format="pyarrow",
+    return routed_b.map_batches(
+        _verify, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
