@@ -956,6 +956,18 @@ def _q_token_vocab_hist(sf_dir: str):
     return token_vocab_hist(docs)
 
 
+def _q_percent_rank(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import percent_rank_by_value
+
+    return percent_rank_by_value(_events(sf_dir))
+
+
+def _q_mode_per_group(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.sketch import mode_per_group
+
+    return mode_per_group(_documents(sf_dir))
+
+
 def _q_sequence_pack_spans(sf_dir: str):
     from workbook_exporter_fe_ray.stages.pack import sequence_pack_spans
 
@@ -1157,6 +1169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_by_value": _q_ntile,                   # NTILE(k) rank buckets
         "weighted_sample": _q_weighted_sample,        # weighted Bernoulli sample
         "token_vocab_hist": _q_token_vocab_hist,      # vocab unigram histogram
+        "percent_rank_by_value": _q_percent_rank,     # PERCENT_RANK window
+        "mode_per_group": _q_mode_per_group,          # grouped mode (argmax count)
         "sequence_pack_spans": _q_sequence_pack_spans,  # concat-chunk packer span map
         "pack_fill_stats": _q_pack_fill_stats,        # per-pack occupancy
         "pack_tokens_synthetic": _q_pack_tokens_synthetic,  # materialized token packs
@@ -1879,6 +1893,21 @@ FROM events
         "weighted_sample": """
 SELECT doc_id, source, n_chars FROM documents
 WHERE substr(md5(text), 1, 8) < printf('%08x', n_chars * 4194304)
+""",
+        # unique sort key (event_id tie-break) => rank == row_number;
+        # value = one pinned division (rank-1)/(n-1)
+        "percent_rank_by_value": f"""
+SELECT event_id, event_type AS source,
+       percent_rank() OVER (PARTITION BY event_type
+                            ORDER BY {_CENTS}, event_id) AS prank
+FROM events
+""",
+        "mode_per_group": """
+SELECT source, v AS mode_n_chars, c AS n_rows FROM (
+  SELECT source, v, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, v) AS rn
+  FROM (SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+        FROM documents GROUP BY 1, 2)) WHERE rn = 1
 """,
         # global concat-and-chunk packing in doc_id order; whitespace
         # token count = string_split(text,' ') (token_count convention)

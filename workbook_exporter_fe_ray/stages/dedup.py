@@ -646,11 +646,17 @@ def minhash_lsh_pairs(
             {"id_a": base["k"], "id_b": base["other"], "pa_pl": looked}
         )
 
+    # materialized: candidate-sized, and it splits the two attach
+    # exchanges into separate executions — one union+sort graph each.
+    # A single graph holding both sorts plus two unions livelocks the
+    # streaming executor's per-operator resource reservation on very
+    # small clusters (observed at num_cpus=4).
     routed_a = (
         cand.map_batches(_pairs_a, batch_format="pyarrow")
         .union(payloads.map_batches(_payload_rows_a, batch_format="pyarrow"))
         .groupby("__part")
         .map_groups(_attach_a, batch_format="pyarrow")
+        .materialize()
     )
 
     # ---- attach phase B: route on id_b, carry payload_a -------------

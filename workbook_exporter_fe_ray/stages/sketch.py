@@ -591,3 +591,75 @@ def median_interp(
         .groupby("__part")
         .map_groups(_sweep, batch_format="pyarrow")
     )
+
+
+def mode_per_group(
+    ds: ray.data.Dataset,
+    key: str = "source",
+    value_col: str = "n_chars",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-key MODE — the most frequent value, smallest value on tie —
+    with its frequency.  Same bounded histogram exchange as
+    :func:`grouped_quantiles`: per-block (key, value, cnt) partials,
+    coarse-partition sweep merges duplicate pairs, then ONE sort by
+    (key, cnt desc, value asc) and a run-start take picks every key's
+    mode — no per-key UDF.  Output: (key, mode_<value_col>, n_rows).
+    """
+    from .sweep import run_starts_table, with_part
+
+    mode_name = f"mode_{value_col}"
+
+    def _hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key], value_col: pc.cast(b[value_col], pa.int64())})
+        g = t.group_by([key, value_col]).aggregate([([], "count_all")])
+        g = g.rename_columns([key, value_col, "cnt"])
+        return with_part(g, [key], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), (value_col, "ascending")]
+        )
+        g = g.take(idx)
+        if len(g) == 0:
+            return pa.table(
+                {
+                    key: g[key],
+                    mode_name: pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                }
+            )
+        pair_starts = run_starts_table(g, [key, value_col])
+        c = np.add.reduceat(
+            g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64), pair_starts
+        )
+        merged = pa.table(
+            {
+                key: g[key].take(pa.array(pair_starts)),
+                value_col: g[value_col].take(pa.array(pair_starts)),
+                "cnt": pa.array(c, pa.int64()),
+            }
+        )
+        idx2 = pc.sort_indices(
+            merged,
+            sort_keys=[
+                (key, "ascending"),
+                ("cnt", "descending"),
+                (value_col, "ascending"),
+            ],
+        )
+        merged = merged.take(idx2)
+        top = merged.take(pa.array(run_starts_table(merged, [key])))
+        return pa.table(
+            {
+                key: top[key],
+                mode_name: top[value_col],
+                "n_rows": top["cnt"],
+            }
+        )
+
+    return (
+        ds.map_batches(_hist_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+    )

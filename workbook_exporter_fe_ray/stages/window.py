@@ -668,3 +668,58 @@ def ntile_by_value(
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def percent_rank_by_value(
+    events: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """``PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY cents,
+    event_id)`` — each event's relative rank in [0, 1] within its type
+    (quantile-normalized score for cross-type comparison).
+
+    The sort key is unique (event_id tie-break), so rank ==
+    row-number and the value is the single pinned division
+    ``f8(pos) / f8(n-1)`` (0.0 for a single-row group, matching SQL).
+    Same coarse-partition sweep as :func:`ntile_by_value`.
+    Output: (event_id, source, prank).
+    """
+    from .sweep import run_starts_table, with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": b["event_id"],
+                "source": b["event_type"],
+                "cents": _cents(b),
+            }
+        )
+        return with_part(t, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("cents", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source"])
+        lens = np.diff(np.r_[starts, len(g)])
+        n_run = np.repeat(lens, lens).astype(np.float64)
+        pos = (
+            np.arange(len(g), dtype=np.int64) - np.repeat(starts, lens)
+        ).astype(np.float64)
+        denom = np.maximum(n_run - 1.0, 1.0)  # guarded: pos is 0 when n==1
+        prank = pos / denom
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "source": g["source"],
+                "prank": pa.array(prank, pa.float64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
