@@ -968,6 +968,18 @@ def _q_mode_per_group(sf_dir: str):
     return mode_per_group(_documents(sf_dir))
 
 
+def _q_funnel_users(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.relational import funnel_users
+
+    return funnel_users(_events(sf_dir))
+
+
+def _q_chunk_docs(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.text import chunk_docs
+
+    return chunk_docs(_documents(sf_dir))
+
+
 def _q_sequence_pack_spans(sf_dir: str):
     from workbook_exporter_fe_ray.stages.pack import sequence_pack_spans
 
@@ -1171,6 +1183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_vocab_hist": _q_token_vocab_hist,      # vocab unigram histogram
         "percent_rank_by_value": _q_percent_rank,     # PERCENT_RANK window
         "mode_per_group": _q_mode_per_group,          # grouped mode (argmax count)
+        "funnel_users": _q_funnel_users,              # ordered-event funnel
+        "chunk_docs": _q_chunk_docs,                  # overlapping token chunking
         "sequence_pack_spans": _q_sequence_pack_spans,  # concat-chunk packer span map
         "pack_fill_stats": _q_pack_fill_stats,        # per-pack occupancy
         "pack_tokens_synthetic": _q_pack_tokens_synthetic,  # materialized token packs
@@ -1908,6 +1922,29 @@ SELECT source, v AS mode_n_chars, c AS n_rows FROM (
          row_number() OVER (PARTITION BY source ORDER BY c DESC, v) AS rn
   FROM (SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS c
         FROM documents GROUP BY 1, 2)) WHERE rn = 1
+""",
+        # strict <: first step_a must precede first step_b
+        "funnel_users": """
+WITH m AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS ta,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tb
+  FROM events GROUP BY 1)
+SELECT user_id, ta AS first_a_us, tb AS first_b_us
+FROM m WHERE ta IS NOT NULL AND tb IS NOT NULL AND ta < tb
+""",
+        # stride 24 = 32 - 8; k = ceil((n-overlap)/stride), min 1
+        "chunk_docs": """
+WITH t AS (SELECT doc_id,
+                  CAST(length(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+k AS (SELECT doc_id, n, greatest((n - 8 + 23) // 24, 1) AS cnt FROM t),
+c AS (SELECT doc_id, n,
+             unnest(generate_series(0, cnt - 1)) AS chunk_idx FROM k)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 24 AS BIGINT) AS chunk_start,
+       least(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS n_chunk_tokens
+FROM c
 """,
         # global concat-and-chunk packing in doc_id order; whitespace
         # token count = string_split(text,' ') (token_count convention)

@@ -99,6 +99,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "weighted_sample",
         "percent_rank_by_value",
         "mode_per_group",
+        "funnel_users",
+        "chunk_docs",
     ],
 )
 def test_query_matches_oracle(name, ray_session):
@@ -633,3 +635,19 @@ def test_percent_rank_bounds(ray_session):
         assert g.prank.max() == 1.0
         assert g.prank.is_monotonic_increasing or True  # order not guaranteed
         assert len(g.prank.unique()) == len(g)  # unique sort key => distinct
+
+
+def test_chunk_docs_coverage(ray_session):
+    """Every token is covered; consecutive chunks overlap by exactly
+    `overlap` (except the ragged tail); chunk 0 starts at 0."""
+    got = entrymod.queries()["chunk_docs"](SF).to_pandas()
+    ref = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    ntok = {r.doc_id: len(r.text.split(" ")) for r in ref.itertuples()}
+    for doc, g in got.groupby("doc_id"):
+        g = g.sort_values("chunk_idx").reset_index(drop=True)
+        assert g.chunk_idx.tolist() == list(range(len(g)))
+        assert g.chunk_start.iloc[0] == 0
+        ends = g.chunk_start + g.n_chunk_tokens
+        assert ends.iloc[-1] == ntok[doc]  # reaches the end exactly
+        assert (g.chunk_start.diff().dropna() == 24).all()
+        assert (g.n_chunk_tokens > 0).all()

@@ -1699,3 +1699,61 @@ def weighted_sample(
         return b.filter(pa.array(keep)).select(["doc_id", "source", "n_chars"])
 
     return docs.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def funnel_users(
+    events: ray.data.Dataset,
+    step_a: str = "click",
+    step_b: str = "purchase",
+) -> ray.data.Dataset:
+    """Ordered two-step funnel — users whose FIRST ``step_a`` strictly
+    precedes their FIRST ``step_b`` (conversion analysis; the sequence
+    predicate every product-analytics pipeline needs).
+
+    Entirely associative: each block emits per-user partial
+    (min ts_a, min ts_b) with +inf sentinels for absent steps; one
+    small groupby MIN-folds the partials and the comparison is a
+    vectorized int64 filter — the event stream itself is never
+    shuffled.  Tie (same timestamp) does not count as before, matching
+    the strict ``<`` of the SQL oracle.  Output: (user_id, first_a_us,
+    first_b_us).
+    """
+    from ray.data.aggregate import Min
+
+    BIG = np.int64(np.iinfo(np.int64).max)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        tsv = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        is_a = pc.equal(et, step_a).to_numpy(zero_copy_only=False)
+        is_b = pc.equal(et, step_b).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "ta": pa.array(np.where(is_a, tsv, BIG), pa.int64()),
+                "tb": pa.array(np.where(is_b, tsv, BIG), pa.int64()),
+            }
+        )
+        g = t.group_by("user_id").aggregate([("ta", "min"), ("tb", "min")])
+        return g.rename_columns(["user_id", "ta", "tb"])
+
+    agg = (
+        events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min("ta"), Min("tb"))
+    )
+
+    def _conv(b: pa.Table) -> pa.Table:
+        ta = b["min(ta)"].to_numpy(zero_copy_only=False)
+        tb = b["min(tb)"].to_numpy(zero_copy_only=False)
+        keep = (ta < tb) & (tb != BIG)
+        out = pa.table(
+            {
+                "user_id": b["user_id"],
+                "first_a_us": pa.array(ta, pa.int64()),
+                "first_b_us": pa.array(tb, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return agg.map_batches(_conv, batch_format="pyarrow")

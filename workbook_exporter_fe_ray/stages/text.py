@@ -496,3 +496,52 @@ def normalize_text(
         )
 
     return docs.map_batches(_norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_docs(
+    docs: ray.data.Dataset,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document fixed-size token chunking with overlap — the
+    training-prep fan-out that turns long documents into model-sized
+    windows (stride = ``chunk_tokens - overlap``; the final chunk is
+    ragged; a doc shorter than one chunk yields exactly one).
+
+    Stateless row fan-out, fully vectorized: one ``split_pattern`` per
+    batch for the whitespace token counts, chunk counts by integer
+    ceil-division, and the per-chunk rows built with ``np.repeat`` /
+    ``arange`` index math — no exchange, no per-row Python.  Output:
+    (doc_id, chunk_idx, chunk_start, n_chunk_tokens) — the span recipe
+    (like :func:`~workbook_exporter_fe_ray.stages.pack.sequence_pack_spans`)
+    from which a writer slices the actual windows locally.
+    """
+    stride = int(chunk_tokens - overlap)
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    def _fan(b: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(b[text_col], " ")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        # k = ceil((n - overlap) / stride) chunks (≥1): the last chunk
+        # starts before n - overlap so every token is covered exactly
+        # once beyond the shared overlap
+        cnt = np.maximum((n - overlap + stride - 1) // stride, 1)
+        rep = np.repeat(np.arange(len(b), dtype=np.int64), cnt)
+        cum = np.cumsum(cnt) - cnt
+        idx = np.arange(int(cnt.sum()), dtype=np.int64) - cum[rep]
+        start = idx * stride
+        ln = np.minimum(start + chunk_tokens, n[rep]) - start
+        return pa.table(
+            {
+                "doc_id": b[id_col].take(pa.array(rep)),
+                "chunk_idx": pa.array(idx, pa.int64()),
+                "chunk_start": pa.array(start, pa.int64()),
+                "n_chunk_tokens": pa.array(ln, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_fan, batch_format="pyarrow", zero_copy_batch=True)
