@@ -218,7 +218,7 @@ def _q_bpe_token_count(sf_dir: str):
     from workbook_exporter_fe_ray.stages.text import TokenCounter
 
     counted = _documents(sf_dir).map_batches(
-        TokenCounter, batch_format="pyarrow", concurrency=2
+        TokenCounter, batch_format="pyarrow", concurrency=(1, 2)
     )
     agg = counted.groupby("source").aggregate(Count(), Sum("n_bpe_tokens"))
 
@@ -276,7 +276,7 @@ def _q_lang_id(sf_dir: str):
     from workbook_exporter_fe_ray.stages.text import LangId
 
     out = _documents(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", concurrency=2
+        LangId, batch_format="pyarrow", concurrency=(1, 2)
     )
     return out.select_columns(["doc_id", "lang_pred"])
 

@@ -558,33 +558,40 @@ def minhash_lsh_pairs(
     # otherwise pay ~num_partitions empty-task overheads per sort
     attach_parts = int(np.clip(cand.count() // 50_000, 4, num_partitions))
 
-    class _InvFilter:
-        """Keep only involved docs before recomputing their payloads."""
+    # plain TASK stage (closure over the broadcast ref, ray.get cached
+    # per worker) — an actor pool here would add a second minimum-actor
+    # CPU reservation next to the signature pool and livelock a 2-cpu
+    # cluster
+    _inv_cache: dict = {}
 
-        def __init__(self, ref, col):
-            self.inv = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.col = col
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = pc.cast(b[self.col], pa.int64()).to_numpy(zero_copy_only=False)
-            pos = np.minimum(
-                np.searchsorted(self.inv, ids), max(len(self.inv) - 1, 0)
-            )
-            return b.filter(pa.array(self.inv[pos] == ids))
+    def _inv_filter(b: pa.Table) -> pa.Table:
+        inv = _inv_cache.get("inv")
+        if inv is None:
+            inv = ray.get(inv_ref)
+            _inv_cache["inv"] = inv
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(inv, ids), max(len(inv) - 1, 0))
+        return b.filter(pa.array(inv[pos] == ids))
 
     payload_col = "shingles" if verify == "exact" else "signature"
-    payloads = ds.map_batches(
-        _InvFilter,
-        fn_constructor_args=(inv_ref, id_col),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
-    ).map_batches(
-        _SignatureStage,
-        fn_constructor_args=sig_args,
-        batch_format="pyarrow",
-        batch_size=512,
-        concurrency=concurrency,
+    # materialized: involved-docs-only (candidate-proportional), and it
+    # is consumed by BOTH attach phases — leaving it lazy would run the
+    # signature actor pool once per consumer and pin an actor
+    # reservation inside each attach execution
+    payloads = (
+        ds.map_batches(
+            _inv_filter,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(
+            _SignatureStage,
+            fn_constructor_args=sig_args,
+            batch_format="pyarrow",
+            batch_size=512,
+            concurrency=concurrency,
+        )
+        .materialize()
     )
 
     LIST64 = pa.list_(pa.int64())
