@@ -980,6 +980,12 @@ def _q_chunk_docs(sf_dir: str):
     return chunk_docs(_documents(sf_dir))
 
 
+def _q_dense_rank(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import dense_rank_by_value
+
+    return dense_rank_by_value(_events(sf_dir))
+
+
 def _q_sequence_pack_spans(sf_dir: str):
     from workbook_exporter_fe_ray.stages.pack import sequence_pack_spans
 
@@ -1185,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_per_group": _q_mode_per_group,          # grouped mode (argmax count)
         "funnel_users": _q_funnel_users,              # ordered-event funnel
         "chunk_docs": _q_chunk_docs,                  # overlapping token chunking
+        "dense_rank_by_value": _q_dense_rank,         # tie-aware DENSE_RANK
         "sequence_pack_spans": _q_sequence_pack_spans,  # concat-chunk packer span map
         "pack_fill_stats": _q_pack_fill_stats,        # per-pack occupancy
         "pack_tokens_synthetic": _q_pack_tokens_synthetic,  # materialized token packs
@@ -1945,6 +1952,12 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        CAST(chunk_idx * 24 AS BIGINT) AS chunk_start,
        least(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS n_chunk_tokens
 FROM c
+""",
+        "dense_rank_by_value": f"""
+SELECT event_id, event_type AS source,
+       CAST(dense_rank() OVER (PARTITION BY event_type
+                               ORDER BY {_CENTS}) AS BIGINT) AS drank
+FROM events
 """,
         # global concat-and-chunk packing in doc_id order; whitespace
         # token count = string_split(text,' ') (token_count convention)

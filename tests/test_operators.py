@@ -101,6 +101,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "mode_per_group",
         "funnel_users",
         "chunk_docs",
+        "dense_rank_by_value",
     ],
 )
 def test_query_matches_oracle(name, ray_session):
@@ -651,3 +652,14 @@ def test_chunk_docs_coverage(ray_session):
         assert ends.iloc[-1] == ntok[doc]  # reaches the end exactly
         assert (g.chunk_start.diff().dropna() == 24).all()
         assert (g.n_chunk_tokens > 0).all()
+
+
+def test_dense_rank_ties(ray_session):
+    got = entrymod.queries()["dense_rank_by_value"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["c"] = np.round(ev.value * 100).astype(np.int64)
+    m = got.merge(ev[["event_id", "c"]], on="event_id")
+    for _src, g in m.groupby("source"):
+        # dense: rank set == 1..n_distinct; equal cents share a rank
+        assert set(g.drank) == set(range(1, g.c.nunique() + 1))
+        assert (g.groupby("c").drank.nunique() == 1).all()

@@ -723,3 +723,61 @@ def percent_rank_by_value(
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def dense_rank_by_value(
+    events: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """``DENSE_RANK() OVER (PARTITION BY event_type ORDER BY cents)`` —
+    tied values share a rank and ranks have no gaps (the tie-aware
+    sibling of :func:`percent_rank_by_value`, whose sort key is
+    unique).
+
+    Sweep kernel: after the (source, cents) sort, the rank is a cumsum
+    of value-change flags rebased per source run — one vectorized pass,
+    ties handled by construction.  Output: (event_id, source, drank).
+    """
+    from .sweep import run_starts_table, with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": b["event_id"],
+                "source": b["event_type"],
+                "cents": _cents(b),
+            }
+        )
+        return with_part(t, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("source", "ascending"), ("cents", "ascending")]
+        )
+        g = g.take(idx)
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": g["event_id"],
+                    "source": g["source"],
+                    "drank": pa.array([], pa.int64()),
+                }
+            )
+        starts = run_starts_table(g, ["source"])
+        lens = np.diff(np.r_[starts, n])
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        new_val = np.ones(n, dtype=np.int64)
+        new_val[1:] = (c[1:] != c[:-1]).astype(np.int64)
+        new_val[starts] = 1  # every run restarts at rank 1
+        cum = np.cumsum(new_val)
+        rebased = cum - np.repeat(cum[starts] - 1, lens)
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "source": g["source"],
+                "drank": pa.array(rebased, pa.int64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
