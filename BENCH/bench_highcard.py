@@ -82,6 +82,14 @@ def main() -> None:
     ds = make_ds(n_rows, n_users)
     out: dict[str, float] = {}
 
+    from workbook_exporter_fe_ray.stages.window import (
+        dense_rank_by_value,
+        keyed_cumsum,
+        ntile_by_value,
+        rolling_min_per_user,
+        transition_counts,
+    )
+
     for name, fn in [
         ("first_event_sweep", lambda: first_event_per_user(ds, num_partitions=64)),
         ("sessionize_sweep", lambda: sessionize(ds, num_partitions=64)),
@@ -89,6 +97,14 @@ def main() -> None:
             "grouped_quantiles_sweep",
             lambda: grouped_quantiles(ds, key="event_type", value_col="n_chars"),
         ),
+        # round-2 window family: every op is a full-output scan over
+        # 200k user keys — the per-key-UDF shape would pay 200k Python
+        # calls here
+        ("cumsum_sweep", lambda: keyed_cumsum(ds, num_partitions=64)),
+        ("rolling_min_sweep", lambda: rolling_min_per_user(ds, num_partitions=64)),
+        ("ntile_sweep", lambda: ntile_by_value(ds, num_partitions=64)),
+        ("dense_rank_sweep", lambda: dense_rank_by_value(ds, num_partitions=64)),
+        ("transitions_sweep", lambda: transition_counts(ds, num_partitions=64)),
     ]:
         best = np.inf
         for _ in range(3):

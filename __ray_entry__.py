@@ -986,6 +986,12 @@ def _q_dense_rank(sf_dir: str):
     return dense_rank_by_value(_events(sf_dir))
 
 
+def _q_transition_counts(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import transition_counts
+
+    return transition_counts(_events(sf_dir))
+
+
 def _q_sequence_pack_spans(sf_dir: str):
     from workbook_exporter_fe_ray.stages.pack import sequence_pack_spans
 
@@ -1192,6 +1198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_users": _q_funnel_users,              # ordered-event funnel
         "chunk_docs": _q_chunk_docs,                  # overlapping token chunking
         "dense_rank_by_value": _q_dense_rank,         # tie-aware DENSE_RANK
+        "transition_counts": _q_transition_counts,    # Markov transition matrix
         "sequence_pack_spans": _q_sequence_pack_spans,  # concat-chunk packer span map
         "pack_fill_stats": _q_pack_fill_stats,        # per-pack occupancy
         "pack_tokens_synthetic": _q_pack_tokens_synthetic,  # materialized token packs
@@ -1958,6 +1965,15 @@ SELECT event_id, event_type AS source,
        CAST(dense_rank() OVER (PARTITION BY event_type
                                ORDER BY {_CENTS}) AS BIGINT) AS drank
 FROM events
+""",
+        "transition_counts": """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
 """,
         # global concat-and-chunk packing in doc_id order; whitespace
         # token count = string_split(text,' ') (token_count convention)

@@ -102,6 +102,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "funnel_users",
         "chunk_docs",
         "dense_rank_by_value",
+        "transition_counts",
     ],
 )
 def test_query_matches_oracle(name, ray_session):
@@ -663,3 +664,11 @@ def test_dense_rank_ties(ray_session):
         # dense: rank set == 1..n_distinct; equal cents share a rank
         assert set(g.drank) == set(range(1, g.c.nunique() + 1))
         assert (g.groupby("c").drank.nunique() == 1).all()
+
+
+def test_transition_counts_total(ray_session):
+    """Sum of transitions == total events - distinct users (each user
+    contributes n_events - 1 pairs)."""
+    got = entrymod.queries()["transition_counts"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert got.n_transitions.sum() == len(ev) - ev.user_id.nunique()

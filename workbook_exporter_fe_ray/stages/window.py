@@ -781,3 +781,97 @@ def dense_rank_by_value(
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def transition_counts(
+    events: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Event-type transition matrix — counts of consecutive
+    (prev_type → next_type) pairs within each user's (ts, event_id)
+    order, summed across users: the Markov-chain / funnel-mining
+    statistic over the session sequence.
+
+    Sweep emits per-partition partial pair counts (one Arrow group_by
+    over the shifted-type join, run boundaries masked), merged by a
+    pair-hash coarse-partition sweep — ≤ pairs × partitions partial
+    rows move, and the merge exchange stays the 64-valued ``__part``
+    groupby even when the pair domain is near-unique.
+    Output: (prev_type, next_type, n_transitions).
+    """
+    from .sweep import with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+            }
+        )
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        g, starts, _lens = _sorted_runs(g)
+        n = len(g)
+        empty = pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "__part": pa.array([], pa.int32()),
+            }
+        )
+        if n < 2:
+            return empty
+        types = g["event_type"]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        keep = np.ones(n - 1, dtype=bool)
+        keep[starts[starts > 0] - 1] = False  # no pair across users
+        pairs = pa.table(
+            {
+                "prev_type": types.slice(0, n - 1).filter(pa.array(keep)),
+                "next_type": types.slice(1).filter(pa.array(keep)),
+            }
+        )
+        if len(pairs) == 0:
+            return empty
+        agg = pairs.group_by(["prev_type", "next_type"]).aggregate(
+            [([], "count_all")]
+        )
+        agg = agg.rename_columns(["prev_type", "next_type", "cnt"])
+        # route partials by pair hash — the merge exchange is then the
+        # cheap 64-valued __part groupby even when the pair domain is
+        # large (near-unique pairs), never a (prev, next)-keyed
+        # sort-shuffle of string rows
+        return with_part(agg, ["prev_type", "next_type"], num_partitions)
+
+    def _merge(g: pa.Table) -> pa.Table:
+        from .sweep import run_starts_table
+
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("prev_type", "ascending"), ("next_type", "ascending")],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["prev_type", "next_type"])
+        c = np.add.reduceat(
+            g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64), starts
+        ) if len(g) else np.array([], np.int64)
+        sel = pa.array(starts)
+        return pa.table(
+            {
+                "prev_type": g["prev_type"].take(sel),
+                "next_type": g["next_type"].take(sel),
+                "n_transitions": pa.array(c, pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_merge, batch_format="pyarrow")
+    )
