@@ -992,6 +992,33 @@ def _q_transition_counts(sf_dir: str):
     return transition_counts(_events(sf_dir))
 
 
+def _q_pricing_summary(sf_dir: str):
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import pricing_summary
+
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    return pricing_summary(li)
+
+
+def _q_shipping_priority(sf_dir: str):
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import shipping_priority_topk
+
+    cust = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    return shipping_priority_topk(cust, orders, li)
+
+
 def _q_sequence_pack_spans(sf_dir: str):
     from workbook_exporter_fe_ray.stages.pack import sequence_pack_spans
 
@@ -1199,6 +1226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,                  # overlapping token chunking
         "dense_rank_by_value": _q_dense_rank,         # tie-aware DENSE_RANK
         "transition_counts": _q_transition_counts,    # Markov transition matrix
+        "pricing_summary": _q_pricing_summary,        # TPC-H Q1-shaped aggregates
+        "shipping_priority": _q_shipping_priority,    # Q3-shaped 3-table top-k
         "sequence_pack_spans": _q_sequence_pack_spans,  # concat-chunk packer span map
         "pack_fill_stats": _q_pack_fill_stats,        # per-pack occupancy
         "pack_tokens_synthetic": _q_pack_tokens_synthetic,  # materialized token packs
@@ -1974,6 +2003,45 @@ WITH s AS (
   FROM events)
 SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
 FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+""",
+        # Q1 pricing: exact integer cents/percent partials; each mean is
+        # one int/int division
+        "pricing_summary": """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS base,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         CAST(round(l_tax * 100) AS BIGINT) AS t
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'),
+s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(q) AS BIGINT) AS q, CAST(sum(base) AS BIGINT) AS base,
+         CAST(sum(base * (100 - d)) AS BIGINT) AS dp,
+         CAST(sum(base * (100 - d) * (100 + t)) AS BIGINT) AS ch,
+         CAST(sum(d) AS BIGINT) AS disc, count(*) AS n
+  FROM c GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus,
+       q AS sum_qty, base AS sum_base_cents, dp AS sum_disc_price_e4,
+       ch AS sum_charge_e6,
+       CAST(q AS DOUBLE) / n AS avg_qty,
+       CAST(base AS DOUBLE) / n AS avg_price_cents,
+       CAST(disc AS DOUBLE) / n AS avg_disc_pct,
+       n AS n_rows
+FROM s
+""",
+        "shipping_priority": """
+SELECT o_orderkey, o_orderdate,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10
 """,
         # global concat-and-chunk packing in doc_id order; whitespace
         # token count = string_split(text,' ') (token_count convention)

@@ -103,6 +103,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "chunk_docs",
         "dense_rank_by_value",
         "transition_counts",
+        "pricing_summary",
+        "shipping_priority",
     ],
 )
 def test_query_matches_oracle(name, ray_session):

@@ -1757,3 +1757,224 @@ def funnel_users(
         return out.filter(pa.array(keep))
 
     return agg.map_batches(_conv, batch_format="pyarrow")
+
+
+def pricing_summary(
+    lineitem: ray.data.Dataset,
+    ship_cutoff_us: int = 946_684_800_000_000,  # 2000-01-01 UTC
+) -> ray.data.Dataset:
+    """TPC-H Q1-shaped pricing summary — per (returnflag, linestatus):
+    quantity/base/discounted/charged totals and their means, over rows
+    shipped on or before the cutoff.
+
+    Exact integer arithmetic end-to-end: prices in cents, discount and
+    tax in integer percent, so ``disc_price = cents·(100−d)`` (scale
+    10^-4 dollars) and ``charge = cents·(100−d)·(100+t)`` (10^-6) are
+    exact int64 partial sums combined associatively; each mean is ONE
+    int/int float division at the end (max |charge| term ≈ 1.1e11/row
+    → int64-safe to ~8e7 rows/group; beyond that split the sum into
+    hi/lo limbs as in ``window.grouped_stats``).  One tiny exchange of
+    per-block (flag, status) partials.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b["l_shipdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ship <= ship_cutoff_us
+        b = b.filter(pa.array(keep))
+        cents = (
+            pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        qty = pc.cast(b["l_quantity"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = (
+            pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        t_ = (
+            pc.cast(pc.round(pc.multiply(b["l_tax"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        disc_price = cents * (100 - d)
+        charge = disc_price * (100 + t_)
+        tbl = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "q": pa.array(qty),
+                "base": pa.array(cents),
+                "dp": pa.array(disc_price),
+                "ch": pa.array(charge),
+                "disc": pa.array(d),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("q", "sum"), ("base", "sum"), ("dp", "sum"),
+             ("ch", "sum"), ("disc", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "q", "base", "dp", "ch", "disc", "n"]
+        )
+
+    agg = (
+        lineitem.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("q"), Sum("base"), Sum("dp"), Sum("ch"), Sum("disc"), Sum("n"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        f = lambda c: b[c].to_numpy(zero_copy_only=False).astype(np.int64)  # noqa: E731
+        q, base, dp = f("sum(q)"), f("sum(base)"), f("sum(dp)")
+        ch, disc, n = f("sum(ch)"), f("sum(disc)"), f("sum(n)")
+        nf = n.astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": pa.array(q, pa.int64()),
+                "sum_base_cents": pa.array(base, pa.int64()),
+                "sum_disc_price_e4": pa.array(dp, pa.int64()),
+                "sum_charge_e6": pa.array(ch, pa.int64()),
+                "avg_qty": pa.array(q.astype(np.float64) / nf, pa.float64()),
+                "avg_price_cents": pa.array(base.astype(np.float64) / nf, pa.float64()),
+                "avg_disc_pct": pa.array(disc.astype(np.float64) / nf, pa.float64()),
+                "n_rows": pa.array(n, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def shipping_priority_topk(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    segment: str = "BUILDING",
+    cutoff_us: int = 883_612_800_000_000,  # 1998-01-01 UTC
+    k: int = 10,
+) -> ray.data.Dataset:
+    """TPC-H Q3-shaped composition — top-k unshipped orders of one
+    market segment by discounted revenue: customer ⋈ orders ⋈ lineitem
+    with the date window split across the two fact filters.
+
+    Join strategy by side size, composed from this module's
+    primitives: the segment's customers broadcast once (dimension
+    side); qualifying orders reduce to a broadcast (orderkey →
+    orderdate) map (bounded by the segment×window selectivity — for a
+    window where this side is fact-sized, swap the broadcast for
+    ``hash_bucket_join``, same semantics); lineitem then streams with
+    one membership filter + per-block revenue partials keyed on
+    orderkey, an associative groupby-sum, and a k×blocks top-k merge.
+    Revenue is exact: cents·(100−disc) int64 (scale 10^-4 dollars).
+    Output: (o_orderkey, o_orderdate, revenue_e4), top-k by
+    (revenue desc, orderkey asc).
+    """
+    from ray.data.aggregate import Sum
+
+    seg = customer.filter(expr=f"c_mktsegment == '{segment}'")
+    custs = np.unique(
+        np.concatenate(
+            [
+                b["c_custkey"].to_numpy(zero_copy_only=False)
+                for b in seg.iter_batches(batch_size=None, batch_format="pyarrow")
+            ]
+            or [np.array([], np.int64)]
+        )
+    )
+    cref = ray.put(custs)
+
+    _cache: dict = {}
+
+    def _orders_pick(b: pa.Table) -> pa.Table:
+        cs = _cache.get("c")
+        if cs is None:
+            cs = ray.get(cref)
+            _cache["c"] = cs
+        ok = pc.cast(b["o_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        od = pc.cast(b["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(cs, ok), max(len(cs) - 1, 0))
+        keep = (cs[pos] == ok) if len(cs) else np.zeros(len(ok), bool)
+        keep &= od < cutoff_us
+        return b.filter(pa.array(keep)).select(["o_orderkey", "o_orderdate"])
+
+    o_rows: list[pa.Table] = []
+    for b in (
+        orders.map_batches(_orders_pick, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        o_rows.append(b)
+    o_tbl = pa.concat_tables(o_rows) if o_rows else None
+    if o_tbl is None or len(o_tbl) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "revenue_e4": pa.array([], pa.int64()),
+                }
+            )
+        )
+    okeys = o_tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+    odates = pc.cast(o_tbl["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+    order_sort = np.argsort(okeys, kind="stable")
+    okeys_s, odates_s = okeys[order_sort], odates[order_sort]
+    oref = ray.put((okeys_s, odates_s))
+
+    def _li_partial(b: pa.Table) -> pa.Table:
+        got = _cache.get("o")
+        if got is None:
+            got = ray.get(oref)
+            _cache["o"] = got
+        keys, _dates = got
+        lk = pc.cast(b["l_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        sd = pc.cast(b["l_shipdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, lk), max(len(keys) - 1, 0))
+        keep = (keys[pos] == lk) if len(keys) else np.zeros(len(lk), bool)
+        keep &= sd > cutoff_us
+        b = b.filter(pa.array(keep))
+        cents = (
+            pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        d = (
+            pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "o_orderkey": b["l_orderkey"],
+                "rev": pa.array(cents * (100 - d), pa.int64()),
+            }
+        )
+        g = t.group_by("o_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_orderkey", "rev"])
+
+    agg = (
+        lineitem.map_batches(_li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev"))
+    )
+
+    def _attach_date(b: pa.Table) -> pa.Table:
+        got = _cache.get("o")
+        if got is None:
+            got = ray.get(oref)
+            _cache["o"] = got
+        keys, dates = got
+        ok = pc.cast(b["o_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ok)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "o_orderdate": pa.array(dates[pos], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "revenue_e4": pc.cast(b["sum(rev)"], pa.int64()),
+            }
+        )
+
+    out = agg.map_batches(_attach_date, batch_format="pyarrow")
+    return out.sort(
+        ["revenue_e4", "o_orderkey"], descending=[True, False]
+    ).limit(k)
