@@ -601,7 +601,7 @@ def test_token_vocab_hist_exact(ray_session, tmp_path):
     datagen.generate(d, n_sources=4, base_seqs=200, seed=7, n_shards=2)
     ds = _ray.data.read_parquet(d, columns=["tokens"])
     got = (
-        token_vocab_hist(ds, num_partitions=8)
+        token_vocab_hist(ds, reduce_fanin=4)
         .to_pandas()
         .sort_values("token_id")
         .reset_index(drop=True)
