@@ -1019,6 +1019,18 @@ def _q_shipping_priority(sf_dir: str):
     return shipping_priority_topk(cust, orders, li)
 
 
+def _q_cume_dist(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import cume_dist_by_value
+
+    return cume_dist_by_value(_events(sf_dir))
+
+
+def _q_mad_per_group(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.sketch import mad_per_group
+
+    return mad_per_group(_documents(sf_dir))
+
+
 def _q_sequence_pack_spans(sf_dir: str):
     from workbook_exporter_fe_ray.stages.pack import sequence_pack_spans
 
@@ -1228,6 +1240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_counts": _q_transition_counts,    # Markov transition matrix
         "pricing_summary": _q_pricing_summary,        # TPC-H Q1-shaped aggregates
         "shipping_priority": _q_shipping_priority,    # Q3-shaped 3-table top-k
+        "cume_dist_by_value": _q_cume_dist,           # CUME_DIST window
+        "mad_per_group": _q_mad_per_group,            # median absolute deviation
         "sequence_pack_spans": _q_sequence_pack_spans,  # concat-chunk packer span map
         "pack_fill_stats": _q_pack_fill_stats,        # per-pack occupancy
         "pack_tokens_synthetic": _q_pack_tokens_synthetic,  # materialized token packs
@@ -2042,6 +2056,35 @@ WHERE c_mktsegment = 'BUILDING'
   AND l_shipdate > TIMESTAMP '1998-01-01'
 GROUP BY o_orderkey, o_orderdate
 ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10
+""",
+        "cume_dist_by_value": f"""
+SELECT event_id, event_type AS source,
+       cume_dist() OVER (PARTITION BY event_type
+                         ORDER BY {_CENTS}) AS cdist
+FROM events
+""",
+        # MAD via the doubling trick: integer |2v - (lo+hi)| deviations,
+        # one pinned float expression at the end
+        "mad_per_group": """
+WITH o AS (SELECT source, CAST(n_chars AS BIGINT) v,
+                  row_number() OVER (PARTITION BY source ORDER BY n_chars) rn,
+                  count(*) OVER (PARTITION BY source) n
+           FROM documents),
+pick AS (SELECT source, max(CASE WHEN rn = (n-1)//2 + 1 THEN v END) AS lo,
+                max(CASE WHEN rn = n//2 + 1 THEN v END) AS hi
+         FROM o GROUP BY source, n),
+d AS (SELECT d0.source, abs(2 * CAST(d0.n_chars AS BIGINT) - (p.lo + p.hi)) AS dev
+      FROM documents d0 JOIN pick p ON d0.source = p.source),
+o2 AS (SELECT source, dev,
+              row_number() OVER (PARTITION BY source ORDER BY dev) rn,
+              count(*) OVER (PARTITION BY source) n FROM d),
+pick2 AS (SELECT source, n, max(CASE WHEN rn = (n-1)//2 + 1 THEN dev END) AS dlo,
+                 max(CASE WHEN rn = n//2 + 1 THEN dev END) AS dhi
+          FROM o2 GROUP BY source, n)
+SELECT source, n AS n_rows,
+       (CAST(dlo AS DOUBLE) + (CAST(dhi AS DOUBLE) - CAST(dlo AS DOUBLE)) * 0.5)
+         * 0.5 AS mad
+FROM pick2
 """,
         # global concat-and-chunk packing in doc_id order; whitespace
         # token count = string_split(text,' ') (token_count convention)

@@ -105,6 +105,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "transition_counts",
         "pricing_summary",
         "shipping_priority",
+        "cume_dist_by_value",
+        "mad_per_group",
     ],
 )
 def test_query_matches_oracle(name, ray_session):
@@ -674,3 +676,32 @@ def test_transition_counts_total(ray_session):
     got = entrymod.queries()["transition_counts"](SF).to_pandas()
     ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
     assert got.n_transitions.sum() == len(ev) - ev.user_id.nunique()
+
+
+def test_cume_dist_bounds_and_ties(ray_session):
+    got = entrymod.queries()["cume_dist_by_value"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["c"] = np.round(ev.value * 100).astype(np.int64)
+    m = got.merge(ev[["event_id", "c"]], on="event_id")
+    for _src, g in m.groupby("source"):
+        assert g.cdist.max() == 1.0
+        assert (g.cdist > 0).all()
+        assert (g.groupby("c").cdist.nunique() == 1).all()  # peers share
+
+
+def test_mad_known_values(ray_session):
+    import ray as _ray
+    import pandas as _pd
+
+    from workbook_exporter_fe_ray.stages.sketch import mad_per_group
+
+    ds = _ray.data.from_pandas(
+        _pd.DataFrame(
+            {"source": ["s"] * 5 + ["t"] * 4, "n_chars": [1, 2, 3, 4, 100, 1, 1, 9, 9]}
+        )
+    )
+    out = mad_per_group(ds, num_partitions=4).to_pandas().set_index("source")
+    # s: median 3, deviations {2,1,0,1,97} -> sorted {0,1,1,2,97}, mad 1
+    assert out.loc["s", "mad"] == 1.0
+    # t: median 5, deviations {4,4,4,4} -> mad 4
+    assert out.loc["t", "mad"] == 4.0

@@ -663,3 +663,105 @@ def mode_per_group(
         .groupby("__part")
         .map_groups(_sweep, batch_format="pyarrow")
     )
+
+
+def mad_per_group(
+    ds: ray.data.Dataset,
+    key: str = "source",
+    value_col: str = "n_chars",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Median absolute deviation per key — the robust dispersion
+    statistic — as a TWO-PHASE composition of :func:`median_interp`:
+    phase 1 computes each key's interpolated median; phase 2 re-streams
+    the column against the broadcast medians and takes the median of
+    the absolute deviations.
+
+    Bit-exactness across both phases via the doubling trick: the phase-1
+    median may be k/2, so deviations are kept as the exact INTEGER
+    ``|2·v − (lo+hi)|`` and every float op happens once at the end —
+    ``mad = (f8(dlo) + (f8(dhi) − f8(dlo))·0.5) · 0.5`` — the same
+    pinned expression as the SQL oracle.  Both exchanges are the
+    bounded histogram-partial sweep.  Output: (key, n_rows, mad).
+    """
+    from .sweep import run_starts_table, with_part
+
+    # ---- phase 1: per-key doubled median (lo + hi), exact int -------
+    med = median_interp(ds, key=key, value_col=value_col,
+                        num_partitions=num_partitions)
+    ks: list = []
+    m2s: list[int] = []
+    for row in med.iter_rows():
+        ks.append(row[key])
+        m2s.append(int(round(row["median"] * 2)))
+    order = np.argsort(np.asarray(ks, dtype=object), kind="stable")
+    keys_arr = np.asarray(ks, dtype=object)[order]
+    m2_arr = np.asarray(m2s, dtype=np.int64)[order]
+    ref = ray.put((keys_arr, m2_arr))
+
+    _cache: dict = {}
+
+    def _dev_partial(b: pa.Table) -> pa.Table:
+        got = _cache.get("m")
+        if got is None:
+            got = ray.get(ref)
+            _cache["m"] = got
+        kk, m2 = got
+        src = np.asarray(b[key].to_pylist(), dtype=object)
+        v = pc.cast(b[value_col], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(kk, src)
+        dev = np.abs(2 * v - m2[pos])
+        t = pa.table({key: b[key], "dev": pa.array(dev, pa.int64())})
+        g = t.group_by([key, "dev"]).aggregate([([], "count_all")])
+        g = g.rename_columns([key, "dev", "cnt"])
+        return with_part(g, [key], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), ("dev", "ascending")]
+        )
+        g = g.take(idx)
+        if len(g) == 0:
+            return pa.table(
+                {
+                    key: g[key],
+                    "n_rows": pa.array([], pa.int64()),
+                    "mad": pa.array([], pa.float64()),
+                }
+            )
+        pair_starts = run_starts_table(g, [key, "dev"])
+        c = np.add.reduceat(
+            g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64), pair_starts
+        )
+        v = g["dev"].to_numpy(zero_copy_only=False).astype(np.int64)[pair_starts]
+        keys_t = g[key].take(pa.array(pair_starts))
+        starts = run_starts_table(pa.table({key: keys_t}), [key])
+        k = len(starts)
+        lens = np.diff(np.r_[starts, len(v)])
+        cum = np.cumsum(c)
+        base = cum[starts] - c[starts]
+        local_cum = cum - np.repeat(base, lens)
+        n_per_key = local_cum[starts + lens - 1]
+        big = int(local_cum.max()) + 1
+        mono = local_cum + np.repeat(np.arange(k), lens) * big
+
+        def pick(kidx: np.ndarray) -> np.ndarray:
+            tgt = (kidx + 1) + np.arange(k) * big
+            return v[np.searchsorted(mono, tgt, side="left")]
+
+        dlo = pick((n_per_key - 1) // 2).astype(np.float64)
+        dhi = pick(n_per_key // 2).astype(np.float64)
+        mad = (dlo + (dhi - dlo) * np.float64(0.5)) * np.float64(0.5)
+        return pa.table(
+            {
+                key: keys_t.take(pa.array(starts)),
+                "n_rows": pa.array(n_per_key, pa.int64()),
+                "mad": pa.array(mad, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_dev_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+    )

@@ -875,3 +875,64 @@ def transition_counts(
         .groupby("__part")
         .map_groups(_merge, batch_format="pyarrow")
     )
+
+
+def cume_dist_by_value(
+    events: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """``CUME_DIST() OVER (PARTITION BY event_type ORDER BY cents)`` —
+    fraction of the group at or below each row's value (ties share the
+    value-run's last position), completing the rank-function family
+    (row_number ≡ topn, PERCENT_RANK, NTILE, DENSE_RANK).
+
+    Sweep kernel: one (source, cents) sort; each value-run's END
+    position is broadcast back over its rows with ``np.repeat``, and
+    the value is the single pinned division ``f8(end+1−run_start) /
+    f8(n_run)``.  Output: (event_id, source, cdist).
+    """
+    from .sweep import run_starts_table, with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": b["event_id"],
+                "source": b["event_type"],
+                "cents": _cents(b),
+            }
+        )
+        return with_part(t, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("source", "ascending"), ("cents", "ascending")]
+        )
+        g = g.take(idx)
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": g["event_id"],
+                    "source": g["source"],
+                    "cdist": pa.array([], pa.float64()),
+                }
+            )
+        starts = run_starts_table(g, ["source"])
+        lens = np.diff(np.r_[starts, n])
+        pair_starts = run_starts_table(g, ["source", "cents"])
+        pair_lens = np.diff(np.r_[pair_starts, n])
+        pair_end = np.repeat(pair_starts + pair_lens - 1, pair_lens)
+        run_start = np.repeat(starts, lens)
+        n_run = np.repeat(lens, lens)
+        cd = (pair_end + 1 - run_start).astype(np.float64) / n_run.astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "source": g["source"],
+                "cdist": pa.array(cd, pa.float64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
