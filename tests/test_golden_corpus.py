@@ -116,3 +116,56 @@ def test_blackbox_probe_fanout_derives_golden(workbook, golden):
                 continue
             key = (host, str(target), meta["module"], meta["location"], str(meta["country"]))
             assert key in engine, key
+
+
+def test_yaml_sink_renders_golden_file_byte_identical():
+    """The YAML sink's rendering (OrderedDict representer +
+    allow_unicode dump — reference write_yaml semantics,
+    workbook_exporter-fe.py:1758-1776) reproduces the ENTIRE golden
+    artifact byte-for-byte from its parsed form."""
+    from workbook_exporter_fe_ray.sinks import load_yaml_ordered, render_yaml
+
+    raw = open(GOLDEN, encoding="utf8").read()
+    assert render_yaml(load_yaml_ordered(raw)) == raw
+
+
+def test_yaml_sink_linux_end_to_end(workbook, golden, tmp_path):
+    """CSV ingest → vectorized linux-section builder → YAML sink. The
+    golden snapshot came from an older corpus (different ports and
+    credentials), so value assertions are the same subset-facts the
+    other golden tests use; the byte-level contract is covered by the
+    full-file render test above, plus field ORDER parity here."""
+    from workbook_exporter_fe_ray.sinks import (
+        linux_section_from_workbook,
+        load_yaml_ordered,
+        write_yaml_export,
+    )
+
+    section = linux_section_from_workbook(workbook)
+    out = tmp_path / "output.yaml"
+    write_yaml_export(str(out), {"exporter_linux": section})
+    back = load_yaml_ordered(out.read_text(encoding="utf8"))
+
+    got = back["exporter_linux"]
+    want = golden["exporter_linux"]
+    # golden host set is a subset of the CSV corpus
+    assert set(want) <= set(got)
+    for host, meta in want.items():
+        entry = got[host]
+        # stable facts across corpus versions: location/country/shape
+        assert entry["location"] == meta["location"]
+        assert str(entry["country"]) == str(meta["country"])
+        assert isinstance(entry["listen_port"], int)
+        # field ORDER matches the golden entries exactly
+        assert list(entry) == list(meta)
+    # credential defaulting mirrors the reference row.get defaults
+    assert got["avaya-1-ess"]["username"] == "testy"
+    assert got["avaya-1-lsp"]["username"] == "put your username here"
+
+    # merge semantics (reference write_yaml): second write updates in place
+    write_yaml_export(
+        str(out),
+        {"exporter_linux": {"zz-new-host": {"ip_address": "10.0.0.1"}}},
+    )
+    merged = load_yaml_ordered(out.read_text(encoding="utf8"))["exporter_linux"]
+    assert set(want) <= set(merged) and "zz-new-host" in merged

@@ -183,3 +183,41 @@ def test_exact_dedup_highcard(highcard_ds, highcard_df):
         .first()
     )
     assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+
+
+def test_range_join_highcard(highcard_ds, highcard_df):
+    """2,000 window keys x 5 windows = 10k windows through the composite
+    searchsorted counter (the driver corpus has only 5 keys), checked
+    against a per-key NumPy brute force."""
+    from workbook_exporter_fe_ray.stages.relational import range_join_window_counts
+
+    window_s = 37 * 60
+    got = range_join_window_counts(
+        highcard_ds, key="event_type", n_windows=5, window_s=window_s
+    ).to_pandas()
+    got["w_start"] = got["w_start"].astype("datetime64[us]").astype(np.int64)
+    got = got.sort_values(["event_type", "w_start"]).reset_index(drop=True)
+
+    df = highcard_df
+    heads = df.sort_values(["event_type", "ts", "event_id"], kind="stable").groupby(
+        "event_type"
+    ).head(5)
+    rows = []
+    for k, grp in df.groupby("event_type"):
+        tsk = np.sort(grp["ts"].to_numpy())
+        starts = heads.loc[heads["event_type"] == k, "ts"].to_numpy()
+        cnt = np.searchsorted(tsk, starts + window_s * US, "right") - np.searchsorted(
+            tsk, starts, "left"
+        )
+        rows += [(k, s, c) for s, c in zip(starts, cnt) if c > 0]
+    want = (
+        pd.DataFrame(rows, columns=["event_type", "w_start", "n_matched"])
+        .groupby(["event_type", "w_start"], as_index=False)  # dup starts merge
+        .sum()
+        .sort_values(["event_type", "w_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["event_type"].to_numpy() == want["event_type"].to_numpy()).all()
+    assert (got["w_start"].to_numpy() == want["w_start"].to_numpy()).all()
+    assert (got["n_matched"].to_numpy() == want["n_matched"].to_numpy()).all()
