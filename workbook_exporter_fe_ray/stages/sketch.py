@@ -38,11 +38,30 @@ import ray.data
 # ---------------------------------------------------------------------------
 
 
+def _warn_cardinality(op: str, max_seen: int, threshold: int) -> None:
+    """Loud no-silent-degradation guard (the LSH ``max_bucket`` policy):
+    fires when a key's distinct-value count breaks the histogram-
+    exchange design envelope."""
+    if max_seen > threshold:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: a key has %d distinct values (> max_distinct_per_key=%d) "
+            "— the histogram exchange is degrading toward row count; use "
+            "grouped_quantiles_sketch for float-like/near-unique value "
+            "domains",
+            op,
+            max_seen,
+            threshold,
+        )
+
+
 def grouped_quantiles(
     ds: ray.data.Dataset,
     key: str = "source",
     value_col: str = "n_chars",
     percents: tuple[int, ...] = (50, 90),
+    max_distinct_per_key: int = 1_000_000,
 ) -> ray.data.Dataset:
     """Exact per-key discrete quantiles of an integer column.
 
@@ -50,6 +69,15 @@ def grouped_quantiles(
     one at sorted index ``ceil(p*n/100) - 1`` (DuckDB
     ``quantile_disc`` convention), computed as
     ``(p*n + 99) // 100 - 1`` so boundaries are exact.
+
+    Design envelope: the exchange is a (key, value, count) histogram,
+    so its size is bounded by VALUE CARDINALITY, not row count. For
+    float-like / near-unique value domains that bound degrades toward
+    the raw row count — the reduce logs a loud warning when any key
+    exceeds ``max_distinct_per_key`` distinct values (no silent
+    degradation, mirroring the LSH ``max_bucket`` policy) and the
+    caller should switch to :func:`grouped_quantiles_sketch`, the
+    documented unbounded-domain fallback.
     """
 
     # reduce: coarse-partition sweep — partial (key, value, cnt)
@@ -92,6 +120,7 @@ def grouped_quantiles(
         k = len(starts)
         nrows = len(v)
         lens = np.diff(np.r_[starts, nrows])
+        _warn_cardinality("grouped_quantiles", int(lens.max()), max_distinct_per_key)
         cum = np.cumsum(c)
         base = cum[starts] - c[starts]  # cumsum just before each run
         local_cum = cum - np.repeat(base, lens)
