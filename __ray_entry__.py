@@ -1052,19 +1052,18 @@ def _q_pack_tokens_synthetic(sf_dir: str):
     import os
 
     from workbook_exporter_fe_ray import datagen
-    from workbook_exporter_fe_ray.stages.dedup import exact_dedup
     from workbook_exporter_fe_ray.stages.pack import assemble_packs, doc_rank_batch
 
     d = "/tmp/wfer_flagship_sf"
     if not os.path.isdir(d) or not os.listdir(d):
         datagen.generate(d, n_sources=8, base_seqs=600, seed=42, n_shards=4)
     paths = sorted(glob.glob(f"{d}/*.parquet"))
-    # scan passes run on the pruned 16-B (rank, n_tok) projection;
-    # the token payload is read once and deduped in the slice sweep
+    # scan passes run on the pruned 16-B (rank, n_tok) projection; the
+    # token payload is read once and deduped in the slice sweep; slim id
+    # dedup is folded into the bucket-sum exchange (dedup_slim_ids)
     slim = ray.data.read_parquet(paths, columns=["doc_id", "n_tok"]).map_batches(
         doc_rank_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    slim = exact_dedup(slim, keys=["rank"], tie_col="n_tok")
     docs = ray.data.read_parquet(paths, columns=["doc_id", "tokens"]).map_batches(
         doc_rank_batch, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -1074,6 +1073,7 @@ def _q_pack_tokens_synthetic(sf_dir: str):
         n_col="n_tok",
         docs_slim=slim,
         drop_dup_ids=True,
+        dedup_slim_ids=True,
     )
 
 

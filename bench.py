@@ -134,7 +134,6 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         import ray
 
         from workbook_exporter_fe_ray.sources.parquet import good_num_blocks
-        from workbook_exporter_fe_ray.stages.dedup import exact_dedup
         from workbook_exporter_fe_ray.stages.pack import (
             assemble_packs,
             doc_rank_batch,
@@ -142,10 +141,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
         sub = paths[:4]
         nb = good_num_blocks(sub)
+        # slim id dedup is folded into the bucket-sum exchange
+        # (dedup_slim_ids=True) — one fewer slim all-to-all
         slim = ray.data.read_parquet(
             sub, columns=["doc_id", "n_tok"], override_num_blocks=nb
         ).map_batches(doc_rank_batch, batch_format="pyarrow", zero_copy_batch=True)
-        slim = exact_dedup(slim, keys=["rank"], tie_col="n_tok", num_partitions=64)
         # payload read must be wide enough to parallelize the sort-map
         # side of the single token exchange (default sizing gave 1-4
         # giant blocks → serialized bucketing; 21.5 s → 9.3 s measured)
@@ -159,6 +159,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
             n_col="n_tok",
             docs_slim=slim,
             drop_dup_ids=True,
+            dedup_slim_ids=True,
         ).materialize()
         meta["packs"] = out.count()
         return out

@@ -45,7 +45,16 @@ def _reference_packs(d: str) -> list[np.ndarray]:
 
 @pytest.mark.parametrize(
     "parts,slim",
-    [((1, 1), False), ((5, 3), True), ((32, 32), True), ((5, 3), False)],
+    [
+        ((1, 1), False),
+        ((5, 3), True),
+        ((32, 32), True),
+        ((5, 3), False),
+        # folded slim dedup: no exact_dedup exchange — id dups resolve
+        # inside the bucket-sum group (dedup_slim_ids=True)
+        ((5, 3), "folded"),
+        ((32, 32), "folded"),
+    ],
 )
 def test_assembled_packs_token_equality(ray_session, corpus, parts, slim):
     P, Q = parts
@@ -61,7 +70,8 @@ def test_assembled_packs_token_equality(ray_session, corpus, parts, slim):
         sl = ray.data.read_parquet(paths, columns=["doc_id", "n_tok"]).map_batches(
             doc_rank_batch, batch_format="pyarrow", zero_copy_batch=True
         )
-        sl = exact_dedup(sl, keys=["rank"], tie_col="n_tok")
+        if slim != "folded":
+            sl = exact_dedup(sl, keys=["rank"], tie_col="n_tok")
         out = assemble_packs(
             docs,
             pack_len=PACK_LEN,
@@ -70,6 +80,7 @@ def test_assembled_packs_token_equality(ray_session, corpus, parts, slim):
             n_col="n_tok",
             docs_slim=sl,
             drop_dup_ids=True,
+            dedup_slim_ids=(slim == "folded"),
         ).to_pandas()
     else:
         docs = exact_dedup(docs, keys=["rank"], tie_col="rank")

@@ -43,7 +43,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..stages.dedup import exact_dedup
+
 from ..stages.pack import cut_bucket_packs, doc_rank_batch, stitch_fragments
 from ..state.checkpoint import Manifest, PartitionRecord, atomic_dir_write
 from .timeseries import _stub_fsspec_http
@@ -101,15 +101,20 @@ def _scan_state(job: PackJob) -> dict:
     slim = ray.data.read_parquet(
         job.input_paths, columns=["doc_id", "n_tok"]
     ).map_batches(doc_rank_batch, batch_format="pyarrow", zero_copy_batch=True)
-    slim = exact_dedup(slim, keys=["rank"], tie_col="n_tok")
 
     def _proj(b: pa.Table) -> pa.Table:
-        return pa.table(
+        # per-block partial id-dedup shrinks the exchange; cross-block
+        # dups (byte-identical by contract) resolve in the bucket group
+        t = pa.table(
             {
                 "id": pc.cast(b["rank"], pa.int64()),
                 "n": pc.cast(b["n_tok"], pa.int64()),
             }
         )
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        keep = order[np.r_[True, ids[order][1:] != ids[order][:-1]]]
+        return t.take(pa.array(np.sort(keep)))
 
     counts = slim.map_batches(_proj, batch_format="pyarrow").materialize()
     mm = counts.aggregate(Min("id"), Max("id"))
@@ -123,10 +128,22 @@ def _scan_state(job: PackJob) -> dict:
             "__bucket", pa.array((((ids - lo_id) * P) // span).astype(np.int32))
         )
 
+    def _dedup_sum(g: pa.Table) -> pa.Table:
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        keep = np.r_[True, ids[order][1:] != ids[order][:-1]]
+        return pa.table(
+            {
+                "__bucket": g["__bucket"].slice(0, 1),
+                "sum(n)": pa.array([int(n[order][keep].sum())], pa.int64()),
+            }
+        )
+
     sums = (
         counts.map_batches(_bk, batch_format="pyarrow")
         .groupby("__bucket")
-        .aggregate(Sum("n"))
+        .map_groups(_dedup_sum, batch_format="pyarrow")
         .take_all()
     )
     per = [0] * P
@@ -195,46 +212,55 @@ def run_pack(job: PackJob, bucket_ids: list[int] | None = None) -> dict:
             .map_batches(_filt, batch_format="pyarrow", zero_copy_batch=True)
         )
         # one bucket = one group; repartition(1)+whole-block batch keeps
-        # the cut a single vectorized call
-        cut = (
-            ds.repartition(1)
-            .map_batches(
-                lambda g: cut_bucket_packs(
-                    g, int(base[k]), job.pack_len, drop_dup_ids=True
-                ),
-                batch_format="pyarrow",
-                batch_size=None,
-                zero_copy_batch=True,
-            )
-            .materialize()
+        # the cut a single vectorized call. ONE execution per bucket:
+        # the cut result is fetched as Arrow refs (a bucket is the
+        # checkpoint unit and is bounded by construction — the same
+        # assumption repartition(1) already makes) and split/written
+        # locally, instead of three more Dataset executions
+        # (materialize + packs pass + frags pass, the r2 cold-start
+        # cost).
+        cut = ds.repartition(1).map_batches(
+            lambda g: cut_bucket_packs(g, int(base[k]), job.pack_len, drop_dup_ids=True),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
         )
+        import pyarrow.parquet as pq
 
-        def _completes(b: pa.Table) -> pa.Table:
-            t = b.filter(pc.equal(b["complete"], True))
+        parts = [t for t in ray.get(cut.to_arrow_refs()) if len(t)]
+        if parts:
+            cut_tbl = pa.concat_tables(parts)
+            complete = pc.equal(cut_tbl["complete"], True)
+            t = cut_tbl.filter(complete)
             toks = t["toks"]
             if isinstance(toks, pa.ChunkedArray):
                 toks = toks.combine_chunks()
-            return pa.table(
+            packs_tbl = pa.table(
                 {
                     "pack_id": t["pack_id"],
                     "tokens": pc.cast(toks, pa.list_(pa.int32())),
                     "n_spans": t["n_spans"],
                 }
             )
-
-        def _frags(b: pa.Table) -> pa.Table:
-            return b.filter(pc.equal(b["complete"], False))
+            frags_tbl = cut_tbl.filter(pc.invert(complete))
+        else:  # empty bucket (empty blocks can carry no schema)
+            packs_tbl = pa.table(
+                {
+                    "pack_id": pa.array([], pa.int64()),
+                    "tokens": pa.array([], pa.list_(pa.int32())),
+                    "n_spans": pa.array([], pa.int64()),
+                }
+            )
+            frags_tbl = packs_tbl.slice(0, 0)
 
         final = f"{job.out_dir}/buckets/part-{k:05d}"
         with atomic_dir_write(final) as staging:
             os.makedirs(f"{staging}/packs", exist_ok=True)
             os.makedirs(f"{staging}/frags", exist_ok=True)
-            packs = cut.map_batches(_completes, batch_format="pyarrow").materialize()
-            packs.write_parquet(f"{staging}/packs")
-            frags = cut.map_batches(_frags, batch_format="pyarrow").materialize()
-            if frags.count():
-                frags.write_parquet(f"{staging}/frags")
-            n_packs = packs.count()
+            pq.write_table(packs_tbl, f"{staging}/packs/part-0.parquet")
+            if len(frags_tbl):
+                pq.write_table(frags_tbl, f"{staging}/frags/part-0.parquet")
+            n_packs = len(packs_tbl)
 
         with lock:
             manifest.mark_done(

@@ -411,6 +411,7 @@ def minhash_lsh_pairs(
     num_partitions: int = 64,
     max_bucket: int = 64,
     verify: str = "exact",
+    broadcast_payload_bytes: int = 256 << 20,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -446,7 +447,16 @@ def minhash_lsh_pairs(
     O(candidate pairs); a corpus that is mostly duplicates makes them
     corpus-sized — raise ``threshold``/``bands`` selectivity or shard
     the run before that point (the skipped-bucket counter flags the
-    degenerate case loudly)."""
+    degenerate case loudly).
+
+    Attach plan is picked from the MEASURED involved-payload size
+    (``size_bytes()`` on the materialized payload dataset, metadata
+    only): ≤ ``broadcast_payload_bytes`` → the payload table is
+    ``ray.put`` once and each verify batch looks both sides up locally
+    (two fewer sort exchanges + two fewer executions — the common
+    case: involved docs are candidate-proportional); larger → the two
+    candidate-sized sweep-join exchanges, so nothing corpus-scale is
+    ever broadcast. The chosen plan is logged; outputs are identical."""
     assert num_perm % bands == 0
     if verify not in ("exact", "estimate"):
         raise ValueError(f"unknown verify mode: {verify!r}")
@@ -608,6 +618,86 @@ def minhash_lsh_pairs(
             col = col.combine_chunks()
         return col.cast(LIST64) if col.type != LIST64 else col
 
+    # ---- verification kernel (shared by both attach plans) ----------
+    def _verify(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _EMPTY_PAIRS
+        a_col, b_col = b["pa_pl"], b["pb_pl"]
+        if isinstance(a_col, pa.ChunkedArray):
+            a_col = a_col.combine_chunks()
+        if isinstance(b_col, pa.ChunkedArray):
+            b_col = b_col.combine_chunks()
+        fa = a_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+        fb = b_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+        oa = a_col.offsets.to_numpy(zero_copy_only=False)
+        ob = b_col.offsets.to_numpy(zero_copy_only=False)
+        n = len(b)
+        if verify == "estimate":
+            jac = np.mean(
+                fa.reshape(n, num_perm) == fb.reshape(n, num_perm), axis=1
+            )
+        else:
+            jac = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                jac[i] = hashed_jaccard(
+                    fa[oa[i] : oa[i + 1]], fb[ob[i] : ob[i + 1]]
+                )
+        hit = jac >= threshold
+        return pa.table(
+            {
+                "id_a": b["id_a"].filter(pa.array(hit)),
+                "id_b": b["id_b"].filter(pa.array(hit)),
+                "jaccard": pa.array(jac[hit], pa.float64()),
+            }
+        )
+
+    # ---- attach plan: broadcast fast path ----------------------------
+    # measured decision from block metadata (no data fetch): when the
+    # involved-payload table is small — the common case, candidate-
+    # proportional — ship it ONCE via ray.put and drop both sweep-join
+    # exchanges (and their executor runs) entirely.
+    if payloads.size_bytes() <= broadcast_payload_bytes:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "minhash_lsh_pairs: broadcast attach (%d B involved payloads)",
+            payloads.size_bytes(),
+        )
+        ptbl = pa.concat_tables(
+            [t for t in ray.get(payloads.to_arrow_refs()) if len(t)]
+        )
+        pl_all = _payload_list(ptbl)
+        pids = pc.cast(ptbl[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(pids, kind="stable")
+        pay_ref = ray.put((pids[order], pl_all.take(pa.array(order))))
+        _pay_cache: dict = {}
+
+        def _attach_broadcast(b: pa.Table) -> pa.Table:
+            got = _pay_cache.get("p")
+            if got is None:
+                got = ray.get(pay_ref)
+                _pay_cache["p"] = got
+            pk, plists = got
+            ia = pc.cast(b["id_a"], pa.int64()).to_numpy(zero_copy_only=False)
+            ib = pc.cast(b["id_b"], pa.int64()).to_numpy(zero_copy_only=False)
+            pos_a = np.minimum(np.searchsorted(pk, ia), max(len(pk) - 1, 0))
+            pos_b = np.minimum(np.searchsorted(pk, ib), max(len(pk) - 1, 0))
+            hit = (pk[pos_a] == ia) & (pk[pos_b] == ib)
+            sel = np.flatnonzero(hit)
+            return pa.table(
+                {
+                    "id_a": pa.array(ia[sel], pa.int64()),
+                    "id_b": pa.array(ib[sel], pa.int64()),
+                    "pa_pl": plists.take(pa.array(pos_a[sel])),
+                    "pb_pl": plists.take(pa.array(pos_b[sel])),
+                }
+            )
+
+        return cand.map_batches(
+            _attach_broadcast, batch_format="pyarrow"
+        ).map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)
+
+    # ---- attach plan: two candidate-sized sweep-join exchanges -------
     # ---- attach phase A: route on id_a ------------------------------
     def _pairs_a(b: pa.Table) -> pa.Table:
         n = len(b)
@@ -709,38 +799,6 @@ def minhash_lsh_pairs(
     )
 
     # ---- verification: once per globally-distinct pair --------------
-    def _verify(b: pa.Table) -> pa.Table:
-        if len(b) == 0:
-            return _EMPTY_PAIRS
-        a_col, b_col = b["pa_pl"], b["pb_pl"]
-        if isinstance(a_col, pa.ChunkedArray):
-            a_col = a_col.combine_chunks()
-        if isinstance(b_col, pa.ChunkedArray):
-            b_col = b_col.combine_chunks()
-        fa = a_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
-        fb = b_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
-        oa = a_col.offsets.to_numpy(zero_copy_only=False)
-        ob = b_col.offsets.to_numpy(zero_copy_only=False)
-        n = len(b)
-        if verify == "estimate":
-            jac = np.mean(
-                fa.reshape(n, num_perm) == fb.reshape(n, num_perm), axis=1
-            )
-        else:
-            jac = np.empty(n, dtype=np.float64)
-            for i in range(n):
-                jac[i] = hashed_jaccard(
-                    fa[oa[i] : oa[i + 1]], fb[ob[i] : ob[i + 1]]
-                )
-        hit = jac >= threshold
-        return pa.table(
-            {
-                "id_a": b["id_a"].filter(pa.array(hit)),
-                "id_b": b["id_b"].filter(pa.array(hit)),
-                "jaccard": pa.array(jac[hit], pa.float64()),
-            }
-        )
-
     return routed_b.map_batches(
         _verify, batch_format="pyarrow", zero_copy_batch=True
     )

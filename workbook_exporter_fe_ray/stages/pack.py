@@ -264,6 +264,7 @@ def assemble_packs(
     n_col: str | None = None,
     docs_slim: ray.data.Dataset | None = None,
     drop_dup_ids: bool = False,
+    dedup_slim_ids: bool = False,
     id_range: tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Materialized packer: emits ``(pack_id, tokens, n_spans)`` where
@@ -289,9 +290,15 @@ def assemble_packs(
     ``pack_partitions`` is retained for API compatibility and unused.
     With ``drop_dup_ids=True``, byte-identical
     duplicate rows (same id) are dropped inside the slice sweep — same
-    id → same bucket, adjacent after the sort — so the caller dedups
-    only the 16-byte ``docs_slim`` rows, never the token payload
-    (``docs_slim`` must then already be id-unique).  All slicing is
+    id → same bucket, adjacent after the sort — so only the 16-byte
+    slim rows need deduplication, never the token payload. Pass
+    ``dedup_slim_ids=True`` to fold that slim dedup INTO the
+    bucket-sum exchange (same id → same bucket → same group; rows are
+    byte-identical by the same contract, so any representative works)
+    instead of running a separate ``exact_dedup`` exchange first —
+    one fewer all-to-all and one fewer executor run on the slim side.
+    With ``dedup_slim_ids=False``, ``docs_slim`` must already be
+    id-unique.  All slicing is
     one flat-values gather (``np.repeat``/``arange`` index build, no
     per-row Python).  Group tasks are plain functions (autoscaling
     task pool), ``num_partitions`` / ``pack_partitions`` bound
@@ -308,7 +315,13 @@ def assemble_packs(
             if isinstance(toks, pa.ChunkedArray):
                 toks = toks.combine_chunks()
             n = pc.cast(pc.list_value_length(toks), pa.int64())
-        return pa.table({"id": pc.cast(b[id_col], pa.int64()), "n": n})
+        t = pa.table({"id": pc.cast(b[id_col], pa.int64()), "n": n})
+        if dedup_slim_ids:  # per-block partial: shrink the exchange
+            ids = t["id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            keep = order[np.r_[True, ids[order][1:] != ids[order][:-1]]]
+            t = t.take(pa.array(np.sort(keep)))
+        return t
 
     # Two scan passes (id range, bucket sums) read this projection;
     # materialize once (16 B/doc, spillable) so the slim pipeline —
@@ -335,12 +348,33 @@ def assemble_packs(
         ids = b["id"].to_numpy(zero_copy_only=False)
         return b.append_column("__bucket", pa.array(_bucket_of(ids)))
 
-    sums = (
-        counts.map_batches(_bucket_counts, batch_format="pyarrow")
-        .groupby("__bucket")
-        .aggregate(Sum("n"))
-        .take_all()
-    )
+    if dedup_slim_ids:
+        # dedup folded into the bucket-sum group: same id → same bucket
+        def _dedup_sum(g: pa.Table) -> pa.Table:
+            ids = g["id"].to_numpy(zero_copy_only=False)
+            n = g["n"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            keep = np.r_[True, ids[order][1:] != ids[order][:-1]]
+            return pa.table(
+                {
+                    "__bucket": g["__bucket"].slice(0, 1),
+                    "sum(n)": pa.array([int(n[order][keep].sum())], pa.int64()),
+                }
+            )
+
+        sums = (
+            counts.map_batches(_bucket_counts, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(_dedup_sum, batch_format="pyarrow")
+            .take_all()
+        )
+    else:
+        sums = (
+            counts.map_batches(_bucket_counts, batch_format="pyarrow")
+            .groupby("__bucket")
+            .aggregate(Sum("n"))
+            .take_all()
+        )
     base = np.zeros(P, dtype=np.int64)
     per = np.zeros(P, dtype=np.int64)
     for r in sums:
