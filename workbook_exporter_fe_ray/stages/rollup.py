@@ -219,7 +219,15 @@ def _pack_day_segments(
     This is what makes the flagship's single exchange cheap at 100 TB:
     ~12 B/point in a few segment rows per block instead of ~31 B/point
     in one row per point, so the all-to-all moves 2.5× fewer bytes and
-    ~1000× fewer rows."""
+    ~1000× fewer rows.
+
+    Constant-delta elision (the Gorilla paper's core timestamp
+    observation — telemetry grids are overwhelmingly regular): a run
+    whose deltas are all equal ships an EMPTY ``ts_deltas`` list plus
+    its ``const_delta``; only irregular runs carry the full delta
+    list. On a regular corpus this removes the 8 B/point timestamp
+    payload from the exchange entirely (≈60%% fewer exchange bytes);
+    decode is exact in both paths."""
     if len(batch) == 0:
         return pa.table(
             {
@@ -227,6 +235,7 @@ def _pack_day_segments(
                 "day": pa.array([], pa.int64()),
                 "n": pa.array([], pa.int32()),
                 "first_ts": pa.array([], pa.int64()),
+                "const_delta": pa.array([], pa.int64()),
                 "ts_deltas": pa.array([], pa.list_(pa.int64())),
                 "vals": pa.array([], pa.list_(batch.schema.field(value_col).type)),
             }
@@ -261,6 +270,19 @@ def _pack_day_segments(
     deltas_full[1:] = np.diff(ts)
     deltas_full[starts] = 0
 
+    # constant-delta detection: copy each multi-point run's first REAL
+    # delta into its zero slot so min==max identifies a constant run
+    adj = deltas_full.copy()
+    multi = n > 1
+    adj[starts[multi]] = deltas_full[starts[multi] + 1]
+    mins = np.minimum.reduceat(adj, starts)
+    maxs = np.maximum.reduceat(adj, starts)
+    reg = mins == maxs  # single-point runs: 0 == 0 → const_delta 0
+    const = np.where(reg, mins, -1)
+    lens_out = np.where(reg, 0, n.astype(np.int64))
+    d_offsets = pa.array(np.r_[0, np.cumsum(lens_out)].astype(np.int32))
+    flat_keep = deltas_full[np.repeat(~reg, n)]
+
     offsets = pa.array(np.r_[starts, len(ts)].astype(np.int32))
     src_names = src_codes.dictionary.take(pa.array(codes[starts])).cast(pa.string())
     return pa.table(
@@ -269,8 +291,9 @@ def _pack_day_segments(
             "day": pa.array(day[starts], pa.int64()),
             "n": pa.array(n, pa.int32()),
             "first_ts": pa.array(first_ts, pa.int64()),
+            "const_delta": pa.array(const, pa.int64()),
             "ts_deltas": pa.ListArray.from_arrays(
-                offsets, pa.array(deltas_full, pa.int64())
+                d_offsets, pa.array(flat_keep, pa.int64())
             ),
             "vals": pa.ListArray.from_arrays(offsets, pa.array(val)),
         }
@@ -283,22 +306,35 @@ def decode_segments(
     """Decode one group's segment fragments (vectorized cumsum over the
     flattened delta lists), merge fragments, exact-dedup on ts (unless
     ``dedup=False``). Returns (ts µs int64 sorted, raw values)."""
-    td = group["ts_deltas"]
-    if isinstance(td, pa.ChunkedArray):
-        td = td.combine_chunks()
     vl = group["vals"]
     if isinstance(vl, pa.ChunkedArray):
         vl = vl.combine_chunks()
-    flat_d = td.flatten().to_numpy(zero_copy_only=False)
-    offs = td.offsets.to_numpy(zero_copy_only=False)
-    starts = offs[:-1]
     first_ts = group["first_ts"].to_numpy(zero_copy_only=False)
-    lens = np.diff(offs)
+    const = group["const_delta"].to_numpy(zero_copy_only=False)
+    lens = np.diff(vl.offsets.to_numpy(zero_copy_only=False))
+    total = int(lens.sum())
+    if total == 0:
+        return np.array([], np.int64), vl.flatten().to_numpy(zero_copy_only=False)
 
-    # decode: within-fragment cumsum with per-fragment base, vectorized
-    cum = np.cumsum(flat_d)
-    base_at_start = cum[starts]  # cumsum value AT each fragment's first slot
-    ts = cum - np.repeat(base_at_start, lens) + np.repeat(first_ts, lens)
+    # regular fragments: first_ts + pos * const_delta (no delta payload)
+    row_base = np.r_[0, np.cumsum(lens)[:-1]]
+    pos = np.arange(total, dtype=np.int64) - np.repeat(row_base, lens)
+    ts = np.repeat(first_ts, lens) + pos * np.repeat(np.maximum(const, 0), lens)
+
+    irr = const < 0
+    if irr.any():
+        # irregular fragments carry explicit delta lists: within-
+        # fragment cumsum with per-fragment base, vectorized
+        td = group["ts_deltas"]
+        if isinstance(td, pa.ChunkedArray):
+            td = td.combine_chunks()
+        flat_d = td.flatten().to_numpy(zero_copy_only=False)
+        offs = td.offsets.to_numpy(zero_copy_only=False)
+        si = offs[:-1][irr]
+        li = np.diff(offs)[irr]
+        cum = np.cumsum(flat_d)
+        ts_ir = cum - np.repeat(cum[si], li) + np.repeat(first_ts[irr], li)
+        ts[np.repeat(irr, lens)] = ts_ir
     raw = vl.flatten().to_numpy(zero_copy_only=False)
 
     order = np.argsort(ts, kind="stable")
