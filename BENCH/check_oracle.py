@@ -3,6 +3,12 @@ entry at sf0.01 and compare row-count + column names + order-insensitive
 value hash against oracle_sql() via DuckDB.
 
 Usage: python BENCH/check_oracle.py [sf_dir] [query ...]
+       python BENCH/check_oracle.py [sf_dir] --json OUT.json
+         also writes a machine-readable record in the driver's
+         CORRECTNESS row shape (rows_match/schema_match/hash_match/
+         spark_rows/oracle_rows/err; rows-only queries get
+         err="no_oracle") — recorded per round as
+         CORRECTNESS_local_r{N}.json (VERDICT r2 item 5).
 """
 
 from __future__ import annotations
@@ -50,8 +56,15 @@ def value_hash(df: pd.DataFrame) -> int:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    record: dict[str, dict] = {}
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False)
     sys.path.insert(0, "/root/repo")
@@ -70,16 +83,29 @@ def main() -> int:
             got = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
+            record[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"{type(e).__name__}: {e}",
+            }
             failures += 1
             continue
         if name not in osql:
             print(f"rows  {name}: {len(got)} rows, cols={sorted(got.columns)} (rows-only)")
+            record[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(got), "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         want = con.sql(osql[name]).df()
         ok_rows = len(got) == len(want)
         ok_cols = sorted(got.columns) == sorted(want.columns)
         ok_hash = ok_rows and ok_cols and value_hash(got) == value_hash(want)
         status = "OK  " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        record[name] = {
+            "rows_match": ok_rows, "schema_match": ok_cols, "hash_match": ok_hash,
+            "spark_rows": len(got), "oracle_rows": len(want), "err": None,
+        }
         if status == "FAIL":
             failures += 1
         print(
@@ -103,6 +129,12 @@ def main() -> int:
                 )
             ]
             print(f"      differing cols: {diff_cols}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=2)
+        print(f"wrote {json_out} ({len(record)} rows)")
     ray.shutdown()
     return failures
 

@@ -119,3 +119,49 @@ def test_block_count_invariance(sf_test_paths, oracle_tiers):
         )
         got = _tier_to_df(split_tiers(cascade_rollup(pts).materialize())["1m"])
         _assert_bit_identical(got, oracle_tiers["1m"], f"nb={nb}")
+
+
+def test_segment_const_delta_elision_roundtrip():
+    """Constant-delta runs ship no delta list; irregular runs keep the
+    explicit list — decode must be bit-exact for both, mixed in one
+    group, and the regular path must actually elide (empty ts_deltas)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from workbook_exporter_fe_ray.schema import EPOCH0_US
+    from workbook_exporter_fe_ray.stages.rollup import (
+        _pack_day_segments,
+        decode_segments,
+    )
+
+    rng = np.random.default_rng(3)
+    # regular grid source + irregular source + single-point source
+    reg_ts = EPOCH0_US + np.arange(500, dtype=np.int64) * 60_000_000
+    irr_ts = EPOCH0_US + np.sort(
+        rng.choice(np.arange(1, 86_400, dtype=np.int64) * 1_000_000, 400, replace=False)
+    )
+    one_ts = np.array([EPOCH0_US + 123_000_000], dtype=np.int64)
+    tbl = pa.table(
+        {
+            "source": pa.array(["reg"] * 500 + ["irr"] * 400 + ["one"]),
+            "ts": pa.array(np.r_[reg_ts, irr_ts, one_ts]).cast(pa.timestamp("us")),
+            "n_tok": pa.array(rng.integers(1, 400, 901).astype(np.int32)),
+        }
+    )
+    seg = _pack_day_segments(tbl, "n_tok")
+    const = seg["const_delta"].to_numpy(zero_copy_only=False)
+    src = seg["source"].to_pylist()
+    dl = pc.list_value_length(seg["ts_deltas"]).to_numpy(zero_copy_only=False)
+    for s, c, d in zip(src, const, dl):
+        if s in ("reg", "one"):
+            assert c >= 0 and d == 0, (s, c, d)  # elided
+        else:
+            assert c == -1 and d > 0, (s, c, d)  # explicit deltas kept
+    for s, want_ts in [("reg", reg_ts), ("irr", irr_ts), ("one", one_ts)]:
+        g = seg.filter(pc.equal(seg["source"], s))
+        ts_dec, raw = decode_segments(g)
+        np.testing.assert_array_equal(ts_dec, want_ts, err_msg=s)
+        m = pc.equal(tbl["source"], s)
+        order = np.argsort(pc.cast(tbl.filter(m)["ts"], pa.int64()).to_numpy(zero_copy_only=False))
+        np.testing.assert_array_equal(raw, tbl.filter(m)["n_tok"].to_numpy()[order])

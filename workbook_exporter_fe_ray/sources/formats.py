@@ -83,9 +83,11 @@ def read_auto(
         ds = ray.data.from_arrow(tbl)
         return ds.select_columns(columns) if columns else ds
     if ext == ".xls":
-        raise NotImplementedError(
-            "legacy binary .xls needs xlrd (not available here); re-save "
-            "as .xlsx/CSV — the dispatch and downstream pipeline are "
-            "format-agnostic once parsed."
-        )
+        # stdlib BIFF8/CFB reader (sources/xls.py) — same driver-side
+        # contract as the .xlsx path
+        from .xls import read_xls_table
+
+        tbl = read_xls_table(path, sheet_name=sheet_name, skip_rows=skip_rows)
+        ds = ray.data.from_arrow(tbl)
+        return ds.select_columns(columns) if columns else ds
     raise ValueError(f"unsupported input extension {ext!r} for {path!r}")

@@ -1,0 +1,314 @@
+"""Minimal stdlib legacy ``.xls`` (BIFF8) reader — closes the last
+reference ingest gap (`pd.read_excel` accepts ``.xls``,
+``/root/reference/workbook_exporter-fe.py:1710-1711``; VERDICT r2
+item 9) without xlrd: a ``.xls`` file is an OLE2/CFB compound document
+whose ``Workbook`` stream is a sequence of BIFF records, both parsed
+here with ``struct`` + the published [MS-CFB] / [MS-XLS] layouts.
+
+Supported (the subset workbook exports use): BIFF8 SST shared strings
+(incl. CONTINUE splits and compressed/UTF-16 fragments), LABELSST,
+NUMBER, RK, MULRK, LABEL, BOOLERR, BLANK; multiple sheets via
+BOUNDSHEET. Formulas are not evaluated (cells are skipped — the
+reference's workbook exports carry literal values). Both regular-FAT
+and mini-stream (< 4 KiB) workbook streams are handled.
+
+Driver-side by design: workbook uploads are small (the reference caps
+uploads at 16–100 MB); the parsed table enters Ray as Arrow and the
+pipeline is format-agnostic from there (same contract as
+``sources/xlsx.py``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_ENDOFCHAIN = 0xFFFFFFFE
+_FREESECT = 0xFFFFFFFF
+
+# ---------------------------------------------------------------------------
+# OLE2 / CFB container
+# ---------------------------------------------------------------------------
+
+
+def _u32s(buf: bytes) -> list[int]:
+    return list(struct.unpack_from(f"<{len(buf) // 4}I", buf))
+
+
+def _cfb_open_stream(data: bytes, names: tuple[str, ...]) -> bytes:
+    """Extract the first directory stream whose name is in ``names``."""
+    if data[:8] != _CFB_MAGIC:
+        raise ValueError("not an OLE2 compound document (bad magic)")
+    sec_shift = struct.unpack_from("<H", data, 30)[0]
+    mini_shift = struct.unpack_from("<H", data, 32)[0]
+    ssz, msz = 1 << sec_shift, 1 << mini_shift
+    first_dir = struct.unpack_from("<I", data, 48)[0]
+    mini_cutoff = struct.unpack_from("<I", data, 56)[0]
+    first_minifat = struct.unpack_from("<I", data, 60)[0]
+    first_difat = struct.unpack_from("<I", data, 68)[0]
+    num_difat = struct.unpack_from("<I", data, 72)[0]
+
+    def sector(n: int) -> bytes:
+        off = 512 + n * ssz
+        return data[off : off + ssz]
+
+    # FAT sector list: 109 header DIFAT entries + chained DIFAT sectors
+    fat_sectors = [s for s in _u32s(data[76 : 76 + 109 * 4]) if s != _FREESECT]
+    d = first_difat
+    for _ in range(num_difat):
+        if d in (_ENDOFCHAIN, _FREESECT):
+            break
+        body = _u32s(sector(d))
+        fat_sectors += [s for s in body[:-1] if s != _FREESECT]
+        d = body[-1]
+    fat: list[int] = []
+    for s in fat_sectors:
+        fat += _u32s(sector(s))
+
+    def chain(start: int) -> bytes:
+        out, s, hops = [], start, 0
+        while s not in (_ENDOFCHAIN, _FREESECT):
+            out.append(sector(s))
+            s = fat[s]
+            hops += 1
+            if hops > len(fat) + 1:
+                raise ValueError("corrupt CFB: FAT chain cycle")
+        return b"".join(out)
+
+    dir_data = chain(first_dir)
+    entries = []
+    for off in range(0, len(dir_data) - 127, 128):
+        name_len = struct.unpack_from("<H", dir_data, off + 64)[0]
+        if name_len < 2:
+            continue
+        name = dir_data[off : off + name_len - 2].decode("utf-16-le")
+        etype = dir_data[off + 66]
+        start = struct.unpack_from("<I", dir_data, off + 116)[0]
+        size = struct.unpack_from("<Q", dir_data, off + 120)[0] & 0xFFFFFFFF
+        entries.append((name, etype, start, size))
+    root = next(e for e in entries if e[1] == 5)
+    target = next((e for e in entries if e[1] == 2 and e[0] in names), None)
+    if target is None:
+        raise ValueError(f"no {names} stream in compound document")
+    _, _, start, size = target
+    if size >= mini_cutoff:
+        return chain(start)[:size]
+    # mini stream: 64-byte sectors inside the root entry's chain
+    ministream = chain(root[2])
+    minifat = _u32s(chain(first_minifat)) if first_minifat != _ENDOFCHAIN else []
+    out, s, hops = [], start, 0
+    while s not in (_ENDOFCHAIN, _FREESECT):
+        out.append(ministream[s * msz : (s + 1) * msz])
+        s = minifat[s]
+        hops += 1
+        if hops > len(minifat) + 1:
+            raise ValueError("corrupt CFB: miniFAT chain cycle")
+    return b"".join(out)[:size]
+
+
+# ---------------------------------------------------------------------------
+# BIFF8 records
+# ---------------------------------------------------------------------------
+
+_BOF, _EOF, _SST, _CONTINUE, _BOUNDSHEET = 0x0809, 0x000A, 0x00FC, 0x003C, 0x0085
+_LABELSST, _NUMBER, _RK, _MULRK, _LABEL, _BOOLERR = (
+    0x00FD,
+    0x0203,
+    0x027E,
+    0x00BD,
+    0x0204,
+    0x0205,
+)
+
+
+def _records(stream: bytes, pos: int = 0):
+    while pos + 4 <= len(stream):
+        typ, ln = struct.unpack_from("<HH", stream, pos)
+        yield typ, pos + 4, ln
+        pos += 4 + ln
+
+
+def _decode_rk(rk: int) -> float | int:
+    f_x100, f_int = rk & 1, rk & 2
+    if f_int:
+        v: float | int = rk >> 2 if rk >> 2 < (1 << 29) else (rk >> 2) - (1 << 30)
+    else:
+        v = struct.unpack("<d", struct.pack("<Q", (rk & 0xFFFFFFFC) << 32))[0]
+    if f_x100:
+        v = v / 100
+        if isinstance(v, float) and v.is_integer():
+            v = int(v)
+    return v
+
+
+class _SSTReader:
+    """XLUnicodeString sequence across SST + CONTINUE records; each
+    fragment after a split re-states its own compression flag."""
+
+    def __init__(self, parts: list[bytes]):
+        self.parts = parts
+        self.pi = 0
+        self.pos = 0
+
+    def _remaining(self) -> int:
+        return len(self.parts[self.pi]) - self.pos
+
+    def _advance_part(self) -> None:
+        self.pi += 1
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        out = b""
+        while n:
+            if self._remaining() == 0:
+                self._advance_part()
+                continue
+            take = min(n, self._remaining())
+            out += self.parts[self.pi][self.pos : self.pos + take]
+            self.pos += take
+            n -= take
+        return out
+
+    def read_string(self) -> str:
+        cch = struct.unpack("<H", self.read(2))[0]
+        grbit = self.read(1)[0]
+        c_run = struct.unpack("<H", self.read(2))[0] if grbit & 0x08 else 0
+        cb_ext = struct.unpack("<I", self.read(4))[0] if grbit & 0x04 else 0
+        high = grbit & 0x01
+        chars: list[str] = []
+        left = cch
+        while left:
+            if self._remaining() == 0:
+                # split across CONTINUE: next fragment re-states the flag
+                self._advance_part()
+                high = self.read(1)[0] & 0x01
+            width = 2 if high else 1
+            n_here = min(left, self._remaining() // width)
+            if n_here == 0:
+                raise ValueError("corrupt SST: empty continue fragment")
+            raw = self.read(n_here * width)
+            chars.append(raw.decode("utf-16-le" if high else "latin-1"))
+            left -= n_here
+        self.read(c_run * 4 + cb_ext)  # rich-text runs / ext data skipped
+        return "".join(chars)
+
+
+def _parse_globals(stream: bytes):
+    """(sst strings, [(sheet_name, stream_offset), ...])."""
+    sst: list[str] = []
+    sheets: list[tuple[str, int]] = []
+    it = _records(stream)
+    for typ, off, ln in it:
+        if typ == _EOF:
+            break
+        if typ == _BOUNDSHEET:
+            s_off = struct.unpack_from("<I", stream, off)[0]
+            cch = stream[off + 6]
+            grbit = stream[off + 7]
+            raw = stream[off + 8 : off + 8 + cch * (2 if grbit & 1 else 1)]
+            name = raw.decode("utf-16-le" if grbit & 1 else "latin-1")
+            sheets.append((name, s_off))
+        elif typ == _SST:
+            parts = [stream[off + 8 : off + ln]]
+            unique = struct.unpack_from("<I", stream, off + 4)[0]
+            # gather CONTINUE records immediately following
+            pos2 = off + ln
+            while pos2 + 4 <= len(stream):
+                t2, l2 = struct.unpack_from("<HH", stream, pos2)
+                if t2 != _CONTINUE:
+                    break
+                parts.append(stream[pos2 + 4 : pos2 + 4 + l2])
+                pos2 += 4 + l2
+            rd = _SSTReader(parts)
+            for _ in range(unique):
+                sst.append(rd.read_string())
+    return sst, sheets
+
+
+def _parse_sheet(stream: bytes, off: int, sst: list[str]) -> dict[tuple[int, int], object]:
+    cells: dict[tuple[int, int], object] = {}
+    depth = 0
+    for typ, p, ln in _records(stream, off):
+        if typ == _BOF:
+            depth += 1
+        elif typ == _EOF:
+            depth -= 1
+            if depth <= 0:
+                break
+        elif typ == _LABELSST:
+            r, c = struct.unpack_from("<HH", stream, p)
+            isst = struct.unpack_from("<I", stream, p + 6)[0]
+            cells[(r, c)] = sst[isst]
+        elif typ == _NUMBER:
+            r, c = struct.unpack_from("<HH", stream, p)
+            v = struct.unpack_from("<d", stream, p + 6)[0]
+            cells[(r, c)] = int(v) if v.is_integer() else v
+        elif typ == _RK:
+            r, c = struct.unpack_from("<HH", stream, p)
+            cells[(r, c)] = _decode_rk(struct.unpack_from("<I", stream, p + 6)[0])
+        elif typ == _MULRK:
+            r, c0 = struct.unpack_from("<HH", stream, p)
+            n = (ln - 6) // 6
+            for i in range(n):
+                rk = struct.unpack_from("<I", stream, p + 4 + i * 6 + 2)[0]
+                cells[(r, c0 + i)] = _decode_rk(rk)
+        elif typ == _LABEL:
+            r, c = struct.unpack_from("<HH", stream, p)
+            rd = _SSTReader([stream[p + 6 : p + ln]])
+            cells[(r, c)] = rd.read_string()
+        elif typ == _BOOLERR:
+            r, c = struct.unpack_from("<HH", stream, p)
+            val, is_err = stream[p + 6], stream[p + 7]
+            cells[(r, c)] = None if is_err else bool(val)
+    return cells
+
+
+def read_xls_rows(path: str, sheet_name: str | None = None) -> list[list[object]]:
+    """All rows of one sheet as Python lists (None for empty cells),
+    padded to the sheet's max width — same contract as
+    ``xlsx.read_xlsx_rows``."""
+    with open(path, "rb") as f:
+        data = f.read()
+    stream = _cfb_open_stream(data, ("Workbook", "Book"))
+    sst, sheets = _parse_globals(stream)
+    if not sheets:
+        raise ValueError(f"{path!r}: no sheets in workbook")
+    if sheet_name is None:
+        name, off = sheets[0]
+    else:
+        match = [s for s in sheets if s[0] == sheet_name]
+        if not match:
+            raise ValueError(f"{path!r}: no sheet named {sheet_name!r}")
+        name, off = match[0]
+    cells = _parse_sheet(stream, off, sst)
+    if not cells:
+        return []
+    max_r = max(r for r, _ in cells)
+    max_c = max(c for _, c in cells)
+    return [
+        [cells.get((r, c)) for c in range(max_c + 1)] for r in range(max_r + 1)
+    ]
+
+
+def read_xls_table(path: str, sheet_name: str | None = None, skip_rows: int = 0):
+    """Rows → pyarrow Table with the same header-dedup contract as
+    ``xlsx.read_xlsx_table``."""
+    import pyarrow as pa
+
+    rows = read_xls_rows(path, sheet_name)
+    if len(rows) <= skip_rows:
+        raise ValueError(f"{path!r}: no header row after skipping {skip_rows}")
+    header = rows[skip_rows]
+    seen: dict[str, int] = {}
+    names = []
+    for i, h in enumerate(header):
+        n = str(h) if h is not None else f"Unnamed: {i}"
+        if n in seen:
+            seen[n] += 1
+            n = f"{n}.{seen[n]}"
+        else:
+            seen[n] = 0
+        names.append(n)
+    data = rows[skip_rows + 1 :]
+    cols = [[r[i] if i < len(r) else None for r in data] for i in range(len(names))]
+    return pa.table({n: pa.array(c) for n, c in zip(names, cols)})
