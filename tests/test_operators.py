@@ -233,8 +233,8 @@ def test_read_auto_csv_matches_parquet(ray_session, tmp_path):
 def test_read_auto_dispatch_errors(ray_session):
     from workbook_exporter_fe_ray.sources import read_auto
 
-    with pytest.raises(NotImplementedError):
-        read_auto("/tmp/whatever.xls")  # legacy binary format stays gated
+    with pytest.raises(FileNotFoundError):
+        read_auto("/tmp/whatever.xls")  # .xls now parses (sources/xls.py)
     with pytest.raises(ValueError):
         read_auto("/tmp/whatever.yaml")
 
