@@ -443,6 +443,12 @@ def _q_retention(sf_dir: str):
     return retention_filter(_events(sf_dir))
 
 
+def _q_retention_apply(sf_dir: str):
+    from workbook_exporter_fe_ray.pipelines.events import retention_apply_events
+
+    return retention_apply_events(sf_dir)
+
+
 def _q_first_event(sf_dir: str):
     from workbook_exporter_fe_ray.stages.relational import first_event_per_user
 
@@ -1180,6 +1186,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "flagship_synthetic_cascade": _q_flagship_synthetic,
         "compress_roundtrip": _q_compress_roundtrip,
         "retention_filter": _q_retention,
+        "retention_apply": _q_retention_apply,  # tiered retention materialization
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1398,6 +1405,23 @@ FROM events GROUP BY 1, 2
 """,
         "retention_filter": """
 SELECT event_id, user_id, ts FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+""",
+        "retention_apply": f"""
+WITH p AS (SELECT event_type AS source, ts, {_CENTS} AS cents FROM events)
+SELECT 'raw' AS granularity, source, ts AS bucket_ts,
+       CAST(1 AS BIGINT) AS n_points, cents AS sum_cents,
+       cents AS min_cents, cents AS max_cents, CAST(cents AS DOUBLE) AS mean_cents
+FROM p WHERE ts >= TIMESTAMP '2024-01-20'
+UNION ALL
+SELECT '1m', source, date_trunc('minute', ts), count(*), CAST(sum(cents) AS BIGINT),
+       min(cents), max(cents),
+       CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*)
+FROM p WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20' GROUP BY 2, 3
+UNION ALL
+SELECT '1h', source, date_trunc('hour', ts), count(*), CAST(sum(cents) AS BIGINT),
+       min(cents), max(cents),
+       CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*)
+FROM p WHERE ts < TIMESTAMP '2024-01-10' GROUP BY 2, 3
 """,
         "probe_fanout": """
 SELECT event_id, 'icmp' AS module, event_id::VARCHAR || ':icmp' AS probe_key FROM events

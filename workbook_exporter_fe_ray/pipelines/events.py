@@ -121,3 +121,89 @@ def compress_events(sf_dir: str) -> ray.data.Dataset:
     """Gorilla chunks over the raw event value series (per event_type/day)."""
     pts = read_event_points(sf_dir)
     return compress_chunks(pts, value_col="value_cents")
+
+
+def retention_apply_events(
+    sf_dir: str,
+    cutoff_raw_iso: str = "2024-01-20",
+    cutoff_1m_iso: str = "2024-01-10",
+) -> ray.data.Dataset:
+    """Retention-policy materialization — the north rule's tiered
+    retention windows as one queryable result: the newest band keeps
+    RAW points, the middle band keeps only the 1-minute tier, and
+    everything older keeps only the 1-hour tier (reference analog:
+    the exporter's keep-newest upsert semantics, applied per tier).
+
+    Shape: one pruned read; each band is a pushdown-able timestamp
+    filter feeding the shared exact-cents rollup. The two tier bands
+    are materialized before the union (tier-sized: bounded by bucket
+    count, not points) — a single streaming graph holding two sort
+    exchanges plus unions livelocks the executor's per-operator
+    reservation on very small clusters (see stages/dedup.py note)."""
+    import datetime as dt
+
+    t_raw = dt.datetime.fromisoformat(cutoff_raw_iso)
+    t_1m = dt.datetime.fromisoformat(cutoff_1m_iso)
+    pts = read_event_points(sf_dir)
+
+    def _band(lo, hi):
+        def _f(b: pa.Table) -> pa.Table:
+            m = pa.array(np.ones(len(b), bool)) if lo is None else pc.greater_equal(
+                b["ts"], pa.scalar(lo, pa.timestamp("us"))
+            )
+            if hi is not None:
+                m = pc.and_(m, pc.less(b["ts"], pa.scalar(hi, pa.timestamp("us"))))
+            return b.filter(m)
+
+        return _f
+
+    def _tag(granularity: str):
+        def _t(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "granularity", pa.array([granularity] * len(b), pa.string())
+            )
+
+        return _t
+
+    def _raw_rows(b: pa.Table) -> pa.Table:
+        cents = b["value_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": pc.cast(b["ts"], pa.timestamp("us")),
+                "n_points": pa.array(np.ones(len(b), np.int64)),
+                "sum_cents": pa.array(cents, pa.int64()),
+                "min_cents": pa.array(cents, pa.int64()),
+                "max_cents": pa.array(cents, pa.int64()),
+                "mean_cents": pa.array(cents.astype(np.float64)),
+            }
+        )
+
+    raw = (
+        pts.map_batches(_band(t_raw, None), batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_raw_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_tag("raw"), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    mid = (
+        _to_final(
+            rollup_tier(
+                pts.map_batches(_band(t_1m, t_raw), batch_format="pyarrow", zero_copy_batch=True),
+                60,
+                value_col="value_cents",
+            )
+        )
+        .map_batches(_tag("1m"), batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    old = (
+        _to_final(
+            rollup_tier(
+                pts.map_batches(_band(None, t_1m), batch_format="pyarrow", zero_copy_batch=True),
+                3600,
+                value_col="value_cents",
+            )
+        )
+        .map_batches(_tag("1h"), batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    return raw.union(mid).union(old)
