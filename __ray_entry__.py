@@ -1083,6 +1083,23 @@ def _q_pack_tokens_synthetic(sf_dir: str):
     )
 
 
+def _q_token_bigrams(sf_dir: str):
+    """Top-k adjacent token-id bigrams over the deterministic synthetic
+    token table (rows-only; exact counts asserted vs a brute-force
+    reference in tests/test_token_invariant.py)."""
+    import glob
+    import os
+
+    from workbook_exporter_fe_ray import datagen
+    from workbook_exporter_fe_ray.stages.pack import token_bigram_topk
+
+    d = "/tmp/wfer_flagship_sf"
+    if not os.path.isdir(d) or not os.listdir(d):
+        datagen.generate(d, n_sources=8, base_seqs=600, seed=42, n_shards=4)
+    docs = ray.data.read_parquet(sorted(glob.glob(f"{d}/*.parquet")), columns=["tokens"])
+    return token_bigram_topk(docs, k=20)
+
+
 def _q_epoch_shuffle(sf_dir: str):
     from workbook_exporter_fe_ray.stages.split import epoch_shuffle
 
@@ -1187,6 +1204,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "compress_roundtrip": _q_compress_roundtrip,
         "retention_filter": _q_retention,
         "retention_apply": _q_retention_apply,  # tiered retention materialization
+        "token_bigram_topk": _q_token_bigrams,  # tokens-axis co-occurrence
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode

@@ -58,3 +58,30 @@ def test_tokens_match_spec_rederivation(sf_test_paths, ray_session):
         np.testing.assert_array_equal(np.asarray(list(row["tokens"]), np.int32), want)
         checked += 1
     assert checked >= 100
+
+
+def test_token_bigram_topk_exact(ray_session, tmp_path):
+    """token_bigram_topk == brute-force pair counting (no cross-doc
+    pairs), including the deterministic (count DESC, a, b) tie-break."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from workbook_exporter_fe_ray.stages.pack import token_bigram_topk
+
+    rng = np.random.default_rng(11)
+    docs = [rng.integers(0, 7, size=int(rng.integers(1, 30))).astype(np.int32) for _ in range(400)]
+    want = Counter()
+    for d in docs:
+        for a, b in zip(d[:-1], d[1:]):
+            want[(int(a), int(b))] += 1
+    tbl = pa.table({"tokens": pa.array([d.tolist() for d in docs], pa.list_(pa.int32()))})
+    out = (
+        token_bigram_topk(ray.data.from_arrow(tbl).repartition(8), k=15)
+        .to_pandas()
+    )
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = list(zip(zip(out["tok_a"], out["tok_b"]), out["n_pairs"]))
+    assert [(tuple(map(int, k)), int(v)) for k, v in got] == ranked

@@ -529,3 +529,65 @@ def token_vocab_hist(
             }
         )
     )
+
+
+def token_bigram_topk(
+    docs: ray.data.Dataset,
+    tokens_col: str = "tokens",
+    k: int = 20,
+) -> ray.data.Dataset:
+    """Top-k adjacent token-id bigrams across the corpus — the
+    token-axis co-occurrence statistic (tokenizer merge audits, LM
+    data profiling). Deterministic order: count DESC, then (a, b) ASC.
+
+    Shape: per block, the flattened ``list<int32>`` values form every
+    in-doc adjacent pair as ONE composite int64 (``a << 32 | b``, no
+    cross-doc pairs — the last token of a doc pairs with nothing);
+    ``np.unique`` folds the block to (composite, count) partials, so
+    the exchange carries distinct-bigram rows (bounded by vocab², in
+    practice ≪ tokens), and an associative groupby-sum + tiny top-k
+    finishes. No per-row Python, no payload shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table(
+                {"bg": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        pair = (flat[:-1] << 32) | flat[1:]
+        # drop cross-doc pairs: positions just before each doc start
+        valid = np.ones(len(pair), dtype=bool)
+        ends = offs[1:-1] - 1  # last-token index of every doc but the final one
+        valid[ends[(ends >= 0) & (ends < len(pair))]] = False
+        uniq, cnt = np.unique(pair[valid], return_counts=True)
+        return pa.table(
+            {"bg": pa.array(uniq, pa.int64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bg")
+        .aggregate(Sum("n"))
+    )
+
+    def _split(b: pa.Table) -> pa.Table:
+        bg = b["bg"].to_numpy(zero_copy_only=False)
+        n = pc.cast(b["sum(n)"], pa.int64())
+        return pa.table(
+            {
+                "tok_a": pa.array(bg >> 32, pa.int64()),
+                "tok_b": pa.array(bg & 0xFFFFFFFF, pa.int64()),
+                "n_pairs": n,
+            }
+        )
+
+    out = agg.map_batches(_split, batch_format="pyarrow")
+    return out.sort(
+        ["n_pairs", "tok_a", "tok_b"], descending=[True, False, False]
+    ).limit(k)
