@@ -21,6 +21,8 @@ import subprocess
 import sys
 import time
 
+import numpy as np
+
 BENCH_SF_DIR = "/tmp/wfer_bench_sf"
 BENCH_SOURCES = 64
 BENCH_BASE_SEQS = 50_000
@@ -82,10 +84,17 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     queries: dict[str, float] = {}
     meta = {"points": 0, "compressed_bytes": 0, "tier_rows": 0}
 
-    def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        queries[name] = round(time.perf_counter() - t0, 3)
+    def timed(name: str, fn, reps: int = 2):
+        # best-of-2: single-shot walls on this sandbox swing 2-3x
+        # between identical back-to-back runs (page cache, worker pool,
+        # CPU contention) — one repeat removes most of that noise while
+        # keeping the whole bench under ~2 min
+        best, out = np.inf, None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        queries[name] = round(best, 3)
         return out
 
     # 1) flagship: synthetic tokenized-sequence cascade (1 shuffle, 4 tiers)
