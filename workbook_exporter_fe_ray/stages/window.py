@@ -936,3 +936,72 @@ def cume_dist_by_value(
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def ewma_per_source(
+    events: ray.data.Dataset, alpha: float = 0.5, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Per-source exponentially weighted moving average of value cents
+    ordered by (ts, event_id) — the smoothed continuous aggregate
+    (Holt-style level smoothing, the classic timeseries dashboard op).
+
+    Pinned spec (what makes the oracle bit-exact): ``y_0 = x_0``;
+    ``y_i = y_{i-1} + alpha * (x_i - y_{i-1})`` evaluated in IEEE
+    double — exactly the update the compiled polars
+    ``ewm_mean(adjust=False)`` kernel performs, and exactly the
+    expression the DuckDB recursive-CTE oracle evaluates, so results
+    hash-match bit-for-bit for any ``alpha`` whose literal parses to
+    the same double on both sides (0.5 here).
+
+    Engine shape: coarse-partition sweep (hash(source)%P routing);
+    inside each partition ONE compiled ``ewm_mean().over(source)``
+    call covers every source run — no per-key Python. The recurrence
+    is sequentially dependent, so one source's rows co-locate (the
+    grouped-scan contract shared by the whole window family); at
+    raw-point scale run it over tier rows, not raw points.
+    """
+    import polars as pl
+
+    from .sweep import with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "cents": _cents(b),
+            }
+        )
+        return with_part(t, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        df = pl.DataFrame(
+            {
+                "source": g["source"].to_numpy(zero_copy_only=False),
+                "x": g["cents"].to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        y = df.with_columns(
+            pl.col("x").ewm_mean(alpha=alpha, adjust=False).over("source")
+        )["x"].to_numpy()
+        return pa.table(
+            {
+                "source": g["source"],
+                "ts": g["ts"],
+                "event_id": g["event_id"],
+                "ewma": pa.array(y, pa.float64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
