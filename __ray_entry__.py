@@ -859,6 +859,12 @@ def _q_ewma_source(sf_dir: str):
     return ewma_per_source(_events(sf_dir), alpha=0.5)
 
 
+def _q_lttb(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import lttb_downsample
+
+    return lttb_downsample(_events(sf_dir), n_out=50)
+
+
 def _q_cumsum_user(sf_dir: str):
     from workbook_exporter_fe_ray.stages.window import keyed_cumsum
 
@@ -1212,6 +1218,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "retention_apply": _q_retention_apply,  # tiered retention materialization
         "token_bigram_topk": _q_token_bigrams,  # tokens-axis co-occurrence
         "ewma_per_source": _q_ewma_source,      # smoothed continuous aggregate
+        "lttb_downsample": _q_lttb,             # plot-decimation (rows-only + pytest)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode

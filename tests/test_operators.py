@@ -735,3 +735,43 @@ def test_ewma_partition_invariance(ray_session):
     # spec sanity: first value of each source equals its first cents
     first = a.groupby("source").first()
     assert np.isfinite(first["ewma"]).all()
+
+
+def test_lttb_downsample_matches_reference(ray_session):
+    """lttb_downsample == single-process LTTB over each (ts, event_id)-
+    ordered series — selection indices bit-identical, endpoints kept,
+    exactly n_out points per long-enough series; short series pass
+    through whole."""
+    import ray.data
+
+    from workbook_exporter_fe_ray.stages.window import _lttb_series, lttb_downsample
+
+    n_out = 40
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    got = (
+        lttb_downsample(ev, n_out=n_out)
+        .to_pandas()
+        .sort_values(["source", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    raw = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    raw["cents"] = np.round(raw["value"] * 100).astype(np.int64)
+    raw = raw.sort_values(["event_type", "ts", "event_id"], kind="stable")
+    pieces = []
+    for src, grp in raw.groupby("event_type", sort=True):
+        ts = grp["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        sel = _lttb_series(ts, grp["cents"].to_numpy(), n_out)
+        pieces.append(grp.iloc[sel])
+    want = (
+        pd.concat(pieces)
+        .sort_values(["event_type", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    assert (got["value_cents"].to_numpy() == want["cents"].to_numpy()).all()
+    # each series: endpoints kept, count == n_out (series here are long)
+    for src, grp in got.groupby("source"):
+        assert len(grp) == min(
+            n_out, (raw["event_type"] == src).sum()
+        )

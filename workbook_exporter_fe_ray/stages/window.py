@@ -1005,3 +1005,94 @@ def ewma_per_source(
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def _lttb_series(ts: np.ndarray, val: np.ndarray, n_out: int) -> np.ndarray:
+    """Largest-Triangle-Three-Buckets selection indices for ONE series
+    (Steinarsson 2013, the standard plot-decimation algorithm). First
+    and last points always kept; each interior bucket keeps the point
+    maximizing the triangle area with the previously selected point and
+    the next bucket's centroid. The loop is over OUTPUT buckets (n_out
+    iterations of vectorized area math), not input rows."""
+    n = len(ts)
+    if n_out >= n or n_out < 3:
+        return np.arange(n, dtype=np.int64)
+    # bucket boundaries over the interior points (exclusive of endpoints)
+    edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    sel = np.empty(n_out, dtype=np.int64)
+    sel[0] = 0
+    a = 0
+    t = ts.astype(np.float64)
+    v = val.astype(np.float64)
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]
+        nlo, nhi = edges[i + 1], (n if i == n_out - 3 else edges[i + 2])
+        cx, cy = t[nlo:nhi].mean(), v[nlo:nhi].mean()
+        area = np.abs(
+            (t[a] - cx) * (v[lo:hi] - v[a]) - (t[a] - t[lo:hi]) * (cy - v[a])
+        )
+        a = lo + int(np.argmax(area))  # ties → first index (np.argmax)
+        sel[i + 1] = a
+    sel[n_out - 1] = n - 1
+    return sel
+
+
+def lttb_downsample(
+    events: ray.data.Dataset, n_out: int = 50, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Per-source Largest-Triangle-Three-Buckets downsampling to
+    ``n_out`` points — the visualization decimation every timeseries
+    dashboard runs before plotting (rows-only: not SQL-expressible;
+    bit-identity vs a single-process reference in
+    tests/test_operators.py).
+
+    Engine shape: coarse-partition sweep; per source run the selection
+    loop iterates over OUTPUT buckets only (n_out vectorized area
+    computations), so cost is O(rows + sources x n_out). One source's
+    rows co-locate (grouped-scan contract); series order is pinned by
+    (ts, event_id)."""
+    from .sweep import with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "cents": _cents(b),
+            }
+        )
+        return with_part(t, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        from .sweep import run_starts_table
+
+        starts = run_starts_table(g, ["source"])
+        lens = np.diff(np.r_[starts, len(g)])
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        v = g["cents"].to_numpy(zero_copy_only=False)
+        keep: list[np.ndarray] = []
+        for s, ln in zip(starts, lens):
+            keep.append(s + _lttb_series(ts[s : s + ln], v[s : s + ln], n_out))
+        sel = pa.array(np.concatenate(keep) if keep else np.array([], np.int64))
+        out = g.take(sel)
+        return pa.table(
+            {
+                "source": out["source"],
+                "ts": out["ts"],
+                "event_id": out["event_id"],
+                "value_cents": out["cents"],
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
