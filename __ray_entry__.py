@@ -859,6 +859,12 @@ def _q_ewma_source(sf_dir: str):
     return ewma_per_source(_events(sf_dir), alpha=0.5)
 
 
+def _q_downsample_minmax(sf_dir: str):
+    from workbook_exporter_fe_ray.stages.window import downsample_minmax
+
+    return downsample_minmax(_events(sf_dir), bucket_s=3600)
+
+
 def _q_lttb(sf_dir: str):
     from workbook_exporter_fe_ray.stages.window import lttb_downsample
 
@@ -1219,6 +1225,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "token_bigram_topk": _q_token_bigrams,  # tokens-axis co-occurrence
         "ewma_per_source": _q_ewma_source,      # smoothed continuous aggregate
         "lttb_downsample": _q_lttb,             # plot-decimation (rows-only + pytest)
+        "downsample_minmax": _q_downsample_minmax,  # min/max envelope decimation
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1350,6 +1357,7 @@ _NEW_R3 = (
     "token_bigram_topk",
     "ewma_per_source",
     "lttb_downsample",
+    "downsample_minmax",
 )
 
 
@@ -1483,6 +1491,16 @@ e AS (
          e.ewma + 0.5 * (CAST(s.cents AS DOUBLE) - e.ewma)
   FROM s JOIN e ON s.source = e.source AND s.rn = e.rn + 1)
 SELECT source, ts, event_id, ewma FROM e
+""",
+        "downsample_minmax": f"""
+WITH t AS (
+  SELECT event_type AS source, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+         ts, event_id, {_CENTS} AS value_cents,
+         min({_CENTS}) OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 hour', ts)) AS lo,
+         max({_CENTS}) OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 hour', ts)) AS hi
+  FROM events)
+SELECT source, bucket_ts, ts, event_id, value_cents
+FROM t WHERE value_cents = lo OR value_cents = hi
 """,
         "probe_fanout": """
 SELECT event_id, 'icmp' AS module, event_id::VARCHAR || ':icmp' AS probe_key FROM events

@@ -45,6 +45,8 @@ import ray
 import ray.data
 
 
+US = 1_000_000
+
 _SCAN_SORT = [
     ("user_id", "ascending"),
     ("ts", "ascending"),
@@ -1088,6 +1090,68 @@ def lttb_downsample(
         return pa.table(
             {
                 "source": out["source"],
+                "ts": out["ts"],
+                "event_id": out["event_id"],
+                "value_cents": out["cents"],
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def downsample_minmax(
+    events: ray.data.Dataset, bucket_s: int = 3600, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Min/max plot decimation: per (source, time bucket), keep exactly
+    the rows whose value attains the bucket minimum or maximum (ties
+    included — the envelope a renderer needs to draw peaks faithfully).
+
+    One coarse-partition sweep keyed on source: inside the partition a
+    single (source, bucket) run-length pass computes each bucket's
+    min/max via ``np.minimum/maximum.reduceat`` and keeps rows equal to
+    either — no join-back and no second exchange.
+    """
+    from .sweep import run_starts_table, with_part
+
+    bucket_us = bucket_s * US
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "cents": _cents(b),
+            }
+        )
+        return with_part(t, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (ts // bucket_us) * bucket_us
+        g = g.append_column("bucket_ts", pa.array(bucket, pa.int64()))
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("bucket_ts", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "bucket_ts"])
+        lens = np.diff(np.r_[starts, len(g)])
+        v = g["cents"].to_numpy(zero_copy_only=False)
+        mins = np.repeat(np.minimum.reduceat(v, starts), lens)
+        maxs = np.repeat(np.maximum.reduceat(v, starts), lens)
+        keep = pa.array((v == mins) | (v == maxs))
+        out = g.filter(keep)
+        return pa.table(
+            {
+                "source": out["source"],
+                "bucket_ts": pc.cast(out["bucket_ts"], pa.timestamp("us")),
                 "ts": out["ts"],
                 "event_id": out["event_id"],
                 "value_cents": out["cents"],
