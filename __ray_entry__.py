@@ -1386,7 +1386,25 @@ GROUP BY 1, 2
 """
 
 
+_SYNTH_GLOB = "/tmp/wfer_flagship_sf/*.parquet"
+
+
+def _ensure_synth_corpus() -> None:
+    """The synthetic token corpus backs three oracles below via DuckDB
+    read_parquet; generate it (deterministic, cached) when oracle_sql()
+    is fetched so the SQL can run even if the corresponding query
+    hasn't executed yet in this process."""
+    import os
+
+    from workbook_exporter_fe_ray import datagen
+
+    d = "/tmp/wfer_flagship_sf"
+    if not os.path.isdir(d) or not os.listdir(d):
+        datagen.generate(d, n_sources=8, base_seqs=600, seed=42, n_shards=4)
+
+
 def oracle_sql() -> dict[str, str]:
+    _ensure_synth_corpus()
     return {
         "rollup_1m": _rollup_sql("date_trunc('minute', ts)"),
         # the salted two-phase path must produce EXACTLY the same values
@@ -1491,6 +1509,53 @@ e AS (
          e.ewma + 0.5 * (CAST(s.cents AS DOUBLE) - e.ewma)
   FROM s JOIN e ON s.source = e.source AND s.rn = e.rn + 1)
 SELECT source, ts, event_id, ewma FROM e
+""",
+        "token_vocab_hist": f"""
+WITH f AS (SELECT unnest(tokens) AS tok FROM read_parquet('{_SYNTH_GLOB}')),
+c AS (SELECT tok, count(*) AS n FROM f GROUP BY 1),
+ids AS (SELECT unnest(generate_series(0, (SELECT max(tok) FROM f))) AS token_id)
+SELECT CAST(i.token_id AS BIGINT) AS token_id,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_occ
+FROM ids i LEFT JOIN c ON c.tok = i.token_id
+""",
+        "token_bigram_topk": f"""
+WITH p AS (
+  SELECT CAST(tokens[i] AS BIGINT) AS tok_a, CAST(tokens[i + 1] AS BIGINT) AS tok_b
+  FROM read_parquet('{_SYNTH_GLOB}'),
+       LATERAL unnest(generate_series(1, len(tokens) - 1)) AS g(i))
+SELECT tok_a, tok_b, count(*) AS n_pairs
+FROM p GROUP BY 1, 2
+ORDER BY n_pairs DESC, tok_a, tok_b LIMIT 20
+""",
+        "flagship_synthetic_cascade": f"""
+WITH d AS (
+  SELECT doc_id, min(source) AS source, CAST(min(n_tok) AS BIGINT) AS v
+  FROM read_parquet('{_SYNTH_GLOB}') GROUP BY doc_id),
+p AS (
+  SELECT source,
+         to_timestamp(1704067200 + CAST(right(doc_id, 12) AS BIGINT) * 60)::TIMESTAMP AS ts,
+         v
+  FROM d),
+t AS (
+  SELECT '1m' AS tier, source, date_trunc('minute', ts) AS bucket_ts,
+         count(*) AS "count", CAST(sum(v) AS BIGINT) AS "sum",
+         min(v) AS "min", max(v) AS "max"
+  FROM p GROUP BY 2, 3
+  UNION ALL
+  SELECT '5m', source, time_bucket(INTERVAL '5 minutes', ts),
+         count(*), CAST(sum(v) AS BIGINT), min(v), max(v)
+  FROM p GROUP BY 2, 3
+  UNION ALL
+  SELECT '1h', source, date_trunc('hour', ts),
+         count(*), CAST(sum(v) AS BIGINT), min(v), max(v)
+  FROM p GROUP BY 2, 3
+  UNION ALL
+  SELECT '1d', source, date_trunc('day', ts),
+         count(*), CAST(sum(v) AS BIGINT), min(v), max(v)
+  FROM p GROUP BY 2, 3)
+SELECT tier, source, bucket_ts, "count", "sum", "min", "max",
+       CAST("sum" AS DOUBLE) / "count" AS mean
+FROM t
 """,
         "downsample_minmax": f"""
 WITH t AS (
