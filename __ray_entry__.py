@@ -839,6 +839,18 @@ def _q_multimodal_frames(sf_dir: str):
     )
 
 
+def _q_phash_dups(sf_dir: str):
+    """Image near-dup pairs by perceptual hash over REAL decoded pixels
+    (rows-only; planted-duplicate exactness in tests/test_multimodal.py)."""
+    from workbook_exporter_fe_ray.stages.multimodal import (
+        phash_dup_pairs,
+        synth_media_with_dups,
+    )
+
+    ds = ray.data.from_arrow(synth_media_with_dups(120))
+    return phash_dup_pairs(ds)
+
+
 def _q_multimodal(sf_dir: str):
     from workbook_exporter_fe_ray.stages.multimodal import (
         decode_pipeline,
@@ -1118,6 +1130,38 @@ def _q_token_bigrams(sf_dir: str):
     return token_bigram_topk(docs, k=20)
 
 
+def _q_pack_tokens_stats(sf_dir: str):
+    """Value-hash gate for the MATERIALIZED packer: per-pack token
+    count, token-id sum (order-insensitive → stitching-safe) and span
+    count, over the same synthetic corpus; token-array EQUALITY is the
+    pytest bit-identity gate (tests/test_pack_assembly.py)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    packs = _q_pack_tokens_synthetic(sf_dir)
+
+    def _stats(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        sums = np.add.reduceat(flat, offs[:-1]) if len(flat) else np.array([], np.int64)
+        sums = np.where(lens > 0, sums, 0)
+        return pa.table(
+            {
+                "pack_id": pc.cast(b["pack_id"], pa.int64()),
+                "n_toks": pa.array(lens.astype(np.int64), pa.int64()),
+                "tok_sum": pa.array(sums, pa.int64()),
+                "n_spans": pc.cast(b["n_spans"], pa.int64()),
+            }
+        )
+
+    return packs.map_batches(_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_epoch_shuffle(sf_dir: str):
     from workbook_exporter_fe_ray.stages.split import epoch_shuffle
 
@@ -1226,6 +1270,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "ewma_per_source": _q_ewma_source,      # smoothed continuous aggregate
         "lttb_downsample": _q_lttb,             # plot-decimation (rows-only + pytest)
         "downsample_minmax": _q_downsample_minmax,  # min/max envelope decimation
+        "pack_tokens_stats": _q_pack_tokens_stats,  # packer value-hash gate
+        "media_phash_dups": _q_phash_dups,          # real-decode perceptual dedup
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1358,6 +1404,8 @@ _NEW_R3 = (
     "ewma_per_source",
     "lttb_downsample",
     "downsample_minmax",
+    "pack_tokens_stats",
+    "media_phash_dups",
 )
 
 
@@ -1556,6 +1604,23 @@ t AS (
 SELECT tier, source, bucket_ts, "count", "sum", "min", "max",
        CAST("sum" AS DOUBLE) / "count" AS mean
 FROM t
+""",
+        "pack_tokens_stats": f"""
+WITH d AS (
+  SELECT doc_id, min(tokens) AS tokens, CAST(min(n_tok) AS BIGINT) AS n
+  FROM read_parquet('{_SYNTH_GLOB}') GROUP BY doc_id),
+pos AS (
+  SELECT doc_id, tokens,
+         sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS start
+  FROM d),
+f AS (
+  SELECT doc_id, CAST(start + i - 1 AS BIGINT) AS gpos,
+         CAST(tokens[i] AS BIGINT) AS tok
+  FROM pos, LATERAL unnest(generate_series(1, len(tokens))) AS g(i))
+SELECT gpos // 2048 AS pack_id, count(*) AS n_toks,
+       CAST(sum(tok) AS BIGINT) AS tok_sum,
+       count(DISTINCT doc_id) AS n_spans
+FROM f GROUP BY 1
 """,
         "downsample_minmax": f"""
 WITH t AS (

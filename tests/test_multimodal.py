@@ -201,3 +201,24 @@ def test_frame_sample_fanout(ray_session):
     assert (out["out_width"] == 32).all() and (out["out_height"] == 32).all()
     assert (out["resized_bytes"] >= 1).all()
     assert out.loc[out["media_type"] != "video", "resized_real"].all()
+
+
+def test_phash_dup_pairs_finds_planted_copies(ray_session):
+    """The planted resized-and-recontainered copies (and ONLY those)
+    collide under the real-decode perceptual hash; the pipeline emits
+    exactly the planted (original, copy) pairs."""
+    from workbook_exporter_fe_ray.stages.multimodal import (
+        phash_dup_pairs,
+        synth_media_with_dups,
+    )
+
+    n = 60
+    ds = ray.data.from_arrow(synth_media_with_dups(n))
+    got = sorted(
+        (int(r["id_a"]), int(r["id_b"]))
+        for r in phash_dup_pairs(ds).take_all()
+    )
+    # images are i % 3 == 0; every (i % 15 == 0, i > 0) image is a
+    # resized copy of the image 3 before it
+    want = sorted((i - 3, i) for i in range(15, n, 15))
+    assert got == want

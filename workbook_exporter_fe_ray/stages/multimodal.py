@@ -362,3 +362,127 @@ def frame_sample_pipeline(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class PerceptualHash:
+    """Average-hash (aHash) stage over REAL decoded pixels: decode →
+    grayscale → bilinear-resize to ``side``×``side`` → 64-bit
+    above-mean bitmap. Scale/re-encode-invariant by construction, so
+    resized copies of an image collide — the standard cheap perceptual
+    near-dup key. Non-image rows emit null."""
+
+    def __init__(self, side: int = 8):
+        self.side = side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes: list[int | None] = []
+        for buf in batch["payload"].to_pylist():
+            tensor, kind = _decode_payload(buf)
+            if kind not in ("bmp", "ppm"):
+                hashes.append(None)
+                continue
+            # integer-exact Rec.601 luma (×1000) keeps the grayscale
+            # deterministic across platforms
+            f = tensor.astype(np.int64)
+            gray = (299 * f[..., 0] + 587 * f[..., 1] + 114 * f[..., 2]) // 1000
+            small = bilinear_resize(gray.astype(np.uint8), self.side, self.side)
+            bits = (small.astype(np.int64) > int(small.mean())).flatten()
+            h = 0
+            for b in bits:  # 64 iterations — fixed, not data-sized
+                h = (h << 1) | int(b)
+            hashes.append(h - (1 << 63))  # store as signed int64
+        out = batch.drop_columns(["payload"])
+        return out.append_column("phash", pa.array(hashes, pa.int64()))
+
+
+def phash_dup_pairs(
+    ds: ray.data.Dataset,
+    batch_size: int = 16,
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> ray.data.Dataset:
+    """Image near-dup pairs by exact perceptual-hash collision: aHash
+    every image (actor pool, real decode), then reuse the engine's
+    hash-bucket dedup shape — group by phash, emit (id_a < id_b) pairs
+    inside each bucket. Resized/re-encoded copies of the same picture
+    collide; the exchange carries 16 B (media_id, phash) rows only."""
+    hashed = ds.map_batches(
+        PerceptualHash,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def _slim(b: pa.Table) -> pa.Table:
+        t = b.select(["media_id", "phash"])
+        return t.filter(pa.compute.is_valid(t["phash"]))
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g["media_id"].to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "phash": pa.array([], pa.int64()),
+                }
+            )
+        x, y = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[x], pa.int64()),
+                "id_b": pa.array(ids[y], pa.int64()),
+                "phash": g["phash"].slice(0, 1).take(pa.array(np.zeros(len(x), np.int64))),
+            }
+        )
+
+    return (
+        hashed.map_batches(_slim, batch_format="pyarrow")
+        .groupby("phash")
+        .map_groups(_pairs, batch_format="pyarrow")
+    )
+
+
+def synth_media_with_dups(n: int, seed: int = 7) -> pa.Table:
+    """Media corpus where every 5th image is a bilinear-resized copy of
+    the previous image (re-encoded in the OTHER container) — planted
+    perceptual near-dups for the phash pipeline. Unlike
+    :func:`synth_media_table`'s shared-gradient images (which aHash
+    deliberately cannot tell apart — they share coarse structure), each
+    original here gets a DISTINCT random coarse block pattern so only
+    the planted copies collide."""
+    base = synth_media_table(n, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    payloads = base["payload"].to_pylist()
+    types = base["media_type"].to_pylist()
+    widths = base["width"].to_pylist()
+    heights = base["height"].to_pylist()
+    prev_img = None
+    for i in range(n):
+        if types[i] != "image":
+            continue
+        w, h = widths[i], heights[i]
+        if prev_img is not None and i % 5 == 0:
+            # downscale 2x and swap container: aHash must still collide
+            resized = bilinear_resize(prev_img, prev_img.shape[1] // 2, prev_img.shape[0] // 2)
+            payloads[i] = encode_ppm(resized) if i % 2 == 0 else encode_bmp(resized)
+            widths[i], heights[i] = resized.shape[1], resized.shape[0]
+        else:
+            # distinct coarse structure: random 8x8 binary block pattern
+            # upscaled, one channel tint per image
+            blocks = rng.integers(0, 2, (8, 8)).astype(np.uint8) * 200 + 25
+            img = np.repeat(np.repeat(blocks, h // 8 + 1, 0), w // 8 + 1, 1)[:h, :w]
+            tint = rng.integers(0, 3)
+            rgb = np.stack([img // (2 if c != tint else 1) for c in range(3)], axis=-1)
+            prev_img = rgb.astype(np.uint8)
+            payloads[i] = encode_bmp(prev_img) if i % 2 == 0 else encode_ppm(prev_img)
+    return pa.table(
+        {
+            "media_id": base["media_id"],
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": base["media_type"],
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "duration_ms": base["duration_ms"],
+        },
+        schema=MEDIA_SCHEMA,
+    )
