@@ -1147,9 +1147,12 @@ def _q_pack_tokens_stats(sf_dir: str):
             toks = toks.combine_chunks()
         flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         offs = toks.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]  # rebase for sliced ListArrays
         lens = np.diff(offs)
-        sums = np.add.reduceat(flat, offs[:-1]) if len(flat) else np.array([], np.int64)
-        sums = np.where(lens > 0, sums, 0)
+        # cumsum-diff instead of reduceat: safe for empty packs anywhere
+        # (a trailing empty list would make reduceat index == len(flat))
+        csum = np.concatenate(([np.int64(0)], np.cumsum(flat, dtype=np.int64)))
+        sums = csum[offs[1:]] - csum[offs[:-1]]
         return pa.table(
             {
                 "pack_id": pc.cast(b["pack_id"], pa.int64()),

@@ -49,7 +49,10 @@ def _cfb_open_stream(data: bytes, names: tuple[str, ...]) -> bytes:
     num_difat = struct.unpack_from("<I", data, 72)[0]
 
     def sector(n: int) -> bytes:
-        off = 512 + n * ssz
+        # [MS-CFB] §2.1: sector 0 begins after ONE full sector (the
+        # 512-byte header is padded to the sector size), so version-4
+        # files (4096-byte sectors) need (n+1)*ssz, not 512+n*ssz.
+        off = (n + 1) * ssz
         return data[off : off + ssz]
 
     # FAT sector list: 109 header DIFAT entries + chained DIFAT sectors

@@ -252,7 +252,7 @@ class Resize:
         self.tw, self.th, self.rate = target_w, target_h, target_rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sizes, checksums, real = [], [], []
+        sizes, checksums, real, ows, ohs = [], [], [], [], []
         for buf in batch["payload"].to_pylist():
             tensor, kind = _decode_payload(buf)
             if kind in ("bmp", "ppm"):
@@ -261,6 +261,8 @@ class Resize:
                 sizes.append(len(enc))
                 checksums.append(zlib.crc32(resized.tobytes()))
                 real.append(True)
+                ows.append(self.tw)
+                ohs.append(self.th)
             elif kind == "wav":
                 samples, rate = decode_wav(buf)
                 res = linear_resample(samples, rate, self.rate)
@@ -268,12 +270,16 @@ class Resize:
                 sizes.append(len(enc))
                 checksums.append(zlib.crc32(np.ascontiguousarray(res).tobytes()))
                 real.append(True)
+                ows.append(0)  # audio is resampled, not resized (ADVICE r3)
+                ohs.append(0)
             else:
                 sizes.append(len(buf))
                 checksums.append(zlib.crc32(buf))
                 real.append(False)
-        out = batch.append_column("out_width", pa.array(np.full(len(batch), self.tw, np.int32)))
-        out = out.append_column("out_height", pa.array(np.full(len(batch), self.th, np.int32)))
+                ows.append(0)
+                ohs.append(0)
+        out = batch.append_column("out_width", pa.array(ows, pa.int32()))
+        out = out.append_column("out_height", pa.array(ohs, pa.int32()))
         out = out.append_column("resized_bytes", pa.array(sizes, pa.int64()))
         out = out.append_column("resize_checksum", pa.array(checksums, pa.int64()))
         return out.append_column("resized_real", pa.array(real, pa.bool_()))

@@ -304,6 +304,11 @@ def assemble_packs(
     task pool), ``num_partitions`` / ``pack_partitions`` bound
     per-task memory to corpus_tokens/P.
     """
+    if dedup_slim_ids and not drop_dup_ids:
+        # the bucket base offsets would come from DEDUPED slim sums while
+        # the token side kept its duplicates -> packs cut at wrong global
+        # positions; the invariant is paired by contract (ADVICE r3)
+        raise ValueError("dedup_slim_ids=True requires drop_dup_ids=True")
     slim = docs_slim if docs_slim is not None else docs
     slim_n = n_col if (docs_slim is not None and n_col is not None) else None
 
@@ -556,6 +561,7 @@ def token_bigram_topk(
             toks = toks.combine_chunks()
         flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         offs = toks.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]  # rebase: flatten() of a sliced ListArray
         if len(flat) == 0:
             return pa.table(
                 {"bg": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
