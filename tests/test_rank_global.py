@@ -93,3 +93,84 @@ def test_ntile_global_vs_sweep(tied_events):
 
     got, ref = _both(ntile_by_value, tied_events, k=7)
     assert (got["tile"].to_numpy() == ref["tile"].to_numpy()).all()
+
+
+def test_ewma_windowed_equals_sweep_bitexact(tied_events):
+    """The windowed carry chain re-seeds the compiled kernel with each
+    window's exact carry, so ANY window size reproduces the unwindowed
+    scan bit-for-bit (the asof_join_windowed contract)."""
+    from workbook_exporter_fe_ray.stages.window import ewma_per_source
+
+    ref = (
+        ewma_per_source(tied_events, alpha=0.5, plan="sweep")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    for window_s in (86_400, 3_600):  # ~30 windows and ~720 windows
+        got = (
+            ewma_per_source(tied_events, alpha=0.5, plan="windowed", window_s=window_s)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(ref)
+        assert (got["event_id"].to_numpy() == ref["event_id"].to_numpy()).all()
+        assert (
+            got["ewma"].to_numpy().view(np.int64)
+            == ref["ewma"].to_numpy().view(np.int64)
+        ).all(), f"window_s={window_s} not bit-identical"
+
+
+def test_lttb_windowed_equals_sweep(tied_events):
+    """The bucket-chain LTTB (one Ray task per output slot, carry =
+    previously selected point, centroids from the pack manifest) must
+    select EXACTLY the rows the one-task-per-key sweep selects."""
+    from workbook_exporter_fe_ray.stages.window import lttb_downsample
+
+    ref = (
+        lttb_downsample(tied_events, n_out=50, plan="sweep")
+        .to_pandas()
+        .sort_values(["source", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    got = (
+        lttb_downsample(tied_events, n_out=50, plan="windowed")
+        .to_pandas()
+        .sort_values(["source", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref) > 0
+    assert (got["event_id"].to_numpy() == ref["event_id"].to_numpy()).all()
+    assert (got["value_cents"].to_numpy() == ref["value_cents"].to_numpy()).all()
+
+
+def test_lttb_windowed_small_series_path(ray_session):
+    """Sources with n <= 3*n_out take the single-task reference path;
+    n_out >= n keeps every row."""
+    import pandas as pd
+    import ray.data
+
+    n = 120
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "ts": (np.arange(n, dtype=np.int64) * US),
+            "value": (np.arange(n) % 7).astype(np.float64) / 100.0,
+            "event_type": ["tiny"] * n,
+        }
+    )
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    t = t.set_column(
+        t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.timestamp("us"))
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    from workbook_exporter_fe_ray.stages.window import lttb_downsample
+
+    got = lttb_downsample(ds, n_out=50, plan="windowed").to_pandas()
+    ref = lttb_downsample(ds, n_out=50, plan="sweep").to_pandas()
+    assert sorted(got["event_id"]) == sorted(ref["event_id"])
+    # n_out >= n -> identity
+    full = lttb_downsample(ds, n_out=500, plan="windowed").to_pandas()
+    assert len(full) == n
