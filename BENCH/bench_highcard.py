@@ -68,7 +68,96 @@ def naive_first_event(events: ray.data.Dataset) -> ray.data.Dataset:
     return events.groupby("user_id").map_groups(_first, batch_format="pyarrow")
 
 
+def make_lowcard_ds(n_rows: int, n_keys: int, blocks: int = 64) -> ray.data.Dataset:
+    """The straggler shape: a handful of PARTITION BY keys holding the
+    whole corpus (the driver corpus has 5 event types)."""
+    rng = np.random.default_rng(7)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 1000, n_rows).astype(np.int64)),
+            "ts": pa.array(
+                rng.integers(0, 30 * 86_400 * US, n_rows).astype(np.int64)
+            ).cast(pa.timestamp("us")),
+            "value": pa.array(rng.integers(0, 10_000, n_rows) / 100.0),
+            "event_type": pa.array(
+                np.array(["k%d" % k for k in rng.integers(0, n_keys, n_rows)])
+            ),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks).materialize()
+
+
+def lowcard_main() -> None:
+    """VERDICT r3 item 1 evidence: order-dependent windows over
+    LOW-cardinality keys — two-pass global rank / windowed carry chain
+    vs the one-task-per-key sweep. Usage:
+    python BENCH/bench_highcard.py --lowcard [n_rows] [n_keys]"""
+    args = [a for a in sys.argv[2:]]
+    n_rows = int(args[0]) if len(args) > 0 else 2_000_000
+    n_keys = int(args[1]) if len(args) > 1 else 5
+    reps = int(args[2]) if len(args) > 2 else 3
+    only = args[3].split(",") if len(args) > 3 else None
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False)
+    from workbook_exporter_fe_ray.stages.window import (
+        cume_dist_by_value,
+        ewma_per_source,
+        lttb_downsample,
+        percent_rank_by_value,
+    )
+
+    ds = make_lowcard_ds(n_rows, n_keys)
+    out: dict[str, float] = {}
+    cases = [
+        ("percent_rank_sweep", lambda: percent_rank_by_value(ds, plan="sweep")),
+        ("percent_rank_global", lambda: percent_rank_by_value(ds, plan="global")),
+        ("cume_dist_sweep", lambda: cume_dist_by_value(ds, plan="sweep")),
+        ("cume_dist_global", lambda: cume_dist_by_value(ds, plan="global")),
+        ("ewma_sweep", lambda: ewma_per_source(ds, plan="sweep")),
+        (
+            "ewma_windowed_1d",
+            lambda: ewma_per_source(ds, plan="windowed", window_s=86_400),
+        ),
+        ("lttb_sweep", lambda: lttb_downsample(ds, plan="sweep")),
+        ("lttb_windowed", lambda: lttb_downsample(ds, plan="windowed")),
+    ]
+    for name, fn in cases:
+        if only is not None and not any(name.startswith(o) for o in only):
+            continue
+        walls = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n = fn().count()
+            walls.append(round(time.perf_counter() - t0, 3))
+        out[name] = min(walls)
+        out[name + "_walls"] = walls
+        out[name + "_rows"] = n
+    for fam, a, b in (
+        ("percent_rank", "percent_rank_sweep", "percent_rank_global"),
+        ("cume_dist", "cume_dist_sweep", "cume_dist_global"),
+        ("lttb", "lttb_sweep", "lttb_windowed"),
+        ("ewma", "ewma_sweep", "ewma_windowed_1d"),
+    ):
+        if a in out and b in out:
+            out[fam + "_speedup"] = round(out[a] / out[b], 2)
+    print(
+        json.dumps(
+            {
+                "metric": "lowcard_window_bench",
+                "n_rows": n_rows,
+                "n_keys": n_keys,
+                **out,
+            }
+        )
+    )
+    ray.shutdown()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--lowcard":
+        lowcard_main()
+        return
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_users = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     if not ray.is_initialized():
