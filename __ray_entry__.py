@@ -883,6 +883,62 @@ def _q_lttb(sf_dir: str):
     return lttb_downsample(_events(sf_dir), n_out=50)
 
 
+def _q_lttb_stats(sf_dir: str):
+    """SQL-checkable endpoint/count view of the LTTB output (VERDICT r3
+    item 7): LTTB guarantees it keeps EXACTLY min(n_out, n) points per
+    series including both endpoints, so (n_kept, first/last ts,
+    event_id, cents) are derivable from `events` alone in SQL while
+    still gating the engine's windowed bucket-chain end to end (a
+    dropped / duplicated / misrouted selection changes n_kept or an
+    endpoint). The interior picks stay rows-only (bit-identity pytest
+    vs the single-process reference)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from workbook_exporter_fe_ray.stages.window import lttb_downsample
+
+    out = lttb_downsample(_events(sf_dir), n_out=50)
+
+    def _stats(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(idx)
+        last = len(g) - 1
+        return pa.table(
+            {
+                "source": g["source"].slice(0, 1),
+                "n_kept": pa.array([len(g)], pa.int64()),
+                "first_ts": g["ts"].slice(0, 1),
+                "first_eid": g["event_id"].slice(0, 1),
+                "first_vc": g["value_cents"].slice(0, 1),
+                "last_ts": g["ts"].slice(last, 1),
+                "last_eid": g["event_id"].slice(last, 1),
+                "last_vc": g["value_cents"].slice(last, 1),
+            }
+        )
+
+    # the LTTB output is decimated by construction (sources x n_out
+    # rows), so a per-source group pass over it is dimension-sized
+    return out.groupby("source").map_groups(_stats, batch_format="pyarrow")
+
+
+def _q_phash_pair_ids(sf_dir: str):
+    """Hash-oracled twin of media_phash_dups (VERDICT r3 item 7): the
+    engine's decode->aHash->bucket pipeline must reproduce EXACTLY the
+    pairs planted by construction; the DuckDB oracle reads the planted
+    ground truth (written by replaying the planting control flow, never
+    by hashing pixels)."""
+    from workbook_exporter_fe_ray.stages.multimodal import (
+        phash_dup_pairs,
+        synth_media_with_dups,
+    )
+
+    ds = ray.data.from_arrow(synth_media_with_dups(120))
+    return phash_dup_pairs(ds).drop_columns(["phash"])
+
+
 def _q_cumsum_user(sf_dir: str):
     from workbook_exporter_fe_ray.stages.window import keyed_cumsum
 
@@ -1275,6 +1331,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "downsample_minmax": _q_downsample_minmax,  # min/max envelope decimation
         "pack_tokens_stats": _q_pack_tokens_stats,  # packer value-hash gate
         "media_phash_dups": _q_phash_dups,          # real-decode perceptual dedup
+        "lttb_endpoint_stats": _q_lttb_stats,       # LTTB value-hash gate (r4)
+        "media_phash_pair_ids": _q_phash_pair_ids,  # phash vs planted truth (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1397,10 +1455,12 @@ _GRADED_R2 = frozenset(
 )
 
 
-# queries added in round 3 (after the r2 snapshot): ordered AFTER the 50
-# r2-ungraded entries so they don't push any of those out of the round-3
-# driver snapshot's grading slots; they carry local-mirror + pytest
-# coverage this round.
+# Round-4 driver-snapshot ordering (VERDICT r3 item 2): the 7 round-3-new
+# queries plus the 2 round-4 derived-oracle gates go FIRST so the r4
+# snapshot finally grades them; the 9 rows-only entries follow (their
+# rows-only status is re-recorded); the rest of the 50-slot window is
+# filled by r3-graded entries (harmlessly re-graded). _GRADED_R2 stays
+# at the back (graded in the r2 snapshot).
 _NEW_R3 = (
     "retention_apply",
     "token_bigram_topk",
@@ -1411,13 +1471,32 @@ _NEW_R3 = (
     "media_phash_dups",
 )
 
+_NEW_R4 = (
+    "lttb_endpoint_stats",
+    "media_phash_pair_ids",
+)
+
+_ROWS_ONLY_R3 = (
+    "pack_tokens_synthetic",
+    "simhash_pairs",
+    "cosine_neardup_lsh",
+    "lsh_topk",
+    "ivf_topk",
+    "multimodal_decode",
+    "multimodal_frames",
+    "hll_distinct_users",
+    "grouped_quantiles_sketch",
+)
+
 
 def queries() -> dict[str, Callable[[str], Any]]:
     q = _registry()
-    front = [k for k in q if k not in _GRADED_R2 and k not in _NEW_R3]
-    new = [k for k in _NEW_R3 if k in q]
+    head = [*(k for k in _NEW_R3 if k in q), *(k for k in _NEW_R4 if k in q)]
+    rows_only = [k for k in _ROWS_ONLY_R3 if k in q]
+    placed = {*head, *rows_only, *_GRADED_R2}
+    mid = [k for k in q if k not in placed]
     back = [k for k in q if k in _GRADED_R2]
-    return {k: q[k] for k in [*front, *new, *back]}
+    return {k: q[k] for k in [*head, *rows_only, *mid, *back]}
 
 
 _CENTS = "CAST(round(value * 100) AS BIGINT)"
@@ -1454,8 +1533,27 @@ def _ensure_synth_corpus() -> None:
         datagen.generate(d, n_sources=8, base_seqs=600, seed=42, n_shards=4)
 
 
+_PHASH_TRUTH = "/tmp/wfer_phash_truth.parquet"
+
+
+def _ensure_phash_truth() -> None:
+    """Planted-pair ground truth for media_phash_pair_ids, written by
+    replaying the planting control flow of synth_media_with_dups (never
+    by hashing pixels) so DuckDB can hash-gate the engine's real
+    decode→aHash→bucket pipeline against the construction itself."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.stages.multimodal import synth_media_dup_truth
+
+    if not os.path.isfile(_PHASH_TRUTH):
+        pq.write_table(synth_media_dup_truth(120), _PHASH_TRUTH)
+
+
 def oracle_sql() -> dict[str, str]:
     _ensure_synth_corpus()
+    _ensure_phash_truth()
     return {
         "rollup_1m": _rollup_sql("date_trunc('minute', ts)"),
         # the salted two-phase path must produce EXACTLY the same values
@@ -1624,6 +1722,28 @@ SELECT gpos // 2048 AS pack_id, count(*) AS n_toks,
        CAST(sum(tok) AS BIGINT) AS tok_sum,
        count(DISTINCT doc_id) AS n_spans
 FROM f GROUP BY 1
+""",
+        # LTTB keeps EXACTLY min(n_out, n) points per series including
+        # both endpoints, so this stats view of the engine's windowed
+        # bucket-chain output is derivable from `events` alone
+        "lttb_endpoint_stats": f"""
+WITH s AS (
+  SELECT event_type AS source, ts, event_id, {_CENTS} AS value_cents
+  FROM events),
+r AS (
+  SELECT source, ts, event_id, value_cents,
+         row_number() OVER (PARTITION BY source ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM s)
+SELECT f.source,
+       CAST(least(f.n, 50) AS BIGINT) AS n_kept,
+       f.ts AS first_ts, f.event_id AS first_eid, f.value_cents AS first_vc,
+       l.ts AS last_ts, l.event_id AS last_eid, l.value_cents AS last_vc
+FROM r f JOIN r l ON f.source = l.source AND l.rn = l.n
+WHERE f.rn = 1
+""",
+        "media_phash_pair_ids": f"""
+SELECT id_a, id_b FROM read_parquet('{_PHASH_TRUTH}')
 """,
         "downsample_minmax": f"""
 WITH t AS (

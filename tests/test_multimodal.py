@@ -197,8 +197,13 @@ def test_frame_sample_fanout(ray_session):
         if typ[mid] == "video" and expect > 1:
             ts = np.sort(grp["frame_ts_ms"].to_numpy())
             assert ts[1] - ts[0] == 500  # 2 fps → 500 ms stride
-    # resize contract: fixed target dims; image/audio rows real-resized
-    assert (out["out_width"] == 32).all() and (out["out_height"] == 32).all()
+    # resize contract: fixed target dims for IMAGE rows only; audio is
+    # resampled (not resized) and video passes through → 0/0 (ADVICE r3)
+    img = out["media_type"] == "image"
+    assert (out.loc[img, "out_width"] == 32).all()
+    assert (out.loc[img, "out_height"] == 32).all()
+    assert (out.loc[~img, "out_width"] == 0).all()
+    assert (out.loc[~img, "out_height"] == 0).all()
     assert (out["resized_bytes"] >= 1).all()
     assert out.loc[out["media_type"] != "video", "resized_real"].all()
 
@@ -222,3 +227,24 @@ def test_phash_dup_pairs_finds_planted_copies(ray_session):
     # resized copy of the image 3 before it
     want = sorted((i - 3, i) for i in range(15, n, 15))
     assert got == want
+
+
+def test_phash_truth_helper_matches_engine(ray_session):
+    """synth_media_dup_truth replays the planting control flow (no pixel
+    hashing) and must agree with the engine's decode→aHash→bucket pairs —
+    this is the driver's media_phash_pair_ids oracle contract."""
+    from workbook_exporter_fe_ray.stages.multimodal import (
+        phash_dup_pairs,
+        synth_media_dup_truth,
+        synth_media_with_dups,
+    )
+
+    n = 120
+    ds = ray.data.from_arrow(synth_media_with_dups(n))
+    got = sorted(
+        (int(r["id_a"]), int(r["id_b"]))
+        for r in phash_dup_pairs(ds).take_all()
+    )
+    truth = synth_media_dup_truth(n)
+    want = sorted(zip(truth["id_a"].to_pylist(), truth["id_b"].to_pylist()))
+    assert got == want and len(want) > 0

@@ -492,3 +492,39 @@ def synth_media_with_dups(n: int, seed: int = 7) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+def synth_media_dup_truth(n: int, seed: int = 7) -> pa.Table:
+    """Ground-truth planted pairs for :func:`synth_media_with_dups` —
+    derived by replaying the SAME planting control flow (never by
+    hashing pixels), so the DuckDB oracle can hash-gate the engine's
+    decode→aHash→bucket pipeline against the construction itself."""
+    base = synth_media_table(n, seed=seed)
+    types = base["media_type"].to_pylist()
+    ids = base["media_id"].to_pylist()
+    # cluster = one original + all its planted copies (a copy does NOT
+    # become the new original — prev_img is unchanged in
+    # synth_media_with_dups — so consecutive i%5==0 hits with no fresh
+    # original in between pile onto the SAME cluster); the engine emits
+    # ALL pairs inside a phash bucket, so the truth must too
+    clusters: list[list[int]] = []
+    prev_id = None
+    for i in range(n):
+        if types[i] != "image":
+            continue
+        if prev_id is not None and i % 5 == 0:
+            clusters[-1].append(ids[i])
+        else:
+            prev_id = ids[i]
+            clusters.append([prev_id])
+    a: list[int] = []
+    b: list[int] = []
+    for c in clusters:
+        c = sorted(c)
+        for j in range(len(c)):
+            for k in range(j + 1, len(c)):
+                a.append(c[j])
+                b.append(c[k])
+    return pa.table(
+        {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+    )
