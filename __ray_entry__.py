@@ -835,7 +835,8 @@ def _q_multimodal_frames(sf_dir: str):
     out = frame_sample_pipeline(ds, fps=2.0)
     return out.select_columns(
         ["media_id", "media_type", "out_width", "out_height", "resized_bytes",
-         "resize_checksum", "resized_real", "frame_idx", "frame_ts_ms"]
+         "resize_checksum", "resized_real", "frame_idx", "frame_ts_ms",
+         "frame_checksum", "frames_real"]
     )
 
 
@@ -858,7 +859,7 @@ def _q_multimodal(sf_dir: str):
     )
 
     ds = ray.data.from_arrow(synth_media_table(64))
-    out = decode_pipeline(ds)  # real BMP/PPM/WAV kernels; video rows stub-flagged
+    out = decode_pipeline(ds)  # real BMP/PPM/WAV/Y4M kernels, all rows
     return out.select_columns(
         ["media_id", "media_type", "payload_bytes", "decode_checksum",
          "dec_width", "dec_height", "decoded_real"]

@@ -212,13 +212,122 @@ def linear_resample(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.nda
     return out[:, 0] if mono else out
 
 
+# ---------------------------------------------------------------------------
+# Y4M — YUV4MPEG2, 4:2:0 (plain-text header + raw planar frames)
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(
+    y: np.ndarray, u: np.ndarray, v: np.ndarray, fps: tuple[int, int] = (10, 1)
+) -> bytes:
+    """Encode planar 4:2:0 video as YUV4MPEG2: ``y`` is (N, H, W) uint8,
+    ``u``/``v`` are (N, H//2, W//2) uint8, H and W even."""
+    y = np.ascontiguousarray(y, dtype=np.uint8)
+    u = np.ascontiguousarray(u, dtype=np.uint8)
+    v = np.ascontiguousarray(v, dtype=np.uint8)
+    if y.ndim != 3:
+        raise ValueError(f"expected (N, H, W) luma array, got {y.shape}")
+    n, h, w = y.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"4:2:0 needs even dims, got {w}x{h}")
+    if u.shape != (n, h // 2, w // 2) or v.shape != (n, h // 2, w // 2):
+        raise ValueError("chroma planes must be (N, H//2, W//2)")
+    parts = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C420jpeg\n" % (w, h, *fps)]
+    for i in range(n):  # per-frame loop: frame COUNT, not pixels
+        parts.append(b"FRAME\n")
+        parts.append(y[i].tobytes())
+        parts.append(u[i].tobytes())
+        parts.append(v[i].tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """Decode a YUV4MPEG2 4:2:0 stream → (y (N,H,W), u, v (N,H/2,W/2)
+    uint8 planes, fps_num, fps_den)."""
+    if buf[:9] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = buf.index(b"\n")
+    w = h = 0
+    fn, fd = 25, 1
+    colorspace = "420jpeg"
+    for tok in buf[10:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            fn, fd = (int(x) for x in val.split(":"))
+        elif tag == b"C":
+            colorspace = val
+    if not colorspace.startswith("420"):
+        raise NotImplementedError(f"only 4:2:0 Y4M supported (C{colorspace})")
+    if w <= 0 or h <= 0 or w % 2 or h % 2:
+        raise ValueError(f"bad Y4M dims {w}x{h}")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frame_bytes = ysz + 2 * csz
+    ys, us, vs = [], [], []
+    pos = nl + 1
+    while pos < len(buf):
+        if buf[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"missing FRAME marker at byte {pos}")
+        pos = buf.index(b"\n", pos) + 1  # skip optional frame params
+        if pos + frame_bytes > len(buf):
+            raise ValueError(f"truncated Y4M frame at byte {pos}")
+        ys.append(np.frombuffer(buf, np.uint8, ysz, pos).reshape(h, w))
+        us.append(np.frombuffer(buf, np.uint8, csz, pos + ysz).reshape(h // 2, w // 2))
+        vs.append(
+            np.frombuffer(buf, np.uint8, csz, pos + ysz + csz).reshape(h // 2, w // 2)
+        )
+        pos += frame_bytes
+    return np.stack(ys), np.stack(us), np.stack(vs), fn, fd
+
+
+def rgb_to_yuv420(frames: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(N, H, W, 3) uint8 RGB → full-range JPEG-style YCbCr 4:2:0 planes
+    (integer ×1000 coefficients, 2×2 chroma mean — deterministic)."""
+    f = np.asarray(frames, dtype=np.int64)
+    if f.ndim == 3:
+        f = f[None]
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = (299 * r + 587 * g + 114 * b) // 1000
+    cb = 128 + (-169 * r - 331 * g + 500 * b) // 1000
+    cr = 128 + (500 * r - 419 * g - 81 * b) // 1000
+    # 2x2 mean subsample, round-half-up
+    def sub(p: np.ndarray) -> np.ndarray:
+        s = p[:, 0::2, 0::2] + p[:, 0::2, 1::2] + p[:, 1::2, 0::2] + p[:, 1::2, 1::2]
+        return ((s + 2) // 4).astype(np.uint8)
+
+    return (
+        np.clip(y, 0, 255).astype(np.uint8),
+        sub(np.clip(cb, 0, 255)),
+        sub(np.clip(cr, 0, 255)),
+    )
+
+
+def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Full-range JPEG-style YCbCr 4:2:0 planes → (N, H, W, 3) uint8 RGB
+    (nearest-neighbor chroma upsample, integer ×1000 coefficients)."""
+    yy = np.asarray(y, dtype=np.int64)
+    cb = np.repeat(np.repeat(np.asarray(u, np.int64), 2, -2), 2, -1) - 128
+    cr = np.repeat(np.repeat(np.asarray(v, np.int64), 2, -2), 2, -1) - 128
+    r = yy + (1402 * cr) // 1000
+    g = yy - (344 * cb + 714 * cr) // 1000
+    b = yy + (1772 * cb) // 1000
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
 def sniff_media_format(buf: bytes) -> str:
     """Identify a payload's container by magic bytes: 'bmp' | 'ppm' |
-    'wav' | 'unknown'."""
+    'wav' | 'y4m' | 'unknown'."""
     if buf[:2] == b"BM":
         return "bmp"
     if buf[:2] == b"P6":
         return "ppm"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
+    if buf[:9] == b"YUV4MPEG2":
+        return "y4m"
     return "unknown"

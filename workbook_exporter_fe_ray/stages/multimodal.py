@@ -6,16 +6,18 @@ as actor-pool ``map_batches`` stages sized for large payloads (SMALL
 batch_size so batch × concurrency fits worker heaps).
 
 The decode/resize kernels are REAL for uncompressed containers —
-BMP (24-bit BI_RGB), PPM (P6) and WAV (PCM16) are parsed and
+BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16) and YUV4MPEG2 4:2:0 video
+(``.y4m``: plain-text header + raw planar frames) are parsed and
 re-encoded with pure NumPy (``functions/codecs.py``); bilinear image
-resize and linear audio resample are vectorized NumPy. Compressed
-formats (JPEG/PNG/MP4 — no codec library exists in this container)
-remain honestly gated: ``on_unsupported='stub'`` emits a flagged
-deterministic fallback (crc32 of the raw bytes), ``'raise'`` raises
-NotImplementedError. The synthetic corpus below generates VALID
-BMP/PPM/WAV payloads so the pipelines exercise real byte→tensor work;
-only the ``video`` rows (no public uncompressed container fits a
-stdlib parser) go through the stub path.
+resize, linear audio resample and per-frame video resize are
+vectorized NumPy. Compressed formats (JPEG/PNG/MP4 — no codec library
+exists in this container) remain honestly gated: ``on_unsupported=
+'stub'`` emits a flagged deterministic fallback (crc32 of the raw
+bytes), ``'raise'`` raises NotImplementedError. The synthetic corpus
+below generates VALID BMP/PPM/WAV/Y4M payloads so every media type
+exercises real byte→tensor work; the stub path is reached only by
+genuinely compressed containers (e.g. an injected JPEG row — see
+tests).
 
 Reference parity: the reference app (workbook_exporter-fe.py) has no
 media path; these stages implement the brief-mandated multimodal
@@ -36,11 +38,15 @@ from workbook_exporter_fe_ray.functions.codecs import (
     decode_bmp,
     decode_ppm,
     decode_wav,
+    decode_y4m,
     encode_bmp,
     encode_ppm,
     encode_wav,
+    encode_y4m,
     linear_resample,
+    rgb_to_yuv420,
     sniff_media_format,
+    yuv420_to_rgb,
 )
 
 MEDIA_SCHEMA = pa.schema(
@@ -75,8 +81,9 @@ def _synth_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media corpus with VALID payloads: images alternate
     BMP / PPM (pixel content seeded), audio rows are PCM16 WAV whose
-    sample count matches ``duration_ms``, video rows are seeded opaque
-    bytes (container formats are codec-gated)."""
+    sample count matches ``duration_ms``, video rows are real YUV4MPEG2
+    4:2:0 streams whose frame count matches ``duration_ms`` at the
+    source rate (_VIDEO_FPS)."""
     rng = np.random.default_rng(seed)
     payloads, types, widths, heights, durs = [], [], [], [], []
     for i in range(n):
@@ -97,9 +104,14 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             w = h = 0
         else:
             dur = 1000 + i
-            payloads.append(
-                rng.integers(0, 256, size=int(rng.integers(512, 4096)), dtype=np.uint8).tobytes()
-            )
+            # even dims for 4:2:0; frames = moving gradient + seeded noise
+            w, h = 32 + (i % 3) * 16, 24 + (i % 2) * 8
+            fn, fd = _VIDEO_FPS
+            n_frames = max(dur * fn // (1000 * fd), 1)
+            base = _synth_image(rng, w, h).astype(np.int64)
+            shift = (np.arange(n_frames) * 7)[:, None, None, None]
+            frames = ((base[None] + shift) % 256).astype(np.uint8)
+            payloads.append(encode_y4m(*rgb_to_yuv420(frames), fps=(fn, fd)))
         types.append(t)
         widths.append(w)
         heights.append(h)
@@ -117,8 +129,15 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+_VIDEO_FPS = (10, 1)  # synthetic corpus source rate
+
+
 def _decode_payload(buf: bytes):
-    """Decode one payload by sniffed magic → (tensor, kind) or (None, 'unknown')."""
+    """Decode one payload by sniffed magic → (tensor, kind) or (None, 'unknown').
+
+    Tensor shapes: image → (H, W, 3) uint8 RGB; wav → (N, C) int16;
+    y4m video → (N_frames, H, W, 3) uint8 RGB (full-range integer
+    BT.601 view of the decoded planes)."""
     kind = sniff_media_format(buf)
     if kind == "bmp":
         return decode_bmp(buf), kind
@@ -127,6 +146,9 @@ def _decode_payload(buf: bytes):
     if kind == "wav":
         samples, rate = decode_wav(buf)
         return samples, kind
+    if kind == "y4m":
+        y, u, v, _fn, _fd = decode_y4m(buf)
+        return yuv420_to_rgb(y, u, v), kind
     return None, kind
 
 
@@ -167,6 +189,9 @@ class Decode:
                 if kind == "wav":
                     dec_w.append(tensor.shape[0])  # samples
                     dec_h.append(tensor.shape[1])  # channels
+                elif kind == "y4m":  # (N_frames, H, W, 3)
+                    dec_h.append(tensor.shape[1])
+                    dec_w.append(tensor.shape[2])
                 else:
                     dec_h.append(tensor.shape[0])
                     dec_w.append(tensor.shape[1])
@@ -228,6 +253,8 @@ class FeatureExtract:
             tensor, kind = _decode_payload(buf)
             if kind in ("bmp", "ppm"):
                 v = self._image_features(tensor)
+            elif kind == "y4m":  # first decoded frame's image features
+                v = self._image_features(tensor[0])
             elif kind == "wav":
                 v = self._audio_features(tensor)
             else:  # flagged digest fallback for codec-gated containers
@@ -240,12 +267,15 @@ class FeatureExtract:
 
 
 class Resize:
-    """Resize stage: REAL bilinear resize for images (decode → resize →
-    re-encode in the source container; ``resized_bytes`` is the actual
-    re-encoded length, ``resize_checksum`` the crc32 of the resized
-    pixels). Audio rows are linear-resampled to ``target_rate`` (their
-    ``resized_bytes`` is the real resampled WAV length). Codec-gated
-    rows (video) pass through with resized_bytes = raw length, flagged.
+    """Resize stage: REAL bilinear resize for images AND video frames
+    (decode → resize → re-encode in the source container;
+    ``resized_bytes`` is the actual re-encoded length,
+    ``resize_checksum`` the crc32 of the resized pixels — every frame
+    for video). Audio rows are linear-resampled to ``target_rate``
+    (their ``resized_bytes`` is the real resampled WAV length; their
+    out_width/out_height stay 0 — resampled, not resized, ADVICE r3).
+    Codec-gated rows (compressed containers, e.g. JPEG) pass through
+    with resized_bytes = raw length, flagged ``resized_real=false``.
     """
 
     def __init__(self, target_w: int = 32, target_h: int = 32, target_rate: int = 8000):
@@ -260,6 +290,17 @@ class Resize:
                 enc = encode_bmp(resized) if kind == "bmp" else encode_ppm(resized)
                 sizes.append(len(enc))
                 checksums.append(zlib.crc32(resized.tobytes()))
+                real.append(True)
+                ows.append(self.tw)
+                ohs.append(self.th)
+            elif kind == "y4m":
+                # (N, H, W, 3) → resize every frame, re-encode 4:2:0
+                rs = np.stack(
+                    [bilinear_resize(fr, self.tw, self.th) for fr in tensor]
+                )
+                enc = encode_y4m(*rgb_to_yuv420(rs), fps=_VIDEO_FPS)
+                sizes.append(len(enc))
+                checksums.append(zlib.crc32(rs.tobytes()))
                 real.append(True)
                 ows.append(self.tw)
                 ohs.append(self.th)
@@ -287,10 +328,12 @@ class Resize:
 
 class FrameSample:
     """Frame-sampling stage (videos): one row per sampled frame at
-    ``fps`` frames/second of ``duration_ms`` — the row fan-out shape of
-    real video pipelines (payload dropped post-sample; a real impl
-    would emit decoded frame tensors instead of (frame_idx, frame_ts)).
-    Non-video rows pass through with a single frame_idx 0 row."""
+    ``fps`` frames/second of ``duration_ms``, with REAL pixels — each
+    emitted row carries ``frame_checksum`` = crc32 of the decoded RGB
+    frame nearest the sample timestamp (Y4M rows). Image rows emit one
+    row checksummed over the decoded image; audio / codec-gated rows
+    emit one flagged row (``frames_real=false``). Payload dropped
+    post-sample."""
 
     def __init__(self, fps: float = 2.0):
         self.fps = fps
@@ -307,12 +350,30 @@ class FrameSample:
         offs = np.r_[0, np.cumsum(n_frames)[:-1]]
         frame_idx = np.arange(int(n_frames.sum())) - np.repeat(offs, n_frames)
         step_ms = np.repeat(np.where(is_video, 1000.0 / self.fps, 0.0), n_frames)
+        frame_ts = (frame_idx * step_ms).astype(np.int64)
+        # real pixel work per emitted row (loop is per PAYLOAD, the
+        # pixel ops are vectorized NumPy inside the codecs)
+        payloads = batch["payload"].to_pylist()
+        checksums = np.zeros(len(frame_idx), np.int64)
+        real = np.zeros(len(frame_idx), bool)
+        for row, buf in enumerate(payloads):
+            lo, hi = int(offs[row]), int(offs[row] + n_frames[row])
+            tensor, kind = _decode_payload(buf)
+            if kind == "y4m":
+                fn, fd = _VIDEO_FPS
+                src = np.minimum(
+                    frame_ts[lo:hi] * fn // (1000 * fd), tensor.shape[0] - 1
+                )
+                checksums[lo:hi] = [zlib.crc32(tensor[s].tobytes()) for s in src]
+                real[lo:hi] = True
+            elif kind in ("bmp", "ppm"):
+                checksums[lo:hi] = zlib.crc32(tensor.tobytes())
+                real[lo:hi] = True
         out = batch.drop_columns(["payload"]).take(pa.array(rep))
         out = out.append_column("frame_idx", pa.array(frame_idx, pa.int32()))
-        return out.append_column(
-            "frame_ts_ms",
-            pa.array((frame_idx * step_ms).astype(np.int64), pa.int64()),
-        )
+        out = out.append_column("frame_ts_ms", pa.array(frame_ts, pa.int64()))
+        out = out.append_column("frame_checksum", pa.array(checksums, pa.int64()))
+        return out.append_column("frames_real", pa.array(real, pa.bool_()))
 
 
 # Back-compat aliases (r1/r2 names; kernels are now real for BMP/PPM/WAV)
