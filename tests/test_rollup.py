@@ -165,3 +165,48 @@ def test_segment_const_delta_elision_roundtrip():
         m = pc.equal(tbl["source"], s)
         order = np.argsort(pc.cast(tbl.filter(m)["ts"], pa.int64()).to_numpy(zero_copy_only=False))
         np.testing.assert_array_equal(raw, tbl.filter(m)["n_tok"].to_numpy()[order])
+
+
+def test_skey_collision_group_splits_exactly():
+    """The packed exchange keys on the int64 blake2b-8 hash of source; a
+    64-bit collision delivers TWO sources in one (skey, day) group. The
+    merge kernels must split them exactly — simulated by handing the
+    merge a group holding two sources directly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from workbook_exporter_fe_ray.schema import DEFAULT_TIERS, EPOCH0_US
+    from workbook_exporter_fe_ray.stages.compress import merge_encode_chunk
+    from workbook_exporter_fe_ray.stages.rollup import (
+        _merge_cascade_group,
+        _pack_day_segments,
+    )
+
+    ts_a = EPOCH0_US + np.arange(100, dtype=np.int64) * 60_000_000
+    ts_b = EPOCH0_US + np.arange(80, dtype=np.int64) * 90_000_000
+    tbl = pa.table(
+        {
+            "source": pa.array(["alpha"] * 100 + ["beta"] * 80),
+            "ts": pa.array(np.r_[ts_a, ts_b]).cast(pa.timestamp("us")),
+            "n_tok": pa.array(np.arange(180, dtype=np.int32)),
+        }
+    )
+    seg = _pack_day_segments(tbl, "n_tok")
+    # collide: force one skey for the whole group (routing key only)
+    seg = seg.set_column(0, "skey", pa.array([7] * len(seg), pa.int64()))
+
+    merged = _merge_cascade_group(seg, DEFAULT_TIERS)
+    srcs = set(merged["source"].to_pylist())
+    assert srcs == {"alpha", "beta"}
+    # per-source totals survive the split exactly
+    import pyarrow.compute as pc
+
+    for s, n in [("alpha", 100), ("beta", 80)]:
+        m = merged.filter(
+            pc.and_(pc.equal(merged["source"], s), pc.equal(merged["tier"], "1m"))
+        )
+        assert int(pc.sum(m["count"]).as_py()) == n, s
+
+    chunks = merge_encode_chunk(seg)
+    assert set(chunks["source"].to_pylist()) == {"alpha", "beta"}
+    assert sorted(chunks["n_points"].to_pylist(), reverse=True) == [100, 80]

@@ -35,27 +35,41 @@ def merge_encode_chunk(group: pa.Table) -> pa.Table:
     """One (source, chunk-window) segment group → one chunk row. The
     group arrives PACKED (per-block delta-encoded segment fragments from
     the rollup combiner — see ``rollup._pack_day_segments``), so the
-    exchange that fed this stage moved ~12 B/point in a handful of rows,
-    not raw point rows."""
+    exchange that fed this stage moved ~4-12 B/point in a handful of
+    rows, not raw point rows. Groups are keyed by the int64 ``(skey,
+    day)`` exchange key; a 64-bit hash collision can co-locate two
+    sources — split exactly (almost always one sub-run)."""
     from .rollup import decode_segments
 
-    ts, raw = decode_segments(group)
-    val = raw.astype(np.float64)
-    chunk_start = int(group["day"][0].as_py())
-    return pa.table(
-        {
-            "source": pa.array([group["source"][0].as_py()], pa.string()),
-            "chunk_start_ts": pa.array([chunk_start], pa.int64()).cast(
-                pa.timestamp("us")
-            ),
-            "n_points": pa.array([len(ts)], pa.int32()),
-            "ts_dod_bytes": pa.array([gorilla.encode_dod(ts)], pa.binary()),
-            "val_xor_bytes": pa.array([gorilla.encode_xor(val)], pa.binary()),
-            "first_ts": pa.array([int(ts[0])], pa.int64()),
-            "first_val": pa.array([float(val[0])], pa.float64()),
-        },
-        schema=CHUNK_SCHEMA,
-    )
+    src = group["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    uniq = pc.unique(src)
+    parts = []
+    for s in uniq.to_pylist() if len(uniq) > 1 else [None]:
+        g = group if s is None else group.filter(pc.equal(src, s))
+        ts, raw = decode_segments(g)
+        val = raw.astype(np.float64)
+        chunk_start = int(g["day"][0].as_py())
+        parts.append(
+            pa.table(
+                {
+                    "source": pa.array(
+                        [g["source"][0].as_py() if s is None else s], pa.string()
+                    ),
+                    "chunk_start_ts": pa.array([chunk_start], pa.int64()).cast(
+                        pa.timestamp("us")
+                    ),
+                    "n_points": pa.array([len(ts)], pa.int32()),
+                    "ts_dod_bytes": pa.array([gorilla.encode_dod(ts)], pa.binary()),
+                    "val_xor_bytes": pa.array([gorilla.encode_xor(val)], pa.binary()),
+                    "first_ts": pa.array([int(ts[0])], pa.int64()),
+                    "first_val": pa.array([float(val[0])], pa.float64()),
+                },
+                schema=CHUNK_SCHEMA,
+            )
+        )
+    return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
 
 class ChunkCompressor:
@@ -92,7 +106,7 @@ def compress_chunks(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    grouped = segs.groupby(["source", "day"])
+    grouped = segs.groupby(["skey", "day"])  # int64 exchange sort keys
     if concurrency is None:
         return grouped.map_groups(merge_encode_chunk, batch_format="pyarrow")
     return grouped.map_groups(

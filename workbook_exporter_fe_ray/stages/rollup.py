@@ -36,6 +36,7 @@ real partial/final aggregation tree.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Sequence
 
 import numpy as np
@@ -47,6 +48,26 @@ from ray.data.aggregate import Max, Min, Sum
 from ..schema import DEFAULT_TIERS, US, TierSpec
 
 DAY_US = 86_400 * US
+
+
+def _source_hash64(names: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hash per source name (vectorized over the
+    block's DICTIONARY — one digest per distinct source, not per row).
+    Used as the exchange sort key so the all-to-all compares int64s
+    instead of strings; the string column still rides along and the
+    merge splits hash collisions exactly, so collisions cost only a
+    shared reducer, never correctness."""
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+            )
+            - (1 << 63)
+            for s in names.to_pylist()
+        ),
+        dtype=np.int64,
+        count=len(names),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -231,6 +252,7 @@ def _pack_day_segments(
     if len(batch) == 0:
         return pa.table(
             {
+                "skey": pa.array([], pa.int64()),
                 "source": pa.array([], pa.string()),
                 "day": pa.array([], pa.int64()),
                 "n": pa.array([], pa.int32()),
@@ -285,8 +307,13 @@ def _pack_day_segments(
 
     offsets = pa.array(np.r_[starts, len(ts)].astype(np.int32))
     src_names = src_codes.dictionary.take(pa.array(codes[starts])).cast(pa.string())
+    # int64 exchange key: the shuffle sorts (skey, day) as integers —
+    # measurably cheaper than string comparisons at the sort-map side —
+    # while the string column rides along for reconstruction
+    dict_hash = _source_hash64(src_codes.dictionary)
     return pa.table(
         {
+            "skey": pa.array(dict_hash[codes[starts]], pa.int64()),
             "source": src_names,
             "day": pa.array(day[starts], pa.int64()),
             "n": pa.array(n, pa.int32()),
@@ -349,14 +376,27 @@ def decode_segments(
 def _merge_cascade_group(
     group: pa.Table, tiers: Sequence[TierSpec], dedup: bool = True
 ) -> pa.Table:
-    """Reduce side of the packed cascade: decode + merge + tier cascade."""
-    ts, raw = decode_segments(group, dedup=dedup)
-    is_int = np.issubdtype(raw.dtype, np.integer)
-    val = raw.astype(np.int64 if is_int else np.float64)
-    minmax_type = pa.from_numpy_dtype(raw.dtype) if is_int else pa.float64()
-    sum_type = pa.int64() if is_int else pa.float64()
-    source = group["source"][0].as_py()
-    return _cascade_arrays(ts, val, source, tiers, minmax_type, sum_type)
+    """Reduce side of the packed cascade: decode + merge + tier cascade.
+
+    Groups arrive keyed by ``(skey, day)`` — the int64 hash exchange
+    key — so a 64-bit collision can legally co-locate two sources in
+    one group; split into per-source sub-runs first (almost always
+    exactly one) and cascade each exactly."""
+    src = group["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    uniq = pc.unique(src)
+    parts = []
+    for s in uniq.to_pylist() if len(uniq) > 1 else [None]:
+        g = group if s is None else group.filter(pc.equal(src, s))
+        ts, raw = decode_segments(g, dedup=dedup)
+        is_int = np.issubdtype(raw.dtype, np.integer)
+        val = raw.astype(np.int64 if is_int else np.float64)
+        minmax_type = pa.from_numpy_dtype(raw.dtype) if is_int else pa.float64()
+        sum_type = pa.int64() if is_int else pa.float64()
+        source = g["source"][0].as_py() if s is None else s
+        parts.append(_cascade_arrays(ts, val, source, tiers, minmax_type, sum_type))
+    return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
 
 def cascade_rollup(
@@ -387,7 +427,9 @@ def cascade_rollup(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        return segs.groupby(["source", "day"]).map_groups(
+        # the ONE all-to-all sorts int64 (skey, day) — not strings —
+        # and the merge splits any 64-bit collision exactly
+        return segs.groupby(["skey", "day"]).map_groups(
             lambda g: _merge_cascade_group(g, tiers, dedup=dedup),
             batch_format="pyarrow",
         )
