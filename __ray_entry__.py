@@ -866,6 +866,36 @@ def _q_multimodal(sf_dir: str):
     )
 
 
+def _q_media_decode_dims(sf_dir: str):
+    """Decode-geometry gate: real decode's (dec_width, dec_height,
+    decoded_real) per media row vs the construction-replayed truth —
+    the hash-checkable face of the rows-only `multimodal_decode`."""
+    from workbook_exporter_fe_ray.stages.multimodal import (
+        decode_pipeline,
+        synth_media_table,
+    )
+
+    ds = ray.data.from_arrow(synth_media_table(64))
+    return decode_pipeline(ds).select_columns(
+        ["media_id", "media_type", "dec_width", "dec_height", "decoded_real"]
+    )
+
+
+def _q_media_frames_plan(sf_dir: str):
+    """Frame-sampling plan gate: (frame_idx, frame_ts_ms, frames_real)
+    per emitted row vs construction-replayed truth — the hash-checkable
+    face of the rows-only `multimodal_frames`."""
+    from workbook_exporter_fe_ray.stages.multimodal import (
+        frame_sample_pipeline,
+        synth_media_table,
+    )
+
+    ds = ray.data.from_arrow(synth_media_table(64))
+    return frame_sample_pipeline(ds, fps=2.0).select_columns(
+        ["media_id", "media_type", "frame_idx", "frame_ts_ms", "frames_real"]
+    )
+
+
 def _q_ewma_source(sf_dir: str):
     from workbook_exporter_fe_ray.stages.window import ewma_per_source
 
@@ -1310,6 +1340,48 @@ def entry() -> Any:
     return events_flagship("/root/testdata/sf0.001")
 
 
+def _q_hopping_window(sf_dir: str):
+    """Overlapping 1h windows hopping every 15m (streaming-SQL HOP)."""
+    from workbook_exporter_fe_ray.stages.window import hopping_window_avg
+
+    return hopping_window_avg(_events(sf_dir))
+
+
+def _q_counter_rate_resets(sf_dir: str):
+    """PromQL increase()-style bucket-local counter delta with resets."""
+    from workbook_exporter_fe_ray.stages.window import counter_rate_resets
+
+    return counter_rate_resets(_events(sf_dir))
+
+
+def _q_hour_profile(sf_dir: str):
+    """7x24 (source, dow, hour) seasonality profile."""
+    from workbook_exporter_fe_ray.stages.window import hour_of_day_profile
+
+    return hour_of_day_profile(_events(sf_dir))
+
+
+def _q_interval_coverage(sf_dir: str):
+    """Interval-union covered time per (source, day)."""
+    from workbook_exporter_fe_ray.stages.window import interval_coverage
+
+    return interval_coverage(_events(sf_dir))
+
+
+def _q_spike_episodes(sf_dir: str):
+    """Gaps-and-islands incident episodes at >= 60.00 value."""
+    from workbook_exporter_fe_ray.stages.window import spike_episodes
+
+    return spike_episodes(_events(sf_dir))
+
+
+def _q_oov_rate(sf_dir: str):
+    """OOV rate per source vs a corpus-derived top-500 vocab."""
+    from workbook_exporter_fe_ray.stages.text import oov_rate_by_source
+
+    return oov_rate_by_source(_documents(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -1334,6 +1406,14 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "media_phash_dups": _q_phash_dups,          # real-decode perceptual dedup
         "lttb_endpoint_stats": _q_lttb_stats,       # LTTB value-hash gate (r4)
         "media_phash_pair_ids": _q_phash_pair_ids,  # phash vs planted truth (r4)
+        "hopping_window_avg": _q_hopping_window,    # overlapping HOP windows (r4)
+        "counter_rate_resets": _q_counter_rate_resets,  # increase() w/ resets (r4)
+        "hour_of_day_profile": _q_hour_profile,     # 7x24 seasonality (r4)
+        "interval_coverage": _q_interval_coverage,  # interval-union uptime (r4)
+        "spike_episodes": _q_spike_episodes,        # gaps-and-islands runs (r4)
+        "media_decode_dims": _q_media_decode_dims,  # decode-geometry gate (r4)
+        "media_frames_plan": _q_media_frames_plan,  # frame-sampling plan gate (r4)
+        "oov_rate_by_source": _q_oov_rate,          # vocab coverage screen (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1475,6 +1555,14 @@ _NEW_R3 = (
 _NEW_R4 = (
     "lttb_endpoint_stats",
     "media_phash_pair_ids",
+    "hopping_window_avg",
+    "counter_rate_resets",
+    "hour_of_day_profile",
+    "interval_coverage",
+    "spike_episodes",
+    "oov_rate_by_source",
+    "media_decode_dims",
+    "media_frames_plan",
 )
 
 _ROWS_ONLY_R3 = (
@@ -1552,9 +1640,42 @@ def _ensure_phash_truth() -> None:
         pq.write_table(synth_media_dup_truth(120), _PHASH_TRUTH)
 
 
+_DIMS_TRUTH = "/tmp/wfer_media_dims_truth.parquet"
+_FRAMES_TRUTH = "/tmp/wfer_media_frames_truth.parquet"
+
+
+def _ensure_dims_truth() -> None:
+    """Decode-geometry ground truth for media_decode_dims, written by
+    replaying only the size control flow of synth_media_table (never
+    by encoding/decoding payloads)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.stages.multimodal import synth_media_dims_truth
+
+    if not os.path.isfile(_DIMS_TRUTH):
+        pq.write_table(synth_media_dims_truth(64), _DIMS_TRUTH)
+
+
+def _ensure_frames_truth() -> None:
+    """Frame-plan ground truth for media_frames_plan (construction
+    replay; see synth_media_frames_truth)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.stages.multimodal import synth_media_frames_truth
+
+    if not os.path.isfile(_FRAMES_TRUTH):
+        pq.write_table(synth_media_frames_truth(64), _FRAMES_TRUTH)
+
+
 def oracle_sql() -> dict[str, str]:
     _ensure_synth_corpus()
     _ensure_phash_truth()
+    _ensure_dims_truth()
+    _ensure_frames_truth()
     return {
         "rollup_1m": _rollup_sql("date_trunc('minute', ts)"),
         # the salted two-phase path must produce EXACTLY the same values
@@ -1745,6 +1866,111 @@ WHERE f.rn = 1
 """,
         "media_phash_pair_ids": f"""
 SELECT id_a, id_b FROM read_parquet('{_PHASH_TRUTH}')
+""",
+        "media_decode_dims": f"""
+SELECT media_id, media_type, dec_width, dec_height, decoded_real
+FROM read_parquet('{_DIMS_TRUTH}')
+""",
+        "media_frames_plan": f"""
+SELECT media_id, media_type, frame_idx, frame_ts_ms, frames_real
+FROM read_parquet('{_FRAMES_TRUTH}')
+""",
+        "hopping_window_avg": f"""
+WITH b AS (
+  SELECT event_type AS source,
+         epoch_us(ts) - epoch_us(ts) % 900000000 AS hb,
+         {_CENTS} AS c
+  FROM events)
+SELECT source,
+       make_timestamp(hb - k.k * 900000000) AS window_ts,
+       count(*) AS n_points,
+       CAST(sum(c) AS BIGINT) AS sum_cents,
+       CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*) AS mean_cents
+FROM b CROSS JOIN range(4) k(k)
+GROUP BY 1, 2
+""",
+        "counter_rate_resets": f"""
+WITH b AS (
+  SELECT event_type AS source,
+         make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_ts,
+         ts, event_id, {_CENTS} AS c
+  FROM events),
+l AS (
+  SELECT source, bucket_ts, c,
+         lag(c) OVER (PARTITION BY source, bucket_ts
+                      ORDER BY ts, event_id) AS pc
+  FROM b)
+SELECT source, bucket_ts,
+       count(*) AS n_samples,
+       CAST(count(*) FILTER (WHERE pc IS NOT NULL AND c < pc) AS BIGINT)
+         AS n_resets,
+       CAST(coalesce(sum(CASE WHEN pc IS NULL THEN NULL
+                              WHEN c >= pc THEN c - pc
+                              ELSE c END), 0) AS BIGINT) AS increase_cents
+FROM l GROUP BY 1, 2
+""",
+        "hour_of_day_profile": f"""
+SELECT event_type AS source,
+       CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       count(*) AS n_events,
+       CAST(sum({_CENTS}) AS BIGINT) AS sum_cents,
+       CAST(CAST(sum({_CENTS}) AS BIGINT) AS DOUBLE) / count(*) AS mean_cents
+FROM events GROUP BY 1, 2, 3
+""",
+        "interval_coverage": f"""
+WITH iv AS (
+  SELECT event_type AS source,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + (greatest({_CENTS}, 0) + 100) * 1000 AS e,
+         event_id
+  FROM events),
+w AS (
+  SELECT source, day, s, e,
+         max(e) OVER (PARTITION BY source, day ORDER BY s, e, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv)
+SELECT source, day, count(*) AS n_intervals,
+       CAST(sum(CASE WHEN pm IS NULL OR s >= pm THEN e - s
+                     WHEN e > pm THEN e - pm
+                     ELSE 0 END) AS BIGINT) AS covered_us
+FROM w GROUP BY 1, 2
+""",
+        "spike_episodes": f"""
+WITH s AS (
+  SELECT event_type AS source,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         ts, event_id, {_CENTS} AS c
+  FROM events),
+q AS (
+  SELECT *, (c >= 6000) AS hot,
+         lag(c >= 6000) OVER (PARTITION BY source, day
+                              ORDER BY ts, event_id) AS prev_hot
+  FROM s),
+e AS (
+  SELECT *, sum(CASE WHEN hot AND (prev_hot IS NULL OR NOT prev_hot)
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY source, day
+                    ORDER BY ts, event_id) AS eid
+  FROM q)
+SELECT source, day, min(ts) AS start_ts, max(ts) AS end_ts,
+       count(*) AS n_points, max(c) AS max_cents
+FROM e WHERE hot GROUP BY source, day, eid
+""",
+        "oov_rate_by_source": """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+vocab AS (SELECT token FROM cnt ORDER BY c DESC, token LIMIT 500),
+per AS (
+  SELECT source, count(*) AS n_tokens,
+         CAST(count(*) FILTER (
+           WHERE token NOT IN (SELECT token FROM vocab)) AS BIGINT) AS n_oov
+  FROM tok GROUP BY 1)
+SELECT source, n_tokens, n_oov,
+       CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+FROM per
 """,
         "downsample_minmax": f"""
 WITH t AS (

@@ -338,3 +338,35 @@ def test_phash_truth_helper_matches_engine(ray_session):
     truth = synth_media_dup_truth(n)
     want = sorted(zip(truth["id_a"].to_pylist(), truth["id_b"].to_pylist()))
     assert got == want and len(want) > 0
+
+
+def test_dims_truth_matches_real_decode():
+    """synth_media_dims_truth (control-flow replay) must equal the REAL
+    Decode stage's parsed geometry row-for-row — the local face of the
+    media_decode_dims oracle gate."""
+    from workbook_exporter_fe_ray.stages.multimodal import (
+        Decode,
+        synth_media_dims_truth,
+        synth_media_table,
+    )
+
+    got = Decode()(synth_media_table(64))
+    truth = synth_media_dims_truth(64)
+    for col in ["media_id", "media_type", "dec_width", "dec_height", "decoded_real"]:
+        assert got[col].to_pylist() == truth[col].to_pylist(), col
+
+
+def test_frames_truth_matches_real_sampling():
+    """synth_media_frames_truth must equal the REAL Resize→FrameSample
+    plan columns — the local face of the media_frames_plan oracle."""
+    from workbook_exporter_fe_ray.stages.multimodal import (
+        FrameSample,
+        Resize,
+        synth_media_frames_truth,
+        synth_media_table,
+    )
+
+    got = FrameSample(2.0)(Resize()(synth_media_table(64)))
+    truth = synth_media_frames_truth(64)
+    for col in ["media_id", "media_type", "frame_idx", "frame_ts_ms", "frames_real"]:
+        assert got[col].to_pylist() == truth[col].to_pylist(), col

@@ -589,3 +589,70 @@ def synth_media_dup_truth(n: int, seed: int = 7) -> pa.Table:
     return pa.table(
         {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
     )
+
+
+def synth_media_dims_truth(n: int, seed: int = 42) -> pa.Table:
+    """Expected decode geometry for :func:`synth_media_table`, derived
+    by replaying only the size CONTROL FLOW of the generator (never by
+    encoding or decoding payloads), so a DuckDB oracle can hash-gate
+    the real Decode stage: matching (dec_width, dec_height) per row
+    proves each container's header+payload was actually parsed —
+    the decode output takes dims from the decoded tensor's shape, not
+    from the metadata columns."""
+    ids, types, ws, hs, real = [], [], [], [], []
+    for i in range(n):
+        t = ("image", "audio", "video")[i % 3]
+        if t == "image":
+            w, h = 64 + (i % 4) * 32, 64 + (i % 5) * 16
+        elif t == "audio":
+            dur = 250 + (i % 7) * 125
+            w, h = _AUDIO_RATE * dur // 1000, 1  # (samples, channels)
+        else:
+            w, h = 32 + (i % 3) * 16, 24 + (i % 2) * 8
+        ids.append(i)
+        types.append(t)
+        ws.append(w)
+        hs.append(h)
+        real.append(True)  # every synthetic payload is a valid container
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "dec_width": pa.array(ws, pa.int32()),
+            "dec_height": pa.array(hs, pa.int32()),
+            "decoded_real": pa.array(real, pa.bool_()),
+        }
+    )
+
+
+def synth_media_frames_truth(n: int, fps: float = 2.0) -> pa.Table:
+    """Expected frame-sampling plan for :func:`synth_media_table` →
+    :class:`FrameSample` at ``fps``, replayed from the generator's size
+    control flow only (pixel checksums excluded — those are gated by
+    the planted-duplicate and roundtrip pytests).  Float expressions
+    mirror FrameSample exactly: ``n = trunc(dur * fps / 1000)`` (min 1)
+    and ``ts = trunc(idx * (1000 / fps))``."""
+    ids, types, idxs, tss, real = [], [], [], [], []
+    for i in range(n):
+        t = ("image", "audio", "video")[i % 3]
+        if t == "video":
+            dur = 1000 + i
+            nf = max(int(dur * fps / 1000.0), 1)
+            step = 1000.0 / fps
+        else:
+            nf, step = 1, 0.0
+        for j in range(nf):
+            ids.append(i)
+            types.append(t)
+            idxs.append(j)
+            tss.append(int(j * step))
+            real.append(t != "audio")
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame_ts_ms": pa.array(tss, pa.int64()),
+            "frames_real": pa.array(real, pa.bool_()),
+        }
+    )

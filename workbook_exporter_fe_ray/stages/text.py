@@ -545,3 +545,135 @@ def chunk_docs(
         )
 
     return docs.map_batches(_fan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def oov_rate_by_source(
+    docs: ray.data.Dataset, k: int = 500, num_partitions: int = 32
+) -> ray.data.Dataset:
+    """Out-of-vocabulary rate per source against a corpus-derived
+    top-``k`` vocabulary — the coverage screen run before committing to
+    a tokenizer vocab (docs from a source with high OOV are drifted /
+    foreign / junk relative to the corpus).
+
+    Two passes, both streaming:
+
+    1. **Vocab**: per-block Arrow ``group_by`` folds tokens to (token,
+       count) partials; one coarse-partition exchange sums them; each
+       partition emits only its local top-k (count desc, token asc) so
+       the driver merges P x k candidate rows — never the full token
+       domain — and takes the global top-k with the same deterministic
+       tie-break.  (Term frequency, not doc frequency — distinct from
+       :func:`doc_frequency`.)
+    2. **Rate**: the k-token vocab is tiny, so it ships in the task
+       closure; per block, one ``is_in`` over the flattened tokens +
+       reduceat per doc (the `_count_in_set_per_doc` kernel), folded to
+       per-source (n_tokens, n_oov) partials; final merge is
+       domain-sized.  ``oov_rate`` is the single int/int float division
+       (bit-safe vs SQL).
+
+    Tokenization: the engine-wide single-space split contract
+    (``string_split(text, ' ')``).
+
+    Output: (source, n_tokens, n_oov, oov_rate).
+    """
+    from .sweep import run_starts_table, with_part
+
+    def _tok_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        agg = (
+            pa.table({"token": toks.flatten()})
+            .group_by("token")
+            .aggregate([("token", "count")])
+        )
+        part = pa.table(
+            {
+                "token": agg["token"],
+                "c": pc.cast(agg["token_count"], pa.int64()),
+            }
+        )
+        return with_part(part, ["token"], num_partitions)
+
+    def _tok_topk(g: pa.Table) -> pa.Table:
+        agg = g.select(["token", "c"]).group_by("token").aggregate([("c", "sum")])
+        t = pa.table({"token": agg["token"], "c": agg["c_sum"]})
+        idx = pc.sort_indices(
+            t, sort_keys=[("c", "descending"), ("token", "ascending")]
+        )
+        return t.take(idx[:k])
+
+    import ray as _ray
+
+    cand = (
+        docs.map_batches(_tok_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_tok_topk, batch_format="pyarrow")
+    )
+    # P x k candidate rows — bounded by construction, safe to collect
+    cand_tbl = pa.concat_tables(
+        [t for t in _ray.get(cand.to_arrow_refs()) if len(t)]
+    )
+    idx = pc.sort_indices(
+        cand_tbl, sort_keys=[("c", "descending"), ("token", "ascending")]
+    )
+    vocab = frozenset(cand_tbl["token"].take(idx[:k]).to_pylist())
+
+    def _oov_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        total = pc.cast(pc.list_value_length(toks), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hits = _count_in_set_per_doc(toks, vocab)
+        t = pa.table(
+            {
+                "source": b["source"],
+                "n": pa.array(total, pa.int64()),
+                "o": pa.array(total - hits, pa.int64()),
+            }
+        )
+        idx2 = pc.sort_indices(t, sort_keys=[("source", "ascending")])
+        t = t.take(idx2)
+        starts = run_starts_table(t, ["source"])
+        part = pa.table(
+            {
+                "source": t["source"].take(pa.array(starts)),
+                "n": pa.array(
+                    np.add.reduceat(t["n"].to_numpy(zero_copy_only=False), starts)
+                    if len(starts)
+                    else np.array([], np.int64),
+                    pa.int64(),
+                ),
+                "o": pa.array(
+                    np.add.reduceat(t["o"].to_numpy(zero_copy_only=False), starts)
+                    if len(starts)
+                    else np.array([], np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+        return with_part(part, ["source"], 8)
+
+    def _merge(g: pa.Table) -> pa.Table:
+        idx3 = pc.sort_indices(g, sort_keys=[("source", "ascending")])
+        g = g.take(idx3)
+        starts = run_starts_table(g, ["source"])
+        n = np.add.reduceat(g["n"].to_numpy(zero_copy_only=False), starts)
+        o = np.add.reduceat(g["o"].to_numpy(zero_copy_only=False), starts)
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(starts)),
+                "n_tokens": pa.array(n, pa.int64()),
+                "n_oov": pa.array(o, pa.int64()),
+                "oov_rate": pa.array(
+                    o.astype(np.float64) / n.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    routed = docs.map_batches(
+        _oov_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return routed.groupby("__part").map_groups(_merge, batch_format="pyarrow")

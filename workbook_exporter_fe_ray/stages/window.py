@@ -2024,3 +2024,459 @@ def lttb_downsample(
     if plan == "sweep":
         return _lttb_downsample_sweep(events, n_out, num_partitions)
     return _lttb_windowed(events, n_out, num_partitions)
+
+
+def hopping_window_avg(
+    events: ray.data.Dataset,
+    window_us: int = 3_600 * US,
+    hop_us: int = 900 * US,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Overlapping (hopping) windowed aggregate: count / sum / mean of
+    value cents per ``window_us`` window advancing every ``hop_us`` —
+    each point feeds ``window_us / hop_us`` windows (the streaming-SQL
+    ``HOP``/sliding-window operator; alerting and SLO burn-rate views).
+
+    Associative two-level reduce, fan-out applied to PARTIALS: each
+    block first folds its points to one (source, hop-bucket) partial
+    row, then replicates that tiny row into the k windows it feeds
+    (``np.repeat`` on the partial, never on the points), so the
+    exchange carries blocks x sources x buckets x k small rows — the
+    k-fold amplification never touches point rows.  All-int partials;
+    the single mean division happens once per output row.
+
+    Output: (source, window_ts, n_points, sum_cents, mean_cents).
+
+    Reference parity: beyond-reference (the reference only averages
+    per host, workbook_exporter-fe.py:1741-1788); this is the
+    overlapping-window generalization of `rollup_1m`.
+    """
+    from .sweep import run_starts_table, with_part
+
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    k = window_us // hop_us
+    HOP = np.int64(hop_us)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        c = _cents(b)
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        base = ts_np - ts_np % HOP
+        t = pa.table(
+            {"source": b["event_type"], "b": pa.array(base, pa.int64()), "c": c}
+        )
+        idx = pc.sort_indices(
+            t, sort_keys=[("source", "ascending"), ("b", "ascending")]
+        )
+        t = t.take(idx)
+        starts = run_starts_table(t, ["source", "b"])
+        lens = np.diff(np.r_[starts, len(t)])
+        cv = t["c"].to_numpy(zero_copy_only=False)
+        sums = (
+            np.add.reduceat(cv, starts)
+            if len(starts)
+            else np.array([], np.int64)
+        )
+        rep = np.repeat(np.arange(len(starts)), k)
+        bv = t["b"].to_numpy(zero_copy_only=False)[starts]
+        win = np.repeat(bv, k) - np.tile(
+            np.arange(k, dtype=np.int64) * HOP, len(starts)
+        )
+        part = pa.table(
+            {
+                "source": t["source"].take(pa.array(starts)).take(pa.array(rep)),
+                "window": pa.array(win, pa.int64()),
+                "n": pa.array(np.repeat(lens.astype(np.int64), k), pa.int64()),
+                "s": pa.array(np.repeat(sums.astype(np.int64), k), pa.int64()),
+            }
+        )
+        return with_part(part, ["source", "window"], num_partitions)
+
+    def _merge(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("source", "ascending"), ("window", "ascending")]
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "window"])
+        n = np.add.reduceat(g["n"].to_numpy(zero_copy_only=False), starts)
+        s = np.add.reduceat(g["s"].to_numpy(zero_copy_only=False), starts)
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(starts)),
+                "window_ts": pa.array(
+                    g["window"].to_numpy(zero_copy_only=False)[starts],
+                    pa.timestamp("us"),
+                ),
+                "n_points": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(s, pa.int64()),
+                "mean_cents": pa.array(
+                    s.astype(np.float64) / n.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    routed = events.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return routed.groupby("__part").map_groups(_merge, batch_format="pyarrow")
+
+
+def counter_rate_resets(
+    events: ray.data.Dataset,
+    bucket_us: int = 3_600 * US,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Monotonic-counter increase with reset detection per (source,
+    bucket) — the PromQL ``increase()`` recipe applied bucket-locally:
+    samples ordered by (ts, event_id) inside each (source, bucket)
+    window; each consecutive pair contributes ``cur - prev`` when the
+    counter advanced and ``cur`` after a reset (counter restarted from
+    zero); ``n_resets`` counts the drops.  Bucket-local by design (no
+    cross-bucket carry), so the exchange key is the bounded (source,
+    bucket) pair — no per-source total-history task, any skewed source
+    still splits across its buckets.  The formula is applied to the
+    sample stream as-is (negative samples follow the same arithmetic
+    on both engine and oracle).
+
+    Output: (source, bucket_ts, n_samples, n_resets, increase_cents) —
+    all int64, hash-exact.
+
+    Reference parity: beyond-reference; the bucket-rate sibling of
+    `bucket_rate_1h` for genuine counter semantics.
+    """
+    from .sweep import run_starts_table, with_part
+
+    B = np.int64(bucket_us)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "bucket": pa.array(ts_np - ts_np % B, pa.int64()),
+                "ts": pa.array(ts_np, pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source", "bucket"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("bucket", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "bucket"])
+        lens = np.diff(np.r_[starts, len(g)])
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        contrib = np.zeros(len(g), dtype=np.int64)
+        resets = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            d = cv[1:] - cv[:-1]
+            contrib[1:] = np.where(d >= 0, d, cv[1:])
+            resets[1:] = (d < 0).astype(np.int64)
+        contrib[starts] = 0
+        resets[starts] = 0
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(starts)),
+                "bucket_ts": pa.array(
+                    g["bucket"].to_numpy(zero_copy_only=False)[starts],
+                    pa.timestamp("us"),
+                ),
+                "n_samples": pa.array(lens.astype(np.int64), pa.int64()),
+                "n_resets": pa.array(np.add.reduceat(resets, starts), pa.int64()),
+                "increase_cents": pa.array(
+                    np.add.reduceat(contrib, starts), pa.int64()
+                ),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def hour_of_day_profile(
+    events: ray.data.Dataset, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Seasonality profile: count / sum / mean of value cents per
+    (source, day-of-week, hour-of-day) — the 7x24 heatmap behind
+    capacity planning and anomaly baselines.  Output domain is bounded
+    (sources x 168) regardless of input size, so each block folds to
+    at most that many all-int partial rows and the exchange is
+    domain-sized.  ``dow`` matches DuckDB ``dayofweek`` (0 = Sunday;
+    1970-01-01 was a Thursday, hence the +4 day offset).
+
+    Output: (source, dow, hour, n_events, sum_cents, mean_cents).
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+    HOUR = np.int64(3_600 * US)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        c = _cents(b)
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "dow": pa.array((ts_np // DAY + 4) % 7, pa.int64()),
+                "hour": pa.array((ts_np % DAY) // HOUR, pa.int64()),
+                "c": c,
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("source", "ascending"),
+                ("dow", "ascending"),
+                ("hour", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        starts = run_starts_table(t, ["source", "dow", "hour"])
+        lens = np.diff(np.r_[starts, len(t)])
+        cv = t["c"].to_numpy(zero_copy_only=False)
+        part = pa.table(
+            {
+                "source": t["source"].take(pa.array(starts)),
+                "dow": t["dow"].take(pa.array(starts)),
+                "hour": t["hour"].take(pa.array(starts)),
+                "n": pa.array(lens.astype(np.int64), pa.int64()),
+                "s": pa.array(
+                    np.add.reduceat(cv, starts)
+                    if len(starts)
+                    else np.array([], np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+        return with_part(part, ["source", "dow", "hour"], num_partitions)
+
+    def _merge(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("dow", "ascending"),
+                ("hour", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "dow", "hour"])
+        n = np.add.reduceat(g["n"].to_numpy(zero_copy_only=False), starts)
+        s = np.add.reduceat(g["s"].to_numpy(zero_copy_only=False), starts)
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(starts)),
+                "dow": g["dow"].take(pa.array(starts)),
+                "hour": g["hour"].take(pa.array(starts)),
+                "n_events": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(s, pa.int64()),
+                "mean_cents": pa.array(
+                    s.astype(np.float64) / n.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    routed = events.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return routed.groupby("__part").map_groups(_merge, batch_format="pyarrow")
+
+
+def interval_coverage(
+    events: ray.data.Dataset,
+    min_len_cents: int = 100,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Interval-union coverage per (source, day): each event spans
+    ``[ts, ts + dur)`` with ``dur_us = (max(cents, 0) + min_len_cents)
+    * 1000``; output is the union length of those (overlapping)
+    intervals — uptime / "covered seconds" accounting from sampled
+    heartbeats.  Intervals belong to the day of their START (a span may
+    extend past midnight; coverage is credited to the start day on
+    both engine and oracle).
+
+    Execution: exchange keyed on the bounded (source, day) pair; inside
+    a coarse partition the classic sweep-line merge is fully
+    vectorized — a segmented prefix-max of interval ends via the
+    bounded-offset trick (rebase to us-into-day, add ``run_id * BIG``
+    so ``np.maximum.accumulate`` never leaks across (source, day) runs;
+    loud overflow guard), then ``covered = sum(max(0, e - max(s,
+    prev_max)))`` per run.  All int64 — hash-exact vs the SQL
+    window-function formulation.
+
+    Output: (source, day, n_intervals, covered_us).
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+    ML = np.int64(min_len_cents)
+
+    def _route(b: pa.Table) -> pa.Table:
+        c = _cents(b).to_numpy(zero_copy_only=False)
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dur = (np.maximum(c, 0) + ML) * np.int64(1000)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+                "s": pa.array(ts_np, pa.int64()),
+                "e": pa.array(ts_np + dur, pa.int64()),
+                "event_id": b["event_id"],
+            }
+        )
+        return with_part(t, ["source", "day"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("s", "ascending"),
+                ("e", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "day"])
+        lens = np.diff(np.r_[starts, len(g)])
+        day = g["day"].to_numpy(zero_copy_only=False)
+        s_rel = g["s"].to_numpy(zero_copy_only=False) - day
+        e_rel = g["e"].to_numpy(zero_copy_only=False) - day
+        run_of = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        if len(g):
+            big = np.int64(int(e_rel.max()) + 1)
+            if int(big) > np.iinfo(np.int64).max // max(len(starts), 1):
+                raise ValueError(
+                    "interval_coverage: segmented-cummax offset would "
+                    "overflow int64; raise num_partitions"
+                )
+            cm = np.maximum.accumulate(e_rel + run_of * big)
+            prev_max = np.empty(len(g), dtype=np.int64)
+            prev_max[0] = -1
+            prev_max[1:] = cm[:-1] - run_of[1:] * big
+            prev_max[starts] = -1
+            contrib = np.maximum(e_rel - np.maximum(s_rel, prev_max), 0)
+            covered = np.add.reduceat(contrib, starts)
+        else:
+            covered = np.array([], np.int64)
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(starts)),
+                "day": pa.array(day[starts], pa.timestamp("us")),
+                "n_intervals": pa.array(lens.astype(np.int64), pa.int64()),
+                "covered_us": pa.array(covered, pa.int64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def spike_episodes(
+    events: ray.data.Dataset,
+    threshold_cents: int = 6000,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Gaps-and-islands episode detection: maximal runs of CONSECUTIVE
+    samples (in (ts, event_id) order) at or above ``threshold_cents``,
+    per (source, day) — the alerting "incident episode" view of a
+    point stream.  A non-qualifying sample ends the episode; episodes
+    are day-local by design (an incident spanning midnight reports as
+    two episodes — same rule on engine and oracle), which keeps the
+    exchange keyed on the bounded (source, day) pair.
+
+    Vectorized islands: qualifying mask ``q``; episode starts are
+    ``q & (~prev_q | run_start)``; a prefix-sum of starts numbers the
+    episodes monotonically across the whole partition (ids increment
+    across (source, day) runs too, so no per-run rebase is needed to
+    group), then first/last/reduceat over the qualifying rows only.
+
+    Output: (source, day, start_ts, end_ts, n_points, max_cents) —
+    one row per episode; all int64/timestamp, hash-exact.
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+    THR = np.int64(threshold_cents)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+                "ts": pa.array(ts_np, pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source", "day"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "day"])
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        q = cv >= THR
+        prev_q = np.empty(len(g), dtype=bool)
+        if len(g):
+            prev_q[0] = False
+            prev_q[1:] = q[:-1]
+            prev_q[starts] = False
+        ep_start = q & ~prev_q
+        eid = np.cumsum(ep_start)  # 1-based episode id, monotone across runs
+        keep = np.flatnonzero(q)
+        if not len(keep):
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "day": pa.array([], pa.timestamp("us")),
+                    "start_ts": pa.array([], pa.timestamp("us")),
+                    "end_ts": pa.array([], pa.timestamp("us")),
+                    "n_points": pa.array([], pa.int64()),
+                    "max_cents": pa.array([], pa.int64()),
+                }
+            )
+        # qualifying rows grouped by episode id: run boundaries within
+        # the kept subsequence are exactly where eid changes
+        ek = eid[keep]
+        estarts = np.flatnonzero(np.r_[True, ek[1:] != ek[:-1]])
+        elens = np.diff(np.r_[estarts, len(keep)])
+        eends = estarts + elens - 1
+        tsv = g["ts"].to_numpy(zero_copy_only=False)[keep]
+        dayv = g["day"].to_numpy(zero_copy_only=False)[keep]
+        ck = cv[keep]
+        first = pa.array(keep[estarts])
+        return pa.table(
+            {
+                "source": g["source"].take(first),
+                "day": pa.array(dayv[estarts], pa.timestamp("us")),
+                "start_ts": pa.array(tsv[estarts], pa.timestamp("us")),
+                "end_ts": pa.array(tsv[eends], pa.timestamp("us")),
+                "n_points": pa.array(elens.astype(np.int64), pa.int64()),
+                "max_cents": pa.array(
+                    np.maximum.reduceat(ck, estarts), pa.int64()
+                ),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
