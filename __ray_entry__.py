@@ -1382,6 +1382,56 @@ def _q_oov_rate(sf_dir: str):
     return oov_rate_by_source(_documents(sf_dir))
 
 
+def _q_time_weighted_avg(sf_dir: str):
+    """Time-weighted average per (source, day) — irregular-sampling TSDB mean."""
+    from workbook_exporter_fe_ray.stages.window import time_weighted_avg_daily
+
+    return time_weighted_avg_daily(_events(sf_dir))
+
+
+def _q_staleness_gaps(sf_dir: str):
+    """Max inter-arrival gap + stale-gap counts per (source, day)."""
+    from workbook_exporter_fe_ray.stages.window import staleness_gaps
+
+    return staleness_gaps(_events(sf_dir))
+
+
+def _q_irate_1h(sf_dir: str):
+    """PromQL irate(): rate from the last two samples of each hour bucket."""
+    from workbook_exporter_fe_ray.stages.window import irate_last_pair
+
+    return irate_last_pair(_events(sf_dir))
+
+
+def _q_cents_histogram(sf_dir: str):
+    """Per-source fixed-width value histogram (2500-cent bins)."""
+    from workbook_exporter_fe_ray.stages.window import cents_histogram
+
+    return cents_histogram(_events(sf_dir))
+
+
+def _q_doc_repetition(sf_dir: str):
+    """Gopher duplicate-bigram fraction per document (quality screen)."""
+    from workbook_exporter_fe_ray.stages.text import doc_bigram_repetition
+
+    return doc_bigram_repetition(_documents(sf_dir))
+
+
+def _q_seq_repetition(sf_dir: str):
+    """Token-id duplicate-bigram fraction per sequence (synthetic corpus)."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.pack import seq_bigram_repetition
+
+    _ensure_synth_corpus()
+    return seq_bigram_repetition(
+        read_table(
+            _SYNTH_GLOB.rsplit("/", 1)[0],
+            columns=["doc_id", "tokens"],
+            compute_heavy=True,
+        )
+    )
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -1414,6 +1464,12 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "media_decode_dims": _q_media_decode_dims,  # decode-geometry gate (r4)
         "media_frames_plan": _q_media_frames_plan,  # frame-sampling plan gate (r4)
         "oov_rate_by_source": _q_oov_rate,          # vocab coverage screen (r4)
+        "time_weighted_avg": _q_time_weighted_avg,  # irregular-sampling TWA (r4)
+        "staleness_gaps": _q_staleness_gaps,        # heartbeat staleness (r4)
+        "irate_1h": _q_irate_1h,                    # PromQL irate() (r4)
+        "cents_histogram": _q_cents_histogram,      # per-source value bins (r4)
+        "doc_repetition": _q_doc_repetition,        # Gopher dup-bigram frac (r4)
+        "seq_repetition": _q_seq_repetition,        # token-id dup bigrams (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1563,6 +1619,12 @@ _NEW_R4 = (
     "oov_rate_by_source",
     "media_decode_dims",
     "media_frames_plan",
+    "time_weighted_avg",
+    "staleness_gaps",
+    "irate_1h",
+    "cents_histogram",
+    "doc_repetition",
+    "seq_repetition",
 )
 
 _ROWS_ONLY_R3 = (
@@ -1971,6 +2033,88 @@ per AS (
 SELECT source, n_tokens, n_oov,
        CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
 FROM per
+""",
+        "time_weighted_avg": f"""
+WITH d AS (
+  SELECT event_type AS source,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         ts, {_CENTS} AS c,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dus
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY ts, event_id))
+SELECT source, day, count(*) AS n_points,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us,
+       CAST(coalesce(sum(c * dus), 0) AS BIGINT) AS wsum_cents_us,
+       CAST(CAST(coalesce(sum(c * dus), 0) AS BIGINT) AS DOUBLE)
+         / (epoch_us(max(ts)) - epoch_us(min(ts))) AS twa_cents
+FROM d GROUP BY 1, 2
+HAVING epoch_us(max(ts)) - epoch_us(min(ts)) > 0
+""",
+        "staleness_gaps": """
+WITH d AS (
+  SELECT event_type AS source,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         ts,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY ts, event_id))
+SELECT source, day, count(*) AS n_points,
+       count(gap_us) AS n_gaps,
+       max(gap_us) AS max_gap_us,
+       CAST(coalesce(sum(CASE WHEN gap_us > 600000000 THEN 1 END), 0)
+            AS BIGINT) AS n_stale
+FROM d GROUP BY 1, 2 HAVING count(*) >= 2
+""",
+        "irate_1h": f"""
+WITH d AS (
+  SELECT event_type AS source,
+         date_trunc('hour', ts) AS bucket_ts,
+         ts, {_CENTS} AS c,
+         row_number() OVER w AS rn,
+         lead(ts) OVER w AS prev_ts,
+         lead({_CENTS}) OVER w AS prev_c
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC))
+SELECT source, bucket_ts, prev_ts, ts AS last_ts,
+       c - prev_c AS delta_cents,
+       epoch_us(ts) - epoch_us(prev_ts) AS delta_us,
+       (CAST(c - prev_c AS DOUBLE)
+        / CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE)) * 1e6
+         AS irate_per_s
+FROM d
+WHERE rn = 1 AND prev_ts IS NOT NULL
+  AND epoch_us(ts) - epoch_us(prev_ts) > 0
+""",
+        "cents_histogram": f"""
+SELECT event_type AS source,
+       ({_CENTS} // 2500) * 2500 AS bin_lo_cents,
+       count(*) AS n_points
+FROM events GROUP BY 1, 2
+""",
+        "doc_repetition": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_zip(ws[:-2], ws[2:])) AS b
+  FROM w WHERE len(ws) >= 2)
+SELECT doc_id, count(*) AS n_bigrams,
+       count(DISTINCT b) AS n_distinct,
+       CAST(count(*) - count(DISTINCT b) AS DOUBLE) / count(*) AS dup_frac
+FROM bg GROUP BY doc_id
+""",
+        "seq_repetition": f"""
+WITH d AS (
+  SELECT DISTINCT doc_id, tokens
+  FROM read_parquet('{_SYNTH_GLOB}')),
+bg AS (
+  SELECT doc_id, unnest(list_zip(tokens[:-2], tokens[2:])) AS b
+  FROM d WHERE len(tokens) >= 2)
+SELECT doc_id, count(*) AS n_pairs,
+       count(DISTINCT b) AS n_distinct,
+       CAST(count(*) - count(DISTINCT b) AS DOUBLE) / count(*) AS dup_frac
+FROM bg GROUP BY doc_id
 """,
         "downsample_minmax": f"""
 WITH t AS (

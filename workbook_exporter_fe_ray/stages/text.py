@@ -227,6 +227,87 @@ def top_bigrams(
     return wide.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+def doc_bigram_repetition(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Intra-document repetition screen (the Gopher / MassiveText
+    "fraction of duplicate n-grams" quality rule, Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): per document, the count of word bigrams,
+    the count of DISTINCT word bigrams, and the duplicate fraction
+    ``(n_bigrams − n_distinct) / n_bigrams``. High values flag
+    boilerplate / keyword-stuffed documents before LLM training.
+
+    Purely map-side (no shuffle — every statistic is doc-local):
+    one ``split_pattern`` per batch, bigrams joined from the flattened
+    token buffer with document-boundary pairs masked via list offsets
+    (the ``top_bigrams`` kernel), then ONE Arrow hash aggregate per
+    batch over (doc, bigram) gives per-doc distinct counts — no
+    per-row Python. The duplicate fraction is a single
+    f8(int)/f8(int) division, bit-exact vs the SQL formulation.
+    Documents with fewer than two words are dropped (no bigrams —
+    both sides).
+
+    Output: (doc_id, n_bigrams, n_distinct, dup_frac).
+    """
+
+    def _batch(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        n = len(flat)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        npairs = lens - 1  # split("") -> [""], so lens >= 1 always
+        keep_doc = npairs >= 1
+        if n < 2 or not keep_doc.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], b[id_col].type),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "dup_frac": pa.array([], pa.float64()),
+                }
+            )
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1, n - 1), " "
+        )
+        valid = np.ones(n - 1, dtype=bool)
+        interior = offs[1:-1]
+        interior = interior[(interior > 0) & (interior < n)]
+        valid[interior - 1] = False  # pairs straddling a doc boundary
+        didx = np.repeat(np.arange(len(b), dtype=np.int64), np.maximum(npairs, 0))
+        g = (
+            pa.table({"d": pa.array(didx), "b": joined.filter(pa.array(valid))})
+            .group_by(["d", "b"])
+            .aggregate([([], "count_all")])
+        )
+        g2 = g.group_by("d").aggregate([([], "count_all")])
+        nd = np.zeros(len(b), dtype=np.int64)
+        nd[g2["d"].to_numpy(zero_copy_only=False)] = g2[
+            "count_all"
+        ].to_numpy(zero_copy_only=False)
+        ki = np.flatnonzero(keep_doc)
+        np_k = npairs[ki]
+        nd_k = nd[ki]
+        return pa.table(
+            {
+                "doc_id": b[id_col].take(pa.array(ki)),
+                "n_bigrams": pa.array(np_k, pa.int64()),
+                "n_distinct": pa.array(nd_k, pa.int64()),
+                "dup_frac": pa.array(
+                    (np_k - nd_k).astype(np.float64) / np_k.astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def contamination_screen(
     docs: "ray.data.Dataset",
     benchmark_texts: list[str],

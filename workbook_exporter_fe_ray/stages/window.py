@@ -2382,6 +2382,297 @@ def interval_coverage(
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
 
 
+def time_weighted_avg_daily(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Time-weighted average per (source, day) — the irregular-sampling
+    mean a monitoring TSDB reports (each sample holds its value until
+    the next sample of the same day; the day's last sample carries no
+    weight, so weights are day-local and the exchange stays keyed on
+    the bounded (source, day) pair).
+
+    ``wsum_cents_us = Σ cents_i · (ts_{i+1} − ts_i)`` over consecutive
+    samples in (ts, event_id) order within the (source, day) run —
+    all int64 (cents ≤ ~5e4 × span ≤ 8.64e10 µs ≈ 4e15, well inside
+    int64 even summed, because the Δts sum telescopes to the day
+    span); ``twa_cents`` is the ONE f8(int)/f8(int) division, so the
+    value hash is bit-exact vs the SQL LEAD formulation. Runs whose
+    samples all share one timestamp (span 0) are dropped on both
+    sides.
+
+    Output: (source, day, n_points, span_us, wsum_cents_us, twa_cents).
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+                "ts": pa.array(ts_np, pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source", "day"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "day"])
+        n = len(g)
+        lens = np.diff(np.r_[starts, n])
+        tsv = g["ts"].to_numpy(zero_copy_only=False)
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        if n:
+            # weight of row i = ts[i+1] - ts[i] when i+1 is in the same
+            # run; the run's last row contributes 0 — zero the
+            # cross-run deltas BEFORE the multiply so epoch-sized
+            # boundary gaps never enter a product
+            last = starts + lens - 1
+            dus = np.zeros(n, dtype=np.int64)
+            dus[:-1] = tsv[1:] - tsv[:-1]
+            dus[last] = 0
+            wsum = np.add.reduceat(cv * dus, starts)
+            span = tsv[last] - tsv[starts]
+        else:
+            wsum = span = np.array([], np.int64)
+        keep = span > 0
+        ki = starts[keep]
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(ki)),
+                "day": pa.array(
+                    g["day"].to_numpy(zero_copy_only=False)[ki],
+                    pa.timestamp("us"),
+                ),
+                "n_points": pa.array(lens[keep].astype(np.int64), pa.int64()),
+                "span_us": pa.array(span[keep], pa.int64()),
+                "wsum_cents_us": pa.array(wsum[keep], pa.int64()),
+                "twa_cents": pa.array(
+                    wsum[keep].astype(np.float64) / span[keep].astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def staleness_gaps(
+    events: ray.data.Dataset,
+    stale_us: int = 600 * US,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Heartbeat-staleness profile per (source, day): the max
+    inter-arrival gap and the count of gaps above ``stale_us`` between
+    consecutive samples in (ts, event_id) order — the "did this source
+    go quiet" screen run before trusting a rollup tier. Gaps are
+    day-local (same bounded (source, day) exchange as the other
+    sweeps); single-sample runs have no gap and are dropped on both
+    sides. All int64 → hash-exact vs the SQL LEAD formulation.
+
+    Output: (source, day, n_points, n_gaps, max_gap_us, n_stale).
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+    THR = np.int64(stale_us)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+                "ts": pa.array(ts_np, pa.int64()),
+                "event_id": b["event_id"],
+            }
+        )
+        return with_part(t, ["source", "day"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "day"])
+        n = len(g)
+        lens = np.diff(np.r_[starts, n])
+        tsv = g["ts"].to_numpy(zero_copy_only=False)
+        if n:
+            gap = np.zeros(n, dtype=np.int64)
+            gap[:-1] = tsv[1:] - tsv[:-1]
+            last = starts + lens - 1
+            gap[last] = -1  # sentinel: never a real gap, loses every max
+            max_gap = np.maximum.reduceat(gap, starts)
+            stale = np.add.reduceat((gap > THR).astype(np.int64), starts)
+        else:
+            max_gap = stale = np.array([], np.int64)
+        keep = lens >= 2
+        ki = starts[keep]
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(ki)),
+                "day": pa.array(
+                    g["day"].to_numpy(zero_copy_only=False)[ki],
+                    pa.timestamp("us"),
+                ),
+                "n_points": pa.array(lens[keep].astype(np.int64), pa.int64()),
+                "n_gaps": pa.array((lens[keep] - 1).astype(np.int64), pa.int64()),
+                "max_gap_us": pa.array(max_gap[keep], pa.int64()),
+                "n_stale": pa.array(stale[keep], pa.int64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def irate_last_pair(
+    events: ray.data.Dataset,
+    bucket_s: int = 3600,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """PromQL ``irate()``: instantaneous rate per (source, bucket) from
+    the LAST TWO samples of the bucket in (ts, event_id) order —
+    cents/second. Buckets with fewer than 2 samples, or whose last two
+    samples share a timestamp, are dropped (both sides). The rate is
+    the pinned two-op float form ``(f8(Δcents) / f8(Δus)) * 1e6`` so
+    the value hash is bit-exact vs the SQL window formulation.
+
+    Output: (source, bucket_ts, prev_ts, last_ts, delta_cents,
+    delta_us, irate_per_s).
+    """
+    from .sweep import run_starts_table, with_part
+
+    B = np.int64(bucket_s * US)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "bucket": pa.array(ts_np - ts_np % B, pa.int64()),
+                "ts": pa.array(ts_np, pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source", "bucket"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("bucket", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "bucket"])
+        lens = np.diff(np.r_[starts, len(g)])
+        keep = lens >= 2
+        last = (starts + lens - 1)[keep]
+        prev = last - 1
+        tsv = g["ts"].to_numpy(zero_copy_only=False)
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        dus = tsv[last] - tsv[prev]
+        dc = cv[last] - cv[prev]
+        nz = dus > 0
+        last, prev, dus, dc = last[nz], prev[nz], dus[nz], dc[nz]
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(last)),
+                "bucket_ts": pa.array(
+                    g["bucket"].to_numpy(zero_copy_only=False)[last],
+                    pa.timestamp("us"),
+                ),
+                "prev_ts": pa.array(tsv[prev], pa.timestamp("us")),
+                "last_ts": pa.array(tsv[last], pa.timestamp("us")),
+                "delta_cents": pa.array(dc, pa.int64()),
+                "delta_us": pa.array(dus, pa.int64()),
+                "irate_per_s": pa.array(
+                    (dc.astype(np.float64) / dus.astype(np.float64)) * 1e6,
+                    pa.float64(),
+                ),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def cents_histogram(
+    events: ray.data.Dataset,
+    bin_cents: int = 2500,
+) -> ray.data.Dataset:
+    """Per-source fixed-width value histogram: (source, bin_lo_cents,
+    n_points) with ``bin_lo = (cents / bin_cents) * bin_cents`` using
+    TRUNCATING division (the SQL ``//`` semantic — numpy's ``//``
+    floors, so negative cents get an explicit correction; identical
+    for the non-negative driver corpus either way). Classic
+    combine-before-shuffle: each block folds to its own distinct
+    (source, bin) partial counts via an Arrow hash aggregate, so the
+    exchange carries at most sources × bins rows per block and the
+    final groupby-sum is domain-sized. Empty bins are absent (both
+    sides).
+    """
+    from ray.data.aggregate import Sum
+
+    W = np.int64(bin_cents)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        c = _cents(b).to_numpy(zero_copy_only=False)
+        q = c // W
+        q = q + ((c < 0) & (c % W != 0))  # floor -> truncation
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "bin_lo_cents": pa.array(q * W, pa.int64()),
+            }
+        )
+        g = t.group_by(["source", "bin_lo_cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "bin_lo_cents", "n"])
+
+    agg = (
+        events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "bin_lo_cents"])
+        .aggregate(Sum("n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "bin_lo_cents": b["bin_lo_cents"],
+                "n_points": pc.cast(b["sum(n)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def spike_episodes(
     events: ray.data.Dataset,
     threshold_cents: int = 6000,
