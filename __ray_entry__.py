@@ -1432,6 +1432,20 @@ def _q_seq_repetition(sf_dir: str):
     )
 
 
+def _q_histogram_p95(sf_dir: str):
+    """Prometheus-style within-bin-interpolated p95 per source."""
+    from workbook_exporter_fe_ray.stages.window import histogram_p95
+
+    return histogram_p95(_events(sf_dir))
+
+
+def _q_count_burstiness(sf_dir: str):
+    """Fano factor of per-minute arrival counts per source."""
+    from workbook_exporter_fe_ray.stages.window import count_burstiness
+
+    return count_burstiness(_events(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -1470,6 +1484,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "cents_histogram": _q_cents_histogram,      # per-source value bins (r4)
         "doc_repetition": _q_doc_repetition,        # Gopher dup-bigram frac (r4)
         "seq_repetition": _q_seq_repetition,        # token-id dup bigrams (r4)
+        "histogram_p95": _q_histogram_p95,          # within-bin quantile (r4)
+        "count_burstiness": _q_count_burstiness,    # Fano factor (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1625,6 +1641,8 @@ _NEW_R4 = (
     "cents_histogram",
     "doc_repetition",
     "seq_repetition",
+    "histogram_p95",
+    "count_burstiness",
 )
 
 _ROWS_ONLY_R3 = (
@@ -2115,6 +2133,42 @@ SELECT doc_id, count(*) AS n_pairs,
        count(DISTINCT b) AS n_distinct,
        CAST(count(*) - count(DISTINCT b) AS DOUBLE) / count(*) AS dup_frac
 FROM bg GROUP BY doc_id
+""",
+        "histogram_p95": f"""
+WITH c AS (
+  SELECT event_type AS source, ({_CENTS} // 2500) * 2500 AS bin_lo,
+         count(*) AS bn
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT source, bin_lo, bn,
+         coalesce(sum(bn) OVER (PARTITION BY source ORDER BY bin_lo
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cumb,
+         sum(bn) OVER (PARTITION BY source) AS n
+  FROM c),
+x AS (SELECT *, (n * 95 + 99) // 100 AS target FROM t)
+SELECT source, CAST(n AS BIGINT) AS n_points,
+       CAST(bin_lo AS DOUBLE)
+         + (2500.0 * CAST(target - cumb AS DOUBLE)) / CAST(bn AS DOUBLE)
+         AS p95_cents
+FROM x WHERE cumb < target AND cumb + bn >= target
+""",
+        "count_burstiness": f"""
+WITH k AS (
+  SELECT event_type AS source, date_trunc('minute', ts) AS bucket,
+         count(*) AS k
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT source, count(*) AS n, CAST(sum(k) AS BIGINT) AS s,
+         CAST(sum(k * k) AS BIGINT) AS s2
+  FROM k GROUP BY 1)
+SELECT source, n AS n_buckets, s AS sum_counts, s2 AS sumsq_counts,
+       CAST(s AS DOUBLE) / n AS mean_count,
+       (CAST(s2 AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
+         / n AS var_count,
+       ((CAST(s2 AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
+         / n) / (CAST(s AS DOUBLE) / n) AS fano
+FROM s
 """,
         "downsample_minmax": f"""
 WITH t AS (

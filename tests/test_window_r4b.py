@@ -265,3 +265,42 @@ def test_sweeps_partition_invariance(ev_tbl, ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_histogram_p95_vs_brute(ev_tbl, ray_session):
+    from workbook_exporter_fe_ray.stages.window import histogram_p95
+
+    out = histogram_p95(_ds(ev_tbl)).to_pandas().set_index("source")
+    df = ev_tbl.to_pandas()
+    c = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+    binlo = np.trunc(c / 2500.0).astype(np.int64) * 2500
+    for src, g in pd.DataFrame({"s": df["event_type"], "b": binlo}).groupby("s"):
+        cnt = g.groupby("b").size().sort_index()
+        n = int(cnt.sum())
+        target = (n * 95 + 99) // 100
+        cum = cnt.cumsum()
+        lo = int(cum.index[np.searchsorted(cum.values, target)])
+        cumb = int(cum[cum.index < lo].iloc[-1]) if (cum.index < lo).any() else 0
+        bn = int(cnt[lo])
+        exp = np.float64(lo) + (np.float64(2500) * np.float64(target - cumb)) / np.float64(bn)
+        assert out.loc[src, "n_points"] == n
+        assert np.float64(out.loc[src, "p95_cents"]).view(np.int64) == exp.view(np.int64)
+
+
+def test_count_burstiness_vs_brute(ev_tbl, ray_session):
+    from workbook_exporter_fe_ray.stages.window import count_burstiness
+
+    out = count_burstiness(_ds(ev_tbl)).to_pandas().set_index("source")
+    df = ev_tbl.to_pandas()
+    tsu = ev_tbl["ts"].cast(pa.int64()).to_numpy()
+    mins = tsu - tsu % (60 * US)
+    for src, g in pd.DataFrame({"s": df["event_type"], "m": mins}).groupby("s"):
+        k = g.groupby("m").size().to_numpy().astype(np.int64)
+        n, s, s2 = len(k), int(k.sum()), int((k * k).sum())
+        nf, sf, s2f = np.float64(n), np.float64(s), np.float64(s2)
+        mean = sf / nf
+        var = (s2f - (sf * sf) / nf) / nf
+        assert out.loc[src, "n_buckets"] == n
+        assert out.loc[src, "sum_counts"] == s
+        assert out.loc[src, "sumsq_counts"] == s2
+        assert np.float64(out.loc[src, "fano"]).view(np.int64) == np.float64(var / mean).view(np.int64)

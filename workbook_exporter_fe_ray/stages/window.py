@@ -2673,6 +2673,177 @@ def cents_histogram(
     )
 
 
+def histogram_p95(
+    events: ray.data.Dataset,
+    bin_cents: int = 2500,
+    pct: int = 95,
+) -> ray.data.Dataset:
+    """Prometheus ``histogram_quantile()``-style p95 per source: the
+    quantile is interpolated INSIDE the owning fixed-width bin
+    (uniform-within-bin assumption) from exact integer bin counts —
+    the estimate a scrape-time histogram gives, computed here from the
+    raw stream so the oracle can replay it exactly.
+
+    Shape: the ``cents_histogram`` combine-before-shuffle partials
+    (exchange ≤ sources × bins rows per block) → domain-sized
+    (source, bin) aggregate → per-source finish on the tiny bin table.
+    The rank target is all-int (``ceil(pct% · n)`` via
+    ``(n·pct + 99) // 100``) and the interpolation is ONE pinned
+    float expression ``f8(bin_lo) + (f8(W) · f8(target − cum_before))
+    / f8(bin_n)`` — bit-exact vs the SQL window formulation.
+
+    Output: (source, n_points, p95_cents).
+    """
+    from ray.data.aggregate import Sum
+
+    W = np.int64(bin_cents)
+    P = np.int64(pct)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        c = _cents(b).to_numpy(zero_copy_only=False)
+        q = c // W
+        q = q + ((c < 0) & (c % W != 0))  # floor -> truncation (SQL //)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "bin_lo": pa.array(q * W, pa.int64()),
+            }
+        )
+        g = t.group_by(["source", "bin_lo"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "bin_lo", "n"])
+
+    agg = (
+        events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "bin_lo"])
+        .aggregate(Sum("n"))
+    )
+
+    def _finish(g: pa.Table) -> pa.Table:
+        from .sweep import run_starts_table
+
+        idx = pc.sort_indices(
+            g, sort_keys=[("source", "ascending"), ("bin_lo", "ascending")]
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source"])
+        lens = np.diff(np.r_[starts, len(g)])
+        bn = pc.cast(g["sum(n)"], pa.int64()).to_numpy(zero_copy_only=False)
+        lo = g["bin_lo"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(bn)
+        # rebase the running sum inside each source run
+        base = np.repeat(np.r_[0, cum[starts[1:] - 1]], lens)
+        cum = cum - base
+        n = cum[starts + lens - 1]
+        target = (n * P + np.int64(99)) // np.int64(100)
+        # first bin of each run whose running count reaches the target —
+        # the finish table is domain-sized (sources × bins), so a tiny
+        # per-run searchsorted loop over the handful of sources is fine
+        picks = np.empty(len(starts), dtype=np.int64)
+        for i, (s, ln, t) in enumerate(zip(starts, lens, target)):
+            picks[i] = s + np.searchsorted(cum[s : s + ln], t, side="left")
+        cumb = cum[picks] - bn[picks]
+        p95 = lo[picks].astype(np.float64) + (
+            np.float64(W) * (target - cumb).astype(np.float64)
+        ) / bn[picks].astype(np.float64)
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(starts)),
+                "n_points": pa.array(n, pa.int64()),
+                "p95_cents": pa.array(p95, pa.float64()),
+            }
+        )
+
+    # the aggregated bin table is domain-sized (sources × bins);
+    # a single finish task is the right shape
+    return agg.repartition(1).map_batches(
+        _finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def count_burstiness(
+    events: ray.data.Dataset,
+    bucket_s: int = 60,
+) -> ray.data.Dataset:
+    """Fano factor (variance / mean of per-minute arrival counts) per
+    source — the burstiness screen that separates steady heartbeats
+    from bursty event streams. Counts are over NON-EMPTY minutes (the
+    buckets a rollup tier materializes).
+
+    Two domain-bounded exchanges: per-block (source, minute) count
+    partials → exact bucket counts, then per-block (n, Σk, Σk²) moment
+    partials → per-source int64 sums. The ``grouped_stats`` pinned
+    float recipe finishes: ``mean = f8(Σk)/f8(n)``, ``var = (f8(Σk²) −
+    f8(Σk)·f8(Σk)/f8(n))/f8(n)``, ``fano = var/mean`` — every operand
+    bit-identical to the SQL, so the extra division is too.
+
+    Output: (source, n_buckets, sum_counts, sumsq_counts, mean_count,
+    var_count, fano).
+    """
+    from ray.data.aggregate import Sum
+
+    B = np.int64(bucket_s * US)
+
+    def _bucket_partial(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "bucket": pa.array(ts_np - ts_np % B, pa.int64()),
+            }
+        )
+        g = t.group_by(["source", "bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "bucket", "n"])
+
+    buckets = (
+        events.map_batches(
+            _bucket_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["source", "bucket"])
+        .aggregate(Sum("n"))
+    )
+
+    def _moment_partial(b: pa.Table) -> pa.Table:
+        k = pc.cast(b["sum(n)"], pa.int64())
+        t = pa.table(
+            {
+                "source": b["source"],
+                "n": pa.array(np.ones(len(b), np.int64)),
+                "s": k,
+                "s2": pc.multiply_checked(k, k),
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("n", "sum"), ("s", "sum"), ("s2", "sum")]
+        )
+
+    agg = (
+        buckets.map_batches(_moment_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_sum"), Sum("s_sum"), Sum("s2_sum"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        n = b["sum(n_sum)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["sum(s_sum)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s2 = b["sum(s2_sum)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nf, sf, s2f = (x.astype(np.float64) for x in (n, s, s2))
+        mean = sf / nf
+        var = (s2f - (sf * sf) / nf) / nf
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_buckets": pa.array(n, pa.int64()),
+                "sum_counts": pa.array(s, pa.int64()),
+                "sumsq_counts": pa.array(s2, pa.int64()),
+                "mean_count": pa.array(mean, pa.float64()),
+                "var_count": pa.array(var, pa.float64()),
+                "fano": pa.array(var / mean, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
 def spike_episodes(
     events: ray.data.Dataset,
     threshold_cents: int = 6000,
