@@ -68,9 +68,21 @@ def test_manifest_lineage_and_metrics(sf_test_paths, tmp_path):
     summary = run_timeseries(TimeseriesJob(sf_test_paths, out, n_partitions=2))
     with open(os.path.join(out, "manifest.json")) as f:
         doc = json.load(f)
+    import pyarrow.parquet as pq
+
+    frag_rows = {p: pq.ParquetFile(p).metadata.num_rows for p in sf_test_paths}
     for rec in doc["partitions"].values():
         assert rec["input_fragments"] == sf_test_paths
         assert rec["points"] > 0 and rec["compressed_bytes"] > 0 and rec["wall_s"] > 0
+        # north-rule lineage: [path, row_start, row_end) per fragment,
+        # footer-exact; metrics carry rows/s and spill bytes
+        assert rec["input_row_ranges"] == [
+            [p, 0, frag_rows[p]] for p in sf_test_paths
+        ]
+        assert rec["rows_in"] == sum(frag_rows.values())
+        assert rec["points_per_s"] > 0
+        assert rec["spilled_bytes"] >= 0
+    assert summary["spilled_bytes"] >= 0
     assert summary["compressed_bytes"] < summary["raw_point_bytes"] / 2
     assert set(summary["tier_rows"]) == {"1m", "5m", "1h", "1d"}
     # every source landed in exactly one partition
@@ -128,3 +140,22 @@ def test_block_layout_invariance(sf_test_paths):
 def test_source_partition_stable():
     assert source_partition("src-000", 8) == source_partition("src-000", 8)
     assert 0 <= source_partition("anything", 5) < 5
+
+
+def test_empty_partition_records_cleanly(sf_test_paths, tmp_path, ray_session):
+    """A partition that owns zero sources (hash gaps at small source
+    counts, pruned resumes) must complete and write its record so the
+    resume skips it — not crash on a column-less stats frame."""
+    out = str(tmp_path / "out_empty")
+    summary = run_timeseries(
+        TimeseriesJob(sf_test_paths, out, n_partitions=32)
+    )
+    with open(os.path.join(out, "manifest.json")) as f:
+        doc = json.load(f)
+    assert len(doc["partitions"]) == 32
+    empties = [r for r in doc["partitions"].values() if r["points"] == 0]
+    assert empties, "expected at least one empty partition at 32 partitions"
+    for r in empties:
+        assert r["status"] == "done"
+        assert r["points_per_s"] == 0.0 and r["chunk_count"] == 0
+    assert summary["partitions_done"] == 32

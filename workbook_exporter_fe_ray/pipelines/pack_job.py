@@ -45,7 +45,12 @@ import ray.data
 
 
 from ..stages.pack import cut_bucket_packs, doc_rank_batch, stitch_fragments
-from ..state.checkpoint import Manifest, PartitionRecord, atomic_dir_write
+from ..state.checkpoint import (
+    Manifest,
+    PartitionRecord,
+    atomic_dir_write,
+    fragment_row_ranges,
+)
 from .timeseries import _stub_fsspec_http
 
 FINALIZE_ID = -1  # manifest sentinel partition for the stitch step
@@ -262,15 +267,19 @@ def run_pack(job: PackJob, bucket_ids: list[int] | None = None) -> dict:
                 pq.write_table(frags_tbl, f"{staging}/frags/part-0.parquet")
             n_packs = len(packs_tbl)
 
+        wall = time.perf_counter() - t0
+        ranges = fragment_row_ranges(sorted(paths))
         with lock:
             manifest.mark_done(
                 PartitionRecord(
                     partition_id=k,
                     input_fragments=sorted(paths),
-                    rows_in=0,
+                    input_row_ranges=ranges,
+                    rows_in=sum(r[2] for r in ranges if r[2] >= 0),
                     points=int(per[k]),
                     tier_rows={"packs": n_packs},
-                    wall_s=time.perf_counter() - t0,
+                    wall_s=wall,
+                    points_per_s=(int(per[k]) / wall) if wall > 0 else 0.0,
                 )
             )
 

@@ -42,7 +42,13 @@ from ..stages.compress import compress_chunks
 from ..stages.gapfill import gapfill
 from ..stages.points import derive_points
 from ..stages.rollup import cascade_rollup, split_tiers
-from ..state.checkpoint import Manifest, PartitionRecord, atomic_dir_write
+from ..state.checkpoint import (
+    Manifest,
+    PartitionRecord,
+    atomic_dir_write,
+    dataset_spill_bytes,
+    fragment_row_ranges,
+)
 
 
 def source_partition(source: str, n_partitions: int) -> int:
@@ -188,6 +194,7 @@ def run_timeseries(job: TimeseriesJob, partition_ids: list[int] | None = None) -
             paths = job.input_paths[:1]
         points = _load_points(job, keep, paths)
         rolled = cascade_rollup(points, job.tiers, job.value_col).materialize()
+        spilled = dataset_spill_bytes(rolled)
 
         tier_rows: dict[str, int] = {}
         for name, tds in split_tiers(rolled, job.tiers).items():
@@ -196,6 +203,7 @@ def run_timeseries(job: TimeseriesJob, partition_ids: list[int] | None = None) -
             with atomic_dir_write(final) as staging:
                 tds = tds.materialize()
                 tier_rows[name] = tds.count()
+                spilled += dataset_spill_bytes(tds)
                 tds.write_parquet(staging)
 
         if job.gapfill_strategy:
@@ -232,19 +240,34 @@ def run_timeseries(job: TimeseriesJob, partition_ids: list[int] | None = None) -
             batch_format="pyarrow",
         ).to_pandas()
 
-        n_points = int(stats["n"].sum())
+        # a partition can legitimately own zero sources (hash gaps at
+        # tiny source counts; pruned resumes): its stats frame is
+        # column-less, and the record must still be written so the
+        # resume skips it
+        empty = "n" not in stats.columns
+        n_points = 0 if empty else int(stats["n"].sum())
+        n_chunks = 0 if empty else int(stats["c"].sum())
+        n_bts = 0 if empty else int(stats["bts"].sum())
+        spilled += dataset_spill_bytes(chunks)
+        ranges = fragment_row_ranges(paths)
+        wall = time.perf_counter() - t0
         with manifest_lock:
             manifest.mark_done(
                 PartitionRecord(
                     partition_id=part,
                     input_fragments=paths,
-                    rows_in=0,  # raw row count needs a separate scan; points is the metric
+                    input_row_ranges=ranges,
+                    # footer-only row count of the fragments this
+                    # partition read (no data scan)
+                    rows_in=sum(r[2] for r in ranges if r[2] >= 0),
                     points=n_points,
                     tier_rows=tier_rows,
-                    chunk_count=int(stats["c"].sum()),
-                    compressed_bytes=int(stats["bts"].sum()),
+                    chunk_count=n_chunks,
+                    compressed_bytes=n_bts,
                     raw_point_bytes=n_points * 16,  # int64 ts + float64 value
-                    wall_s=time.perf_counter() - t0,
+                    wall_s=wall,
+                    points_per_s=(n_points / wall) if wall > 0 else 0.0,
+                    spilled_bytes=spilled,
                 )
             )
 

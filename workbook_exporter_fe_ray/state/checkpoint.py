@@ -29,10 +29,19 @@ from typing import Any
 
 @dataclass
 class PartitionRecord:
-    """Lineage + metrics for one completed output partition."""
+    """Lineage + metrics for one completed output partition.
+
+    Lineage is (partition id, input fragment paths, row ranges);
+    metrics are rows/s, bytes compressed, and object-store shuffle
+    spill — the fields a resume or an audit needs without re-reading
+    any data.
+    """
 
     partition_id: int
     input_fragments: list[str]
+    # [path, row_start, row_end) per fragment — whole-file fragments
+    # record [p, 0, num_rows] from the parquet footer
+    input_row_ranges: list = field(default_factory=list)
     rows_in: int = 0
     points: int = 0
     tier_rows: dict[str, int] = field(default_factory=dict)
@@ -40,6 +49,8 @@ class PartitionRecord:
     compressed_bytes: int = 0
     raw_point_bytes: int = 0
     wall_s: float = 0.0
+    points_per_s: float = 0.0
+    spilled_bytes: int = 0
     status: str = "done"
 
 
@@ -102,7 +113,32 @@ class Manifest:
             "compressed_bytes": sum(p.compressed_bytes for p in done),
             "raw_point_bytes": sum(p.raw_point_bytes for p in done),
             "wall_s": sum(p.wall_s for p in done),
+            "spilled_bytes": sum(p.spilled_bytes for p in done),
         }
+
+
+def fragment_row_ranges(paths: list[str]) -> list[list]:
+    """``[path, row_start, row_end)`` lineage for whole-file fragments:
+    one parquet-footer read per file (no data scan)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in paths:
+        try:
+            out.append([p, 0, pq.ParquetFile(p).metadata.num_rows])
+        except Exception:  # non-parquet / remote fragment: range unknown
+            out.append([p, 0, -1])
+    return out
+
+
+def dataset_spill_bytes(ds) -> int:
+    """Best-effort object-store spill attributed to a materialized
+    Dataset (0 when the stats summary can't report — the field is a
+    metric, never a correctness input)."""
+    try:
+        return int(ds._get_stats_summary().dataset_bytes_spilled)
+    except Exception:
+        return 0
 
 
 def atomic_dir_write(final_dir: str):
