@@ -1446,6 +1446,13 @@ def _q_count_burstiness(sf_dir: str):
     return count_burstiness(_events(sf_dir))
 
 
+def _q_bm25_score(sf_dir: str):
+    """BM25 relevance per (doc, query term) — retrieval-based filtering."""
+    from workbook_exporter_fe_ray.stages.text import bm25_score
+
+    return bm25_score(_documents(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -1486,6 +1493,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "seq_repetition": _q_seq_repetition,        # token-id dup bigrams (r4)
         "histogram_p95": _q_histogram_p95,          # within-bin quantile (r4)
         "count_burstiness": _q_count_burstiness,    # Fano factor (r4)
+        "bm25_score": _q_bm25_score,                # retrieval scoring (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1643,6 +1651,7 @@ _NEW_R4 = (
     "seq_repetition",
     "histogram_p95",
     "count_burstiness",
+    "bm25_score",
 )
 
 _ROWS_ONLY_R3 = (
@@ -2169,6 +2178,26 @@ SELECT source, n AS n_buckets, s AS sum_counts, s2 AS sumsq_counts,
        ((CAST(s2 AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
          / n) / (CAST(s AS DOUBLE) / n) AS fano
 FROM s
+""",
+        "bm25_score": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+d AS (SELECT doc_id, len(ws) AS dl FROM w),
+stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tdl FROM d),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('join','hash','scan','filter','merge','sort')
+  GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+avg AS (SELECT n, CAST(tdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl FROM stats)
+SELECT tf.doc_id, tf.term, tf.tf, d.dl,
+       ln((CAST(avg.n - dft.df AS DOUBLE) + 0.5)
+          / (CAST(dft.df AS DOUBLE) + 0.5))
+       * ((CAST(tf.tf AS DOUBLE) * 2.2)
+          / (CAST(tf.tf AS DOUBLE)
+             + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / avg.avgdl))))
+         AS bm25
+FROM tf JOIN d USING (doc_id) JOIN dft USING (term), avg
 """,
         "downsample_minmax": f"""
 WITH t AS (

@@ -304,3 +304,50 @@ def test_count_burstiness_vs_brute(ev_tbl, ray_session):
         assert out.loc[src, "sum_counts"] == s
         assert out.loc[src, "sumsq_counts"] == s2
         assert np.float64(out.loc[src, "fano"]).view(np.int64) == np.float64(var / mean).view(np.int64)
+
+
+def test_bm25_vs_brute(ray_session):
+    import math
+
+    from workbook_exporter_fe_ray.stages.text import bm25_score
+
+    texts = [
+        "join hash scan join join filter",
+        "merge sort merge data table",
+        "no query words here at all",
+        "scan scan scan scan",
+        "join",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+         "text": pa.array(texts)}
+    )
+    out = bm25_score(ray.data.from_arrow(tbl).repartition(2)).to_pandas()
+    terms = ("join", "hash", "scan", "filter", "merge", "sort")
+    docs = [t.split(" ") for t in texts]
+    N = len(docs)
+    tdl = sum(len(d) for d in docs)
+    avgdl = np.float64(tdl) / np.float64(N)
+    exp = {}
+    df = {t: sum(1 for d in docs if t in d) for t in terms}
+    for i, d in enumerate(docs):
+        for t in terms:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(
+                (np.float64(N - df[t]) + 0.5) / (np.float64(df[t]) + 0.5)
+            )
+            frac = (np.float64(tf) * np.float64(2.2)) / (
+                np.float64(tf)
+                + np.float64(1.2)
+                * (np.float64(0.25) + np.float64(0.75) * (np.float64(len(d)) / avgdl))
+            )
+            exp[(i, t)] = (tf, len(d), idf * frac)
+    assert len(out) == len(exp)
+    for r in out.itertuples():
+        tf, dl, score = exp[(r.doc_id, r.term)]
+        assert (r.tf, r.dl) == (tf, dl)
+        assert np.float64(r.bm25).view(np.int64) == np.float64(score).view(np.int64)
+    # docs with no query term contribute no rows but DO count in N/avgdl
+    assert 2 not in set(out["doc_id"])

@@ -308,6 +308,130 @@ def doc_bigram_repetition(
     return docs.map_batches(_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def bm25_score(
+    docs: "ray.data.Dataset",
+    terms: tuple[str, ...] = ("join", "hash", "scan", "filter", "merge", "sort"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """BM25 relevance of every document against a fixed query-term set
+    (Robertson/Sparck-Jones; k1=1.2, b=0.75) — the retrieval-scoring
+    primitive LLM data pipelines use for quality filtering and
+    retrieval-based dataset construction.
+
+    Bit-exactness: scores are emitted PER (doc, term) — never summed
+    across terms in floating point — and every float op is a pinned
+    expression over exact integer statistics: ``idf = ln((f8(N−df) +
+    0.5)/(f8(df) + 0.5))`` (DuckDB ``ln`` and Python ``math.log``
+    share libm on this platform and agree bitwise; idf is computed
+    once per term, not per row), ``avgdl = f8(Σdl)/f8(N)``, and the
+    row score ``idf · ((f8(tf)·2.2)/(f8(tf) + 1.2·(0.25 + 0.75·
+    (f8(dl)/avgdl))))`` with literals (not ``k1+1``) so both sides
+    parse the identical double.
+
+    Shape: ONE streaming pass folds each block to slim (doc, term,
+    tf, dl) rows via an Arrow hash aggregate over the is_in-filtered
+    token buffer, plus one meta row per block carrying (n_docs, Σdl)
+    partials; the slim table (docs × matched terms, no text) is
+    materialized once, the corpus stats (N, Σdl, per-term df — ≤
+    |terms| + 2 numbers) reduce from it, and a final vectorized pass
+    scores the slim rows. The exchange never carries text.
+
+    Output: (doc_id, term, tf, dl, bm25).
+    """
+    import math
+
+    META = "\x00stats"
+    term_set = pa.array(list(terms), pa.string())
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        didx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        m = pc.is_in(flat, value_set=term_set).to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(m)
+        g = (
+            pa.table({"d": pa.array(didx[sel]), "term": flat.take(pa.array(sel))})
+            .group_by(["d", "term"])
+            .aggregate([([], "count_all")])
+        )
+        d_of = g["d"].to_numpy(zero_copy_only=False)
+        rows = pa.table(
+            {
+                "doc_id": batch[id_col].take(g["d"]),
+                "term": g["term"],
+                "tf": pc.cast(g["count_all"], pa.int64()),
+                "dl": pa.array(lens[d_of], pa.int64()),
+            }
+        )
+        meta = pa.table(
+            {
+                "doc_id": pa.array([-1], pa.int64()).cast(batch[id_col].type),
+                "term": pa.array([META], pa.string()),
+                "tf": pa.array([len(batch)], pa.int64()),  # doc-count partial
+                "dl": pa.array([int(lens.sum())], pa.int64()),  # Σdl partial
+            }
+        )
+        return pa.concat_tables([rows, meta])
+
+    slim = docs.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # corpus stats: |terms| + 2 numbers to the driver — dimension-sized
+    def _meta_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["term"], META))
+
+    mt = slim.map_batches(_meta_only, batch_format="pyarrow").to_pandas()
+    n_docs = int(mt["tf"].sum())
+    total_dl = int(mt["dl"].sum())
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["term"], META))
+        g = t.group_by("term").aggregate([([], "count_all")])
+        return g.rename_columns(["term", "df"])
+
+    dft = (
+        slim.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("df")
+        .to_pandas()
+    )
+    avgdl = np.float64(total_dl) / np.float64(n_docs)
+    idf = {
+        t: math.log(
+            (np.float64(n_docs - int(df)) + 0.5) / (np.float64(int(df)) + 0.5)
+        )
+        for t, df in zip(dft["term"], dft["sum(df)"])
+    }
+    # vectorized term -> idf: index_in against the ordered term list
+    idf_order = list(idf)
+    idf_vec = np.array([idf[t] for t in idf_order], dtype=np.float64)
+    idf_terms = pa.array(idf_order, pa.string())
+
+    def _score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["term"], META))
+        tf_f = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl_f = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes = pc.index_in(t["term"], value_set=idf_terms).to_numpy(
+            zero_copy_only=False
+        )
+        idf_f = idf_vec[codes.astype(np.int64)]
+        frac = (tf_f * np.float64(2.2)) / (
+            tf_f
+            + np.float64(1.2)
+            * (np.float64(0.25) + np.float64(0.75) * (dl_f / avgdl))
+        )
+        return t.append_column("bm25", pa.array(idf_f * frac, pa.float64()))
+
+    return slim.map_batches(_score, batch_format="pyarrow")
+
+
 def contamination_screen(
     docs: "ray.data.Dataset",
     benchmark_texts: list[str],
