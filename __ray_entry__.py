@@ -1453,6 +1453,18 @@ def _q_bm25_score(sf_dir: str):
     return bm25_score(_documents(sf_dir))
 
 
+def _q_video_scene_cuts(sf_dir: str):
+    """Shot segmentation over REAL decoded Y4M video vs planted-cut
+    truth (construction replay — pure-integer scene plan)."""
+    from workbook_exporter_fe_ray.stages.multimodal import (
+        scene_cut_detect,
+        synth_media_scenes,
+    )
+
+    ds = ray.data.from_arrow(synth_media_scenes(72))
+    return scene_cut_detect(ds).select_columns(["media_id", "frame_idx"])
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -1494,6 +1506,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "histogram_p95": _q_histogram_p95,          # within-bin quantile (r4)
         "count_burstiness": _q_count_burstiness,    # Fano factor (r4)
         "bm25_score": _q_bm25_score,                # retrieval scoring (r4)
+        "video_scene_cuts": _q_video_scene_cuts,    # shot segmentation (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1652,6 +1665,7 @@ _NEW_R4 = (
     "histogram_p95",
     "count_burstiness",
     "bm25_score",
+    "video_scene_cuts",
 )
 
 _ROWS_ONLY_R3 = (
@@ -1747,6 +1761,22 @@ def _ensure_dims_truth() -> None:
         pq.write_table(synth_media_dims_truth(64), _DIMS_TRUTH)
 
 
+_SCENES_TRUTH = "/tmp/wfer_media_scenes_truth.parquet"
+
+
+def _ensure_scenes_truth() -> None:
+    """Planted scene-cut ground truth for video_scene_cuts (pure-integer
+    scene-plan replay; see synth_media_scenes_truth)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.stages.multimodal import synth_media_scenes_truth
+
+    if not os.path.isfile(_SCENES_TRUTH):
+        pq.write_table(synth_media_scenes_truth(72), _SCENES_TRUTH)
+
+
 def _ensure_frames_truth() -> None:
     """Frame-plan ground truth for media_frames_plan (construction
     replay; see synth_media_frames_truth)."""
@@ -1765,6 +1795,7 @@ def oracle_sql() -> dict[str, str]:
     _ensure_phash_truth()
     _ensure_dims_truth()
     _ensure_frames_truth()
+    _ensure_scenes_truth()
     return {
         "rollup_1m": _rollup_sql("date_trunc('minute', ts)"),
         # the salted two-phase path must produce EXACTLY the same values
@@ -2178,6 +2209,9 @@ SELECT source, n AS n_buckets, s AS sum_counts, s2 AS sumsq_counts,
        ((CAST(s2 AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
          / n) / (CAST(s AS DOUBLE) / n) AS fano
 FROM s
+""",
+        "video_scene_cuts": f"""
+SELECT media_id, frame_idx FROM read_parquet('{_SCENES_TRUTH}')
 """,
         "bm25_score": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

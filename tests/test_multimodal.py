@@ -370,3 +370,56 @@ def test_frames_truth_matches_real_sampling():
     truth = synth_media_frames_truth(64)
     for col in ["media_id", "media_type", "frame_idx", "frame_ts_ms", "frames_real"]:
         assert got[col].to_pylist() == truth[col].to_pylist(), col
+
+
+def test_scene_cut_detect_exact_and_margin(ray_session):
+    """The detector recovers exactly the planted cuts, with a wide
+    integer margin between within-scene drift and cross-scene jumps."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from workbook_exporter_fe_ray.functions.codecs import decode_y4m
+    from workbook_exporter_fe_ray.stages.multimodal import (
+        scene_cut_detect,
+        synth_media_scenes,
+        synth_media_scenes_truth,
+    )
+
+    tbl = synth_media_scenes(24, seed=13)
+    out = (
+        scene_cut_detect(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    truth = synth_media_scenes_truth(24, seed=13).to_pandas()
+    assert list(map(tuple, out[["media_id", "frame_idx"]].to_numpy())) == list(
+        map(tuple, truth.to_numpy())
+    )
+    # margin: max within-scene mean diff << threshold << min cut mean diff
+    cut_set = set(map(tuple, truth.to_numpy()))
+    within_max, cut_min = 0.0, float("inf")
+    for mid, buf in zip(tbl["media_id"].to_pylist(), tbl["payload"].to_pylist()):
+        y, _u, _v, _fn, _fd = decode_y4m(buf)
+        d = np.abs(y[1:].astype(np.int32) - y[:-1].astype(np.int32)).sum(axis=(1, 2))
+        means = d / (y.shape[1] * y.shape[2])
+        for i, m in enumerate(means):
+            if (mid, i + 1) in cut_set:
+                cut_min = min(cut_min, m)
+            else:
+                within_max = max(within_max, m)
+    assert within_max < 20 < 40 < 60 < cut_min
+
+    # a non-video row passes through with no cut rows
+    junk = pa.table(
+        {
+            "media_id": pa.array([999], pa.int64()),
+            "payload": pa.array([b"not a container"], pa.binary()),
+            "media_type": pa.array(["image"]),
+            "width": pa.array([0], pa.int32()),
+            "height": pa.array([0], pa.int32()),
+            "n_frames": pa.array([0], pa.int32()),
+        }
+    )
+    assert scene_cut_detect(ray.data.from_arrow(junk)).count() == 0

@@ -656,3 +656,130 @@ def synth_media_frames_truth(n: int, fps: float = 2.0) -> pa.Table:
             "frames_real": pa.array(real, pa.bool_()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# scene-cut detection (video shot segmentation)
+# ---------------------------------------------------------------------------
+
+
+def _scene_plan(n: int, seed: int) -> list[list[int]]:
+    """Per-video scene lengths — PURE integer control flow (blake2b of
+    (seed, media_id, key)), so the planted-cut truth can be replayed
+    without generating or decoding a single pixel."""
+
+    def h(i: int, k: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(f"{seed}:{i}:{k}".encode(), digest_size=8).digest(),
+            "little",
+        )
+
+    plans: list[list[int]] = []
+    for i in range(n):
+        n_scenes = 2 + h(i, "ns") % 3  # 2..4 scenes
+        plans.append([3 + h(i, f"len{s}") % 5 for s in range(n_scenes)])
+    return plans
+
+
+def synth_media_scenes(n: int, seed: int = 13) -> pa.Table:
+    """Deterministic video corpus with PLANTED scene cuts: each video is
+    2–4 scenes of 3–7 frames; within a scene the luma drifts by +3/frame
+    (mean |Δ| ≈ 6 with wraparound), across a cut the base is an
+    independent uniform plane (mean |Δ| ≈ 85) — separable by an
+    integer threshold with huge margin at ≥768 px/frame."""
+    plans = _scene_plan(n, seed)
+    ids, payloads, ws, hs, nframes = [], [], [], [], []
+    for i, lens in enumerate(plans):
+        w, h = 32 + (i % 3) * 16, 24 + (i % 2) * 8
+        ys = []
+        for s, ln in enumerate(lens):
+            rng = np.random.default_rng(seed * 1_000_003 + i * 101 + s)
+            base = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            for f in range(ln):
+                ys.append(((base.astype(np.int64) + 3 * f) % 256).astype(np.uint8))
+        y = np.stack(ys)
+        u = np.full((len(ys), h // 2, w // 2), 128, np.uint8)
+        payloads.append(encode_y4m(y, u, u))
+        ids.append(i)
+        ws.append(w)
+        hs.append(h)
+        nframes.append(len(ys))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["video"] * n, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "n_frames": pa.array(nframes, pa.int32()),
+        }
+    )
+
+
+def synth_media_scenes_truth(n: int, seed: int = 13) -> pa.Table:
+    """Planted scene-cut ground truth for :func:`synth_media_scenes`:
+    (media_id, frame_idx of each scene's first frame after a cut),
+    replayed from the pure-integer scene plan only."""
+    ids, idxs = [], []
+    for i, lens in enumerate(_scene_plan(n, seed)):
+        off = 0
+        for ln in lens[:-1]:
+            off += ln
+            ids.append(i)
+            idxs.append(off)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+        }
+    )
+
+
+def scene_cut_detect(
+    media: ray.data.Dataset,
+    mean_thr: int = 40,
+) -> ray.data.Dataset:
+    """Shot segmentation over real decoded video: a cut is declared
+    between consecutive frames whose summed absolute luma difference
+    exceeds ``mean_thr`` per pixel — compared in INTEGERS
+    (``diff_sum > mean_thr · w · h``), so the output is hash-exact.
+
+    Per-payload work is a vectorized NumPy pass over the full (N, H, W)
+    luma tensor (one abs-diff + one axis-sum per video); the per-row
+    loop is container-bound like every decode stage. Non-video rows
+    pass through without rows (no cuts).
+
+    Output: (media_id, frame_idx, diff_sum) — frame_idx is the first
+    frame AFTER the cut.
+    """
+
+    THR = int(mean_thr)
+
+    def _detect(batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        idx_out: list[int] = []
+        energy: list[int] = []
+        mids = batch["media_id"].to_pylist()
+        for mid, buf in zip(mids, batch["payload"].to_pylist()):
+            if sniff_media_format(buf) != "y4m":
+                continue
+            y, _u, _v, _fn, _fd = decode_y4m(buf)
+            if len(y) < 2:
+                continue
+            d = np.abs(y[1:].astype(np.int32) - y[:-1].astype(np.int32)).sum(
+                axis=(1, 2), dtype=np.int64
+            )
+            lim = np.int64(THR) * y.shape[1] * y.shape[2]
+            cuts = np.flatnonzero(d > lim)
+            ids_out.extend([mid] * len(cuts))
+            idx_out.extend((cuts + 1).tolist())
+            energy.extend(d[cuts].tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, pa.int64()),
+                "frame_idx": pa.array(idx_out, pa.int64()),
+                "diff_sum": pa.array(energy, pa.int64()),
+            }
+        )
+
+    return media.map_batches(_detect, batch_format="pyarrow", zero_copy_batch=True)
