@@ -1465,6 +1465,22 @@ def _q_video_scene_cuts(sf_dir: str):
     return scene_cut_detect(ds).select_columns(["media_id", "frame_idx"])
 
 
+def _q_delta_sign_flips(sf_dir: str):
+    """Oscillation profile per (source, day): up/down/flat delta counts
+    and strict sign alternations (trend-vs-noise screen)."""
+    from workbook_exporter_fe_ray.stages.window import delta_sign_flips
+
+    return delta_sign_flips(_events(sf_dir))
+
+
+def _q_type_token_ratio(sf_dir: str):
+    """Lexical diversity per document: exact token and distinct-token
+    counts (type/token ratio numerator + denominator)."""
+    from workbook_exporter_fe_ray.stages.text import type_token_ratio
+
+    return type_token_ratio(_documents(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -1507,6 +1523,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "count_burstiness": _q_count_burstiness,    # Fano factor (r4)
         "bm25_score": _q_bm25_score,                # retrieval scoring (r4)
         "video_scene_cuts": _q_video_scene_cuts,    # shot segmentation (r4)
+        "delta_sign_flips": _q_delta_sign_flips,    # oscillation screen (r4)
+        "type_token_ratio": _q_type_token_ratio,    # lexical diversity (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1666,6 +1684,8 @@ _NEW_R4 = (
     "count_burstiness",
     "bm25_score",
     "video_scene_cuts",
+    "delta_sign_flips",
+    "type_token_ratio",
 )
 
 _ROWS_ONLY_R3 = (
@@ -2232,6 +2252,34 @@ SELECT tf.doc_id, tf.term, tf.tf, d.dl,
              + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / avg.avgdl))))
          AS bm25
 FROM tf JOIN d USING (doc_id) JOIN dft USING (term), avg
+""",
+        "delta_sign_flips": f"""
+WITH d AS (
+  SELECT event_type AS source,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         ts, event_id,
+         CAST(sign({_CENTS} - lag({_CENTS}) OVER w) AS BIGINT) AS s
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY ts, event_id)),
+f AS (
+  SELECT source, day, s,
+         lag(s) OVER (PARTITION BY source, day ORDER BY ts, event_id) AS ps
+  FROM d)
+SELECT source, day,
+       CAST(count(s) AS BIGINT) AS n_deltas,
+       CAST(coalesce(sum(CASE WHEN s > 0 THEN 1 END), 0) AS BIGINT) AS n_up,
+       CAST(coalesce(sum(CASE WHEN s < 0 THEN 1 END), 0) AS BIGINT) AS n_down,
+       CAST(coalesce(sum(CASE WHEN s = 0 THEN 1 END), 0) AS BIGINT) AS n_flat,
+       CAST(coalesce(sum(CASE WHEN s * ps < 0 THEN 1 END), 0) AS BIGINT)
+         AS n_flips
+FROM f GROUP BY 1, 2 HAVING count(s) >= 1
+""",
+        "type_token_ratio": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types
+FROM documents
 """,
         "downsample_minmax": f"""
 WITH t AS (

@@ -1,0 +1,113 @@
+"""Round-4c operators vs brute-force single-process references:
+delta sign-flip oscillation profile and per-document type/token ratio."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from workbook_exporter_fe_ray.stages.text import type_token_ratio
+from workbook_exporter_fe_ray.stages.window import delta_sign_flips
+
+US = 1_000_000
+DAY = 86_400 * US
+
+
+def _events_table(n=6000, seed=17) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    base = 1_700_000_000 * US
+    ts = base + rng.integers(0, 3 * DAY, n)
+    ts[100:120] = ts[99]  # ties pin the (ts, event_id) tie-break
+    vals = np.round(rng.normal(50, 40, n), 2)
+    vals[200:260] = vals[199]  # flat runs: zero deltas must break chains
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+            "ts": pa.array(ts.astype(np.int64), pa.timestamp("us")),
+            "event_type": pa.array(
+                [f"type_{i}" for i in rng.integers(0, 5, n)], pa.string()
+            ),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+
+
+def test_delta_sign_flips_vs_brute(ray_session):
+    tbl = _events_table()
+    out = (
+        delta_sign_flips(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index(["source", "day"])
+        .sort_index()
+    )
+    df = tbl.to_pandas()
+    df["c"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+    df["tsu"] = tbl["ts"].cast(pa.int64()).to_numpy()
+    df["day"] = df["tsu"] - df["tsu"] % DAY
+    df = df.sort_values(["event_type", "tsu", "event_id"])
+    n_expected = 0
+    for (src, day), g in df.groupby(["event_type", "day"]):
+        if len(g) < 2:
+            continue
+        n_expected += 1
+        s = np.sign(np.diff(g["c"].to_numpy()))
+        flips = int(np.sum(s[1:] * s[:-1] < 0))
+        r = out.loc[(src, pd.Timestamp(day, unit="us"))]
+        assert r["n_deltas"] == len(s)
+        assert r["n_up"] == int((s > 0).sum())
+        assert r["n_down"] == int((s < 0).sum())
+        assert r["n_flat"] == int((s == 0).sum())
+        assert r["n_flips"] == flips
+    assert len(out) == n_expected
+
+
+def test_delta_sign_flips_zero_breaks_chain(ray_session):
+    # up, flat, down is NOT a flip (sign 0 in between); up, down, up is 2
+    t0 = 1_700_000_000 * US
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(7, dtype=np.int64)),
+            "user_id": pa.array([0] * 7, pa.int64()),
+            "ts": pa.array(
+                [t0 + i * US for i in range(7)], pa.timestamp("us")
+            ),
+            "event_type": pa.array(["a"] * 7),
+            "value": pa.array([1.0, 2.0, 2.0, 1.0, 2.0, 1.0, 2.0]),
+        }
+    )
+    out = delta_sign_flips(ray.data.from_arrow(tbl)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # deltas: +, 0, -, +, -, + -> flips at (-,+), (+,-), (-,+) = 3
+    assert (r.n_deltas, r.n_up, r.n_down, r.n_flat, r.n_flips) == (6, 3, 2, 1, 3)
+
+
+def test_type_token_ratio_vs_brute(ray_session):
+    docs = [
+        "the cat sat on the mat",
+        "a a a a",
+        "",
+        "one",
+        "x y z x y z x",
+        "dup  dup",  # double space -> empty token counts as a type
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "text": pa.array(docs),
+        }
+    )
+    out = (
+        type_token_ratio(ray.data.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, d in enumerate(docs):
+        toks = d.split(" ")
+        assert out.loc[i, "n_tokens"] == len(toks)
+        assert out.loc[i, "n_types"] == len(set(toks))

@@ -2942,3 +2942,109 @@ def spike_episodes(
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def delta_sign_flips(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Oscillation profile per (source, day): classify every
+    consecutive-sample delta (in (ts, event_id) order) as up / down /
+    flat, and count strict sign ALTERNATIONS between adjacent deltas —
+    the "is this series noisy or trending" screen run before choosing
+    a smoothing window (a flip-dominated series wants a wider EWMA
+    alpha than a trend-dominated one). Deltas are day-local like the
+    other sweeps (`staleness_gaps`, `spike_episodes`), which keeps the
+    exchange keyed on the bounded (source, day) pair; a zero delta
+    breaks a flip chain on both engine and oracle (sign 0 never
+    multiplies negative).
+
+    Reference parity: the reference has no windowed analytics; this is
+    brief-mandated timeseries coverage. All counters are int64 →
+    hash-exact vs the double-LAG SQL formulation.
+
+    Output: (source, day, n_deltas, n_up, n_down, n_flat, n_flips) —
+    one row per (source, day) with at least one delta (>= 2 samples).
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+                "ts": pa.array(ts_np, pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source", "day"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "day"])
+        n = len(g)
+        lens = np.diff(np.r_[starts, n])
+        keep = lens >= 2
+        if n == 0 or not keep.any():
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "day": pa.array([], pa.timestamp("us")),
+                    "n_deltas": pa.array([], pa.int64()),
+                    "n_up": pa.array([], pa.int64()),
+                    "n_down": pa.array([], pa.int64()),
+                    "n_flat": pa.array([], pa.int64()),
+                    "n_flips": pa.array([], pa.int64()),
+                }
+            )
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        d = np.zeros(n, dtype=np.int64)
+        d[1:] = cv[1:] - cv[:-1]
+        # row j carries the delta from j-1 -> j; the first row of each
+        # (source, day) run has no predecessor in its day
+        valid = np.ones(n, dtype=bool)
+        valid[starts] = False
+        s = np.sign(d)
+        prev_s = np.zeros(n, dtype=np.int64)
+        prev_s[1:] = s[:-1]
+        prev_valid = np.zeros(n, dtype=bool)
+        prev_valid[1:] = valid[:-1]
+        # a flip needs two adjacent deltas of STRICTLY opposite sign;
+        # valid & prev_valid already implies both rows sit in one run
+        flips = valid & prev_valid & (s * prev_s < 0)
+        i64 = np.int64
+        n_up = np.add.reduceat((valid & (s > 0)).astype(i64), starts)
+        n_down = np.add.reduceat((valid & (s < 0)).astype(i64), starts)
+        n_flat = np.add.reduceat((valid & (s == 0)).astype(i64), starts)
+        n_flips = np.add.reduceat(flips.astype(i64), starts)
+        ki = starts[keep]
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(ki)),
+                "day": pa.array(
+                    g["day"].to_numpy(zero_copy_only=False)[ki],
+                    pa.timestamp("us"),
+                ),
+                "n_deltas": pa.array((lens[keep] - 1).astype(i64), pa.int64()),
+                "n_up": pa.array(n_up[keep], pa.int64()),
+                "n_down": pa.array(n_down[keep], pa.int64()),
+                "n_flat": pa.array(n_flat[keep], pa.int64()),
+                "n_flips": pa.array(n_flips[keep], pa.int64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
