@@ -1481,6 +1481,20 @@ def _q_type_token_ratio(sf_dir: str):
     return type_token_ratio(_documents(sf_dir))
 
 
+def _q_top_terms_per_source(sf_dir: str):
+    """Top-5 tokens by occurrence per source (subcorpus composition)."""
+    from workbook_exporter_fe_ray.stages.text import top_terms_per_source
+
+    return top_terms_per_source(_documents(sf_dir), k=5)
+
+
+def _q_vocab_jaccard(sf_dir: str):
+    """Pairwise vocabulary-overlap counts between sources."""
+    from workbook_exporter_fe_ray.stages.text import vocab_jaccard_sources
+
+    return vocab_jaccard_sources(_documents(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -1525,6 +1539,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "video_scene_cuts": _q_video_scene_cuts,    # shot segmentation (r4)
         "delta_sign_flips": _q_delta_sign_flips,    # oscillation screen (r4)
         "type_token_ratio": _q_type_token_ratio,    # lexical diversity (r4)
+        "top_terms_per_source": _q_top_terms_per_source,  # subcorpus top-k (r4)
+        "vocab_jaccard_sources": _q_vocab_jaccard,  # cross-corpus overlap (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1686,6 +1702,8 @@ _NEW_R4 = (
     "video_scene_cuts",
     "delta_sign_flips",
     "type_token_ratio",
+    "top_terms_per_source",
+    "vocab_jaccard_sources",
 )
 
 _ROWS_ONLY_R3 = (
@@ -2280,6 +2298,35 @@ SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types
 FROM documents
+""",
+        "top_terms_per_source": """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+cnt AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+rk AS (
+  SELECT source, token, c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, token) AS r
+  FROM cnt)
+SELECT source, token, CAST(c AS BIGINT) AS n, CAST(r AS BIGINT) AS rank
+FROM rk WHERE r <= 5
+""",
+        "vocab_jaccard_sources": """
+WITH tok AS (
+  SELECT DISTINCT source, token
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents)),
+sz AS (SELECT source, count(*) AS n FROM tok GROUP BY 1)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(sa.n + sb.n - count(*) AS BIGINT) AS n_union
+FROM tok a
+JOIN tok b ON a.token = b.token AND a.source < b.source
+JOIN sz sa ON sa.source = a.source
+JOIN sz sb ON sb.source = b.source
+GROUP BY 1, 2, sa.n, sb.n
 """,
         "downsample_minmax": f"""
 WITH t AS (

@@ -111,3 +111,65 @@ def test_type_token_ratio_vs_brute(ray_session):
         toks = d.split(" ")
         assert out.loc[i, "n_tokens"] == len(toks)
         assert out.loc[i, "n_types"] == len(set(toks))
+
+
+def test_top_terms_per_source_vs_brute(ray_session):
+    from collections import Counter
+
+    from workbook_exporter_fe_ray.stages.text import top_terms_per_source
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(30)]
+    srcs, texts = [], []
+    for i in range(200):
+        srcs.append(f"s{i % 3}")
+        texts.append(" ".join(rng.choice(vocab, rng.integers(1, 40))))
+    tbl = pa.table({"doc_id": pa.array(np.arange(200, dtype=np.int64)),
+                    "source": pa.array(srcs), "text": pa.array(texts)})
+    out = top_terms_per_source(
+        ray.data.from_arrow(tbl).repartition(5), k=4
+    ).to_pandas()
+    for s in ("s0", "s1", "s2"):
+        cnt = Counter()
+        for src, t in zip(srcs, texts):
+            if src == s:
+                cnt.update(t.split(" "))
+        exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        got = out[out.source == s].sort_values("rank")
+        assert list(zip(got.token, got.n)) == exp
+        assert list(got["rank"]) == [1, 2, 3, 4]
+
+
+def test_vocab_jaccard_sources_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.text import vocab_jaccard_sources
+
+    rng = np.random.default_rng(4)
+    vocab = [f"w{i}" for i in range(40)]
+    srcs, texts = [], []
+    for i in range(150):
+        srcs.append(f"s{i % 4}")
+        texts.append(" ".join(rng.choice(vocab, rng.integers(1, 25))))
+    tbl = pa.table({"doc_id": pa.array(np.arange(150, dtype=np.int64)),
+                    "source": pa.array(srcs), "text": pa.array(texts)})
+    out = (
+        vocab_jaccard_sources(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index(["src_a", "src_b"])
+    )
+    sets = {}
+    for src, t in zip(srcs, texts):
+        sets.setdefault(src, set()).update(t.split(" "))
+    names = sorted(sets)
+    n_pairs = 0
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            common = len(sets[a] & sets[b])
+            if len(sets[a] | sets[b]) == 0:
+                continue
+            n_pairs += 1
+            r = out.loc[(a, b)]
+            assert r["n_common"] == common
+            assert r["n_a"] == len(sets[a])
+            assert r["n_b"] == len(sets[b])
+            assert r["n_union"] == len(sets[a] | sets[b])
+    assert len(out) == n_pairs

@@ -937,3 +937,217 @@ def type_token_ratio(
         )
 
     return docs.map_batches(_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_terms_per_source(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 5,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Top-k tokens by occurrence count per source — the per-subcorpus
+    "what is this slice made of" report. Two vocabulary-bounded
+    exchanges: block-local (source, token) occurrence partials (one
+    Arrow hash group_by per batch, never the token stream) are summed
+    on a hash of BOTH keys, then the exact counts route by source for
+    a per-run sort + head(k) sweep. The second exchange carries one
+    row per (source, distinct token) — vocabulary-sized, so a
+    single-task source run is bounded by vocab (millions at worst),
+    not by corpus points; total order (n desc, token asc) makes ties
+    deterministic.
+
+    Output: (source, token, n, rank) — rank 1..k, all counts int64.
+    """
+    from .sweep import run_starts_table, with_part
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = pa.array(
+            np.repeat(np.arange(len(b), dtype=np.int64), lengths)
+        )
+        pairs = pa.table(
+            {"source": b["source"].take(src), "token": toks.flatten()}
+        )
+        g = pairs.group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "n"])
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "token"])
+        .sum("n")
+    )
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["source"],
+                "token": b["token"],
+                "n": pc.cast(b["sum(n)"], pa.int64()),
+            }
+        )
+        return with_part(t, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("n", "descending"),
+                ("token", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source"])
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        keep = pos < k
+        out = g.drop_columns(["__part"]).filter(pa.array(keep))
+        return out.append_column("rank", pa.array(pos[keep] + 1, pa.int64()))
+
+    routed = agg.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def vocab_jaccard_sources(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Pairwise vocabulary overlap between sources — the cross-subcorpus
+    contamination/affinity diagnostic (how much of slice A's vocabulary
+    slice B shares). One vocabulary-bounded exchange: block-local
+    distinct (source, token) partials route by token hash; each sweep
+    deduplicates its partition globally (all copies of a token land
+    together), then emits per-partition pair-intersection partials
+    (src_a < src_b) plus diagonal per-source vocabulary sizes — a
+    sources²-bounded tablet per task, summed in a final tiny groupby.
+    Jaccard's exact numerator/denominator ship as ints (n_common,
+    n_union = n_a + n_b - n_common); the ratio is one division away.
+
+    Output: (src_a, src_b, n_common, n_a, n_b, n_union) for every
+    unordered source pair with a non-empty union.
+    """
+    from .sweep import run_starts_table, with_part
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = pa.array(
+            np.repeat(np.arange(len(b), dtype=np.int64), lengths)
+        )
+        pairs = pa.table(
+            {"source": b["source"].take(src), "token": toks.flatten()}
+        )
+        distinct = pairs.group_by(["source", "token"]).aggregate([])
+        return with_part(distinct, ["token"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        # global dedup within the token-routed partition, then runs of
+        # equal token give each token's source set (sorted, so pair
+        # expansion below is already src_a < src_b)
+        idx = pc.sort_indices(
+            g, sort_keys=[("token", "ascending"), ("source", "ascending")]
+        )
+        g = g.take(idx)
+        starts_all = run_starts_table(g, ["token", "source"])
+        g = g.take(pa.array(starts_all))  # distinct (token, source)
+        starts = run_starts_table(g, ["token"])
+        n = len(g)
+        srcs = g["source"]
+        if n == 0:
+            return pa.table(
+                {
+                    "src_a": pa.array([], pa.string()),
+                    "src_b": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        lens = np.diff(np.r_[starts, n])
+        # vectorized all-pairs expansion per run: for a run of length L
+        # emit L*(L-1)/2 (a, b) index pairs; runs are <= n_sources long
+        reps = (lens * (lens - 1)) // 2
+        if reps.sum() > 0:
+            run_of_pair = np.repeat(np.arange(len(lens)), reps)
+            within = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+                np.r_[np.int64(0), np.cumsum(reps)[:-1]], reps
+            )
+            # map the 0..L*(L-1)/2-1 triangle index to (i, j), i < j
+            Lr = lens[run_of_pair]
+            # row i of the triangle holds (L-1-i) pairs; find i by
+            # comparing within against the cumulative row sizes
+            i_idx = np.zeros(len(within), dtype=np.int64)
+            rem = within.copy()
+            # lens <= n_sources (tiny): loop over triangle rows, not data
+            for _ in range(int(lens.max()) - 1 if len(lens) else 0):
+                row_len = Lr - 1 - i_idx
+                adv = rem >= row_len
+                rem = rem - np.where(adv, row_len, 0)
+                i_idx = i_idx + adv.astype(np.int64)
+            j_idx = rem + i_idx + 1
+            base = np.repeat(starts, reps)
+            a = srcs.take(pa.array(base + i_idx))
+            b_ = srcs.take(pa.array(base + j_idx))
+            pair_tbl = pa.table({"src_a": a, "src_b": b_})
+            pair_agg = pair_tbl.group_by(["src_a", "src_b"]).aggregate(
+                [([], "count_all")]
+            )
+            pair_agg = pair_agg.rename_columns(["src_a", "src_b", "n"])
+        else:
+            pair_agg = pa.table(
+                {
+                    "src_a": pa.array([], pa.string()),
+                    "src_b": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # diagonal: per-source distinct-token counts in this partition
+        diag = pa.table({"src_a": srcs, "src_b": srcs}).group_by(
+            ["src_a", "src_b"]
+        ).aggregate([([], "count_all")]).rename_columns(["src_a", "src_b", "n"])
+        return pa.concat_tables(
+            [pair_agg, diag.cast(pair_agg.schema)]
+        )
+
+    routed = docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+    summed = partials.groupby(["src_a", "src_b"]).sum("n")
+
+    def _finish(b: pa.Table) -> pa.Table:
+        # sources²-sized tablet: assemble n_a/n_b/n_union from the diagonal
+        a = b["src_a"].to_pylist()
+        bb = b["src_b"].to_pylist()
+        nv = pc.cast(b["sum(n)"], pa.int64()).to_pylist()
+        size = {x: v for x, y, v in zip(a, bb, nv) if x == y}
+        rows = [
+            (x, y, v, size[x], size[y], size[x] + size[y] - v)
+            for x, y, v in zip(a, bb, nv)
+            if x != y
+        ]
+        rows.sort()
+        return pa.table(
+            {
+                "src_a": pa.array([r[0] for r in rows], pa.string()),
+                "src_b": pa.array([r[1] for r in rows], pa.string()),
+                "n_common": pa.array([r[2] for r in rows], pa.int64()),
+                "n_a": pa.array([r[3] for r in rows], pa.int64()),
+                "n_b": pa.array([r[4] for r in rows], pa.int64()),
+                "n_union": pa.array([r[5] for r in rows], pa.int64()),
+            }
+        )
+
+    return summed.repartition(1).map_batches(
+        _finish, batch_format="pyarrow"
+    )
