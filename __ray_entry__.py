@@ -1481,6 +1481,14 @@ def _q_type_token_ratio(sf_dir: str):
     return type_token_ratio(_documents(sf_dir))
 
 
+def _q_tier_consistency(sf_dir: str):
+    """Continuous-aggregate integrity audit: 1h tier built direct vs
+    cascaded from 1m partials; per-source agree counts (all-int)."""
+    from workbook_exporter_fe_ray.pipelines.events import tier_consistency_audit
+
+    return tier_consistency_audit(sf_dir)
+
+
 def _q_top_terms_per_source(sf_dir: str):
     """Top-5 tokens by occurrence per source (subcorpus composition)."""
     from workbook_exporter_fe_ray.stages.text import top_terms_per_source
@@ -1541,6 +1549,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "type_token_ratio": _q_type_token_ratio,    # lexical diversity (r4)
         "top_terms_per_source": _q_top_terms_per_source,  # subcorpus top-k (r4)
         "vocab_jaccard_sources": _q_vocab_jaccard,  # cross-corpus overlap (r4)
+        "tier_consistency_audit": _q_tier_consistency,  # cascade integrity (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1704,6 +1713,7 @@ _NEW_R4 = (
     "type_token_ratio",
     "top_terms_per_source",
     "vocab_jaccard_sources",
+    "tier_consistency_audit",
 )
 
 _ROWS_ONLY_R3 = (
@@ -2298,6 +2308,31 @@ SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types
 FROM documents
+""",
+        "tier_consistency_audit": f"""
+WITH fine AS (
+  SELECT event_type AS source, date_trunc('minute', ts) AS b,
+         count(*) AS n, CAST(sum({_CENTS}) AS BIGINT) AS s,
+         min({_CENTS}) AS mn, max({_CENTS}) AS mx
+  FROM events GROUP BY 1, 2),
+casc AS (
+  SELECT source, date_trunc('hour', b) AS b,
+         CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+         min(mn) AS mn, max(mx) AS mx
+  FROM fine GROUP BY 1, 2),
+direct AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         count(*) AS n, CAST(sum({_CENTS}) AS BIGINT) AS s,
+         min({_CENTS}) AS mn, max({_CENTS}) AS mx
+  FROM events GROUP BY 1, 2)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(coalesce(sum(CASE WHEN d.n = c.n AND d.s = c.s
+                               AND d.mn = c.mn AND d.mx = c.mx
+                          THEN 1 END), 0) AS BIGINT) AS n_agree,
+       CAST(sum(d.s) AS BIGINT) AS sum_cents
+FROM direct d JOIN casc c ON d.source = c.source AND d.b = c.b
+GROUP BY 1
 """,
         "top_terms_per_source": """
 WITH tok AS (

@@ -173,3 +173,41 @@ def test_vocab_jaccard_sources_vs_brute(ray_session):
             assert r["n_b"] == len(sets[b])
             assert r["n_union"] == len(sets[a] | sets[b])
     assert len(out) == n_pairs
+
+
+def test_tier_consistency_audit(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.pipelines.events import tier_consistency_audit
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    base = 1_700_000_000 * US
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+            "ts": pa.array(
+                (base + rng.integers(0, 2 * DAY, n)).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(
+                [f"type_{i}" for i in rng.integers(0, 4, n)], pa.string()
+            ),
+            "value": pa.array(np.round(rng.normal(50, 40, n), 2), pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = tier_consistency_audit(str(tmp_path)).to_pandas()
+    # a correct cascade agrees on every bucket, and per-source totals
+    # match a brute-force hour rollup
+    df = tbl.to_pandas()
+    df["c"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+    df["h"] = tbl["ts"].cast(pa.int64()).to_numpy() // (3600 * US)
+    exp = df.groupby("event_type").agg(
+        n_buckets=("h", "nunique"), sum_cents=("c", "sum")
+    )
+    assert len(out) == len(exp)
+    for r in out.itertuples():
+        assert r.n_agree == r.n_buckets == exp.loc[r.source, "n_buckets"]
+        assert r.sum_cents == exp.loc[r.source, "sum_cents"]

@@ -207,3 +207,135 @@ def retention_apply_events(
         .materialize()
     )
     return raw.union(mid).union(old)
+
+
+def tier_consistency_audit(
+    sf_dir: str,
+    fine_bucket_s: int = 60,
+    coarse_bucket_s: int = 3600,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Continuous-aggregate integrity audit: build the coarse tier BOTH
+    ways — directly from points and cascaded from the fine tier's
+    partials — and count, per source, the coarse buckets where every
+    statistic (count / sum / min / max) agrees. On a correct engine
+    n_agree == n_buckets; a drifting cascade (lost partial, double
+    merge, wrong rebucket edge) shows up as a deficit the driver's
+    value hash catches. This is the audit a tiered TSDB runs after a
+    backfill before swapping a tier into serving.
+
+    One bucket-bounded exchange: both tiers are tagged and unioned,
+    routed by (source, bucket_ts) hash, and compared in-sweep as runs
+    of exactly two rows; per-partition (source, n_buckets, n_agree,
+    sum_cents) partials collapse in a final sources-sized groupby.
+
+    Output: (source, n_buckets, n_agree, sum_cents) — all int64.
+    """
+    from ..stages.sweep import run_starts_table, with_part
+
+    pts = read_event_points(sf_dir)
+    direct = rollup_tier(pts, coarse_bucket_s, value_col="value_cents")
+    fine = rollup_tier(pts, fine_bucket_s, value_col="value_cents")
+    casc = cascade_from_tier(fine, coarse_bucket_s)
+
+    def _tag_path(tag: int):
+        def _t(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "source": b["source"],
+                    "bucket_ts": pc.cast(
+                        pc.cast(b["bucket_ts"], pa.timestamp("us")), pa.int64()
+                    ),
+                    "count": pc.cast(b["count"], pa.int64()),
+                    "sum": pc.cast(b["sum"], pa.int64()),
+                    "min": pc.cast(b["min"], pa.int64()),
+                    "max": pc.cast(b["max"], pa.int64()),
+                    "tag": pa.array(
+                        np.full(len(b), tag, dtype=np.int8), pa.int8()
+                    ),
+                }
+            )
+            return with_part(t, ["source", "bucket_ts"], num_partitions)
+
+        return _t
+
+    tagged = direct.map_batches(
+        _tag_path(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        casc.map_batches(_tag_path(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("bucket_ts", "ascending"),
+                ("tag", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_buckets": pa.array([], pa.int64()),
+                    "n_agree": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        starts = run_starts_table(g, ["source", "bucket_ts"])
+        lens = np.diff(np.r_[starts, n])
+        cols = {
+            c: g[c].to_numpy(zero_copy_only=False)
+            for c in ("count", "sum", "min", "max", "tag")
+        }
+        paired = lens == 2
+        f = starts[paired]
+        agree = paired.copy()
+        agree[paired] = (
+            (cols["tag"][f] != cols["tag"][f + 1])
+            & (cols["count"][f] == cols["count"][f + 1])
+            & (cols["sum"][f] == cols["sum"][f + 1])
+            & (cols["min"][f] == cols["min"][f + 1])
+            & (cols["max"][f] == cols["max"][f + 1])
+        )
+        # per-source rollup of the run-level flags
+        src_starts = run_starts_table(g, ["source"])
+        run_src = np.searchsorted(src_starts, starts, side="right") - 1
+        n_src = len(src_starts)
+        n_buckets = np.bincount(run_src, minlength=n_src).astype(np.int64)
+        # int64 accumulators (bincount weights are float64 — inexact
+        # past 2**53, and sum_cents partials get there at scale)
+        n_agree = np.zeros(n_src, dtype=np.int64)
+        np.add.at(n_agree, run_src, agree.astype(np.int64))
+        direct_rows = cols["tag"] == 0
+        src_of_row = np.searchsorted(src_starts, np.arange(n), side="right") - 1
+        sum_cents = np.zeros(n_src, dtype=np.int64)
+        np.add.at(sum_cents, src_of_row[direct_rows], cols["sum"][direct_rows])
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(src_starts)),
+                "n_buckets": pa.array(n_buckets, pa.int64()),
+                "n_agree": pa.array(n_agree, pa.int64()),
+                "sum_cents": pa.array(sum_cents, pa.int64()),
+            }
+        )
+
+    partials = tagged.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+    summed = (
+        partials.groupby("source")
+        .sum(["n_buckets", "n_agree", "sum_cents"])
+    )
+    return summed.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "n_buckets": pc.cast(b["sum(n_buckets)"], pa.int64()),
+                "n_agree": pc.cast(b["sum(n_agree)"], pa.int64()),
+                "sum_cents": pc.cast(b["sum(sum_cents)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
