@@ -1481,6 +1481,14 @@ def _q_type_token_ratio(sf_dir: str):
     return type_token_ratio(_documents(sf_dir))
 
 
+def _q_late_arrival(sf_dir: str):
+    """Out-of-order-ingestion profile per (source, day): late-event
+    counts + worst lateness vs the arrival-order running max."""
+    from workbook_exporter_fe_ray.stages.window import late_arrival_stats
+
+    return late_arrival_stats(_events(sf_dir))
+
+
 def _q_tier_consistency(sf_dir: str):
     """Continuous-aggregate integrity audit: 1h tier built direct vs
     cascaded from 1m partials; per-source agree counts (all-int)."""
@@ -1550,6 +1558,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_source": _q_top_terms_per_source,  # subcorpus top-k (r4)
         "vocab_jaccard_sources": _q_vocab_jaccard,  # cross-corpus overlap (r4)
         "tier_consistency_audit": _q_tier_consistency,  # cascade integrity (r4)
+        "late_arrival_stats": _q_late_arrival,      # watermark diagnostic (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1714,6 +1723,7 @@ _NEW_R4 = (
     "top_terms_per_source",
     "vocab_jaccard_sources",
     "tier_consistency_audit",
+    "late_arrival_stats",
 )
 
 _ROWS_ONLY_R3 = (
@@ -2308,6 +2318,24 @@ SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types
 FROM documents
+""",
+        "late_arrival_stats": """
+WITH d AS (
+  SELECT event_type AS source,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         epoch_us(ts) AS tsu,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM events)
+SELECT source, day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(CASE WHEN prevmax > tsu THEN 1 END), 0) AS BIGINT)
+         AS n_late,
+       CAST(coalesce(max(CASE WHEN prevmax > tsu THEN prevmax - tsu END), 0)
+            AS BIGINT) AS max_lateness_us
+FROM d GROUP BY 1, 2
 """,
         "tier_consistency_audit": f"""
 WITH fine AS (

@@ -211,3 +211,51 @@ def test_tier_consistency_audit(tmp_path, ray_session):
     for r in out.itertuples():
         assert r.n_agree == r.n_buckets == exp.loc[r.source, "n_buckets"]
         assert r.sum_cents == exp.loc[r.source, "sum_cents"]
+
+
+def test_late_arrival_stats_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import late_arrival_stats
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    base = 1_700_000_000 * US
+    # arrival order (event_id) deliberately decoupled from ts so most
+    # days contain genuine late arrivals
+    tbl = pa.table(
+        {
+            "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+            "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "ts": pa.array(
+                (base + rng.integers(0, 2 * DAY, n)).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(
+                [f"type_{i}" for i in rng.integers(0, 4, n)], pa.string()
+            ),
+            "value": pa.array(np.round(rng.normal(50, 40, n), 2)),
+        }
+    )
+    out = (
+        late_arrival_stats(ray.data.from_arrow(tbl).repartition(7))
+        .to_pandas()
+        .set_index(["source", "day"])
+    )
+    df = tbl.to_pandas()
+    df["tsu"] = tbl["ts"].cast(pa.int64()).to_numpy()
+    df["day"] = df["tsu"] - df["tsu"] % DAY
+    df = df.sort_values(["event_type", "day", "event_id"])
+    n_rows = 0
+    any_late = False
+    for (src, day), g in df.groupby(["event_type", "day"]):
+        n_rows += 1
+        tsu = g["tsu"].to_numpy()
+        prevmax = np.maximum.accumulate(tsu)[:-1]
+        late = prevmax > tsu[1:]
+        any_late = any_late or late.any()
+        r = out.loc[(src, pd.Timestamp(day, unit="us"))]
+        assert r["n_events"] == len(g)
+        assert r["n_late"] == int(late.sum())
+        exp_max = int((prevmax - tsu[1:])[late].max()) if late.any() else 0
+        assert r["max_lateness_us"] == exp_max
+    assert len(out) == n_rows
+    assert any_late  # the fixture must actually exercise the late path

@@ -3048,3 +3048,101 @@ def delta_sign_flips(
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def late_arrival_stats(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Out-of-order-ingestion profile per (source, day): walking the
+    stream in ARRIVAL order (event_id — the corpus's ingestion
+    sequence), count events whose timestamp is older than the maximum
+    timestamp already seen in that day's run, and the worst such
+    lateness — the measurement behind watermark/allowed-lateness
+    choices in a streaming tier (how long must a bucket stay open
+    before it can be finalized?).
+
+    Segmented running max without a Python loop: rows sort by
+    (source, day, event_id); day-relative timestamps (< 2**37 us) are
+    biased by run_index * 2**37 so ONE global np.maximum.accumulate
+    computes every run's prefix max at once (int64 headroom allows
+    2**26 runs per task — loudly guarded); the previous-row shift plus
+    a run-start mask gives "max seen strictly before me". All int64.
+
+    Output: (source, day, n_events, n_late, max_lateness_us).
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+    BIAS = np.int64(1) << np.int64(37)  # > any day-relative ts (86.4e9 us)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+                "ts": pa.array(ts_np, pa.int64()),
+                "event_id": b["event_id"],
+            }
+        )
+        return with_part(t, ["source", "day"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "day": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_late": pa.array([], pa.int64()),
+                    "max_lateness_us": pa.array([], pa.int64()),
+                }
+            )
+        starts = run_starts_table(g, ["source", "day"])
+        if len(starts) >= (1 << 26):
+            raise ValueError(
+                "late_arrival_stats: >2**26 (source, day) runs in one "
+                "partition — raise num_partitions (int64 bias headroom)"
+            )
+        lens = np.diff(np.r_[starts, n])
+        tsv = g["ts"].to_numpy(zero_copy_only=False)
+        dayv = g["day"].to_numpy(zero_copy_only=False)
+        rel = tsv - dayv  # day-relative: [0, 86.4e9) < 2**37
+        run_idx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        biased = rel + run_idx * BIAS
+        cmax = np.maximum.accumulate(biased)
+        prevmax = np.empty(n, dtype=np.int64)
+        prevmax[1:] = cmax[:-1]
+        prevmax[starts] = np.iinfo(np.int64).min  # no predecessor in run
+        lateness = (prevmax - run_idx * BIAS) - rel  # >0 => late arrival
+        late = np.zeros(n, dtype=bool)
+        mask = np.ones(n, dtype=bool)
+        mask[starts] = False
+        late[mask] = lateness[mask] > 0
+        i64 = np.int64
+        n_late = np.add.reduceat(late.astype(i64), starts)
+        capped = np.where(late, lateness, 0)
+        max_late = np.maximum.reduceat(capped, starts)
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(starts)),
+                "day": pa.array(dayv[starts], pa.timestamp("us")),
+                "n_events": pa.array(lens.astype(i64), pa.int64()),
+                "n_late": pa.array(n_late, pa.int64()),
+                "max_lateness_us": pa.array(max_late, pa.int64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
