@@ -1511,6 +1511,143 @@ def _q_vocab_jaccard(sf_dir: str):
     return vocab_jaccard_sources(_documents(sf_dir))
 
 
+def _q_cusum_drift(sf_dir: str):
+    """CUSUM changepoint/drift statistic per (source, day) vs the
+    per-day integer median — vectorized via the prefix-min identity."""
+    from workbook_exporter_fe_ray.stages.window import cusum_drift
+
+    return cusum_drift(_events(sf_dir))
+
+
+def _q_autocorr_lag1(sf_dir: str):
+    """Lag-1 autocorrelation of value cents per (source, day)."""
+    from workbook_exporter_fe_ray.stages.window import autocorr_lag1
+
+    return autocorr_lag1(_events(sf_dir))
+
+
+def _q_ratio_to_total(sf_dir: str):
+    """Each source's share of hourly traffic (PromQL ratio-to-sum)."""
+    from workbook_exporter_fe_ray.stages.window import ratio_to_total_1h
+
+    return ratio_to_total_1h(_events(sf_dir))
+
+
+def _q_seasonal_naive_mae(sf_dir: str):
+    """Seasonal-naive (hour-24h) forecast MAE per source."""
+    from workbook_exporter_fe_ray.stages.window import seasonal_naive_mae
+
+    return seasonal_naive_mae(_events(sf_dir))
+
+
+def _q_prefix_dup_groups(sf_dir: str):
+    """Shared-prefix template screen per source (first-8-token groups)."""
+    from workbook_exporter_fe_ray.stages.text import prefix_dup_groups
+
+    return prefix_dup_groups(_documents(sf_dir), k=8)
+
+
+def _q_bigram_vocab_size(sf_dir: str):
+    """Distinct adjacent-bigram vocabulary size per source."""
+    from workbook_exporter_fe_ray.stages.text import bigram_vocab_size
+
+    return bigram_vocab_size(_documents(sf_dir))
+
+
+def _q_embedding_quant_stats(sf_dir: str):
+    """Per-label embedding moments via exact floor-quantization."""
+    from workbook_exporter_fe_ray.stages.similarity import embedding_quant_stats
+
+    return embedding_quant_stats(_embeddings(sf_dir))
+
+
+def _q_pmi_top_bigrams(sf_dir: str):
+    """Top-20 collocations by PMI (min support 5)."""
+    from workbook_exporter_fe_ray.stages.text import pmi_top_bigrams
+
+    return pmi_top_bigrams(_documents(sf_dir), k=20, min_count=5)
+
+
+def _q_token_len_histogram(sf_dir: str):
+    """Token-length histogram (tokenizer design diagnostic)."""
+    from workbook_exporter_fe_ray.stages.text import token_len_histogram
+
+    return token_len_histogram(_documents(sf_dir))
+
+
+def _q_dup_cluster_size_hist(sf_dir: str):
+    """Exact-duplicate cluster-size profile over document texts."""
+    from workbook_exporter_fe_ray.stages.text import dup_cluster_size_hist
+
+    return dup_cluster_size_hist(_documents(sf_dir))
+
+
+def _q_top_event_per_day(sf_dir: str):
+    """Per-(source, day) argmax event with deterministic tie-break."""
+    from workbook_exporter_fe_ray.stages.window import top_event_per_day
+
+    return top_event_per_day(_events(sf_dir))
+
+
+_NDJSON_FIXTURE = "/tmp/wfer_docs.jsonl"
+
+
+def _q_ndjson_ingest_stats(sf_dir: str):
+    """NDJSON ingest (S1 source breadth): read the log-ish fixture via
+    the extension-dispatched reader, profile per language."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from workbook_exporter_fe_ray.sources import read_auto
+    from workbook_exporter_fe_ray.sources.formats import synth_docs_jsonl
+
+    synth_docs_jsonl(_NDJSON_FIXTURE)
+    ds = read_auto(_NDJSON_FIXTURE)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": b["lang"],
+                "n_docs": pa.array(np.ones(len(b), np.int64)),
+                "sum_chars": pc.cast(b["n_chars"], pa.int64()),
+                "sum_lines": pc.cast(b["n_lines"], pa.int64()),
+                "max_chars": pc.cast(b["n_chars"], pa.int64()),
+            }
+        )
+        g = t.group_by("lang").aggregate(
+            [
+                ("n_docs", "sum"),
+                ("sum_chars", "sum"),
+                ("sum_lines", "sum"),
+                ("max_chars", "max"),
+            ]
+        )
+        return g.rename_columns(
+            ["lang", "n_docs", "sum_chars", "sum_lines", "max_chars"]
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("n_docs"), Sum("sum_chars"), Sum("sum_lines"), Max("max_chars"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "n_docs": pc.cast(b["sum(n_docs)"], pa.int64()),
+                "sum_chars": pc.cast(b["sum(sum_chars)"], pa.int64()),
+                "sum_lines": pc.cast(b["sum(sum_lines)"], pa.int64()),
+                "max_chars": pc.cast(b["max(max_chars)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -1559,6 +1696,18 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "vocab_jaccard_sources": _q_vocab_jaccard,  # cross-corpus overlap (r4)
         "tier_consistency_audit": _q_tier_consistency,  # cascade integrity (r4)
         "late_arrival_stats": _q_late_arrival,      # watermark diagnostic (r4)
+        "cusum_drift": _q_cusum_drift,              # CUSUM changepoint (r4)
+        "autocorr_lag1": _q_autocorr_lag1,          # mean-reversion screen (r4)
+        "ratio_to_total_1h": _q_ratio_to_total,     # PromQL share-of-sum (r4)
+        "seasonal_naive_mae": _q_seasonal_naive_mae,  # forecast-error gate (r4)
+        "prefix_dup_groups": _q_prefix_dup_groups,  # template-prefix screen (r4)
+        "bigram_vocab_size": _q_bigram_vocab_size,  # bigram vocab growth (r4)
+        "embedding_quant_stats": _q_embedding_quant_stats,  # exact emb moments (r4)
+        "pmi_top_bigrams": _q_pmi_top_bigrams,      # collocation mining (r4)
+        "ndjson_ingest_stats": _q_ndjson_ingest_stats,  # NDJSON source (r4)
+        "token_len_histogram": _q_token_len_histogram,  # tokenizer diag (r4)
+        "dup_cluster_size_hist": _q_dup_cluster_size_hist,  # dup profile (r4)
+        "top_event_per_day": _q_top_event_per_day,  # grouped argmax (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1724,6 +1873,18 @@ _NEW_R4 = (
     "vocab_jaccard_sources",
     "tier_consistency_audit",
     "late_arrival_stats",
+    "cusum_drift",
+    "autocorr_lag1",
+    "ratio_to_total_1h",
+    "seasonal_naive_mae",
+    "prefix_dup_groups",
+    "bigram_vocab_size",
+    "embedding_quant_stats",
+    "pmi_top_bigrams",
+    "ndjson_ingest_stats",
+    "token_len_histogram",
+    "dup_cluster_size_hist",
+    "top_event_per_day",
 )
 
 _ROWS_ONLY_R3 = (
@@ -1854,6 +2015,9 @@ def oracle_sql() -> dict[str, str]:
     _ensure_dims_truth()
     _ensure_frames_truth()
     _ensure_scenes_truth()
+    from workbook_exporter_fe_ray.sources.formats import synth_docs_jsonl
+
+    synth_docs_jsonl(_NDJSON_FIXTURE)
     return {
         "rollup_1m": _rollup_sql("date_trunc('minute', ts)"),
         # the salted two-phase path must produce EXACTLY the same values
@@ -2336,6 +2500,179 @@ SELECT source, day,
        CAST(coalesce(max(CASE WHEN prevmax > tsu THEN prevmax - tsu END), 0)
             AS BIGINT) AS max_lateness_us
 FROM d GROUP BY 1, 2
+""",
+        "cusum_drift": f"""
+WITH d AS (
+  SELECT event_type AS source,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         ts, event_id, {_CENTS} AS c
+  FROM events),
+med AS (
+  SELECT source, day, c AS med FROM (
+    SELECT source, day, c,
+           row_number() OVER (PARTITION BY source, day ORDER BY c) AS rn,
+           count(*) OVER (PARTITION BY source, day) AS n
+    FROM d) WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+p AS (
+  SELECT d.source, d.day, d.ts, d.event_id, med.med,
+         sum(d.c - med.med) OVER (PARTITION BY d.source, d.day
+             ORDER BY d.ts, d.event_id) AS pp
+  FROM d JOIN med USING (source, day)),
+s AS (
+  SELECT source, day, med,
+         pp - least(0, min(pp) OVER (PARTITION BY source, day
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cu
+  FROM p)
+SELECT source, day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(med AS BIGINT) AS med_cents,
+       CAST(max(cu) AS BIGINT) AS max_cusum,
+       CAST(coalesce(sum(CASE WHEN cu > 50000 THEN 1 END), 0) AS BIGINT)
+         AS n_over
+FROM s GROUP BY 1, 2, med
+""",
+        "autocorr_lag1": f"""
+WITH d AS (
+  SELECT event_type AS source,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         {_CENTS} AS y,
+         lag({_CENTS}) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                             ORDER BY ts, event_id) AS x
+  FROM events),
+s AS (
+  SELECT source, day,
+         count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+         CAST(sum(x*y) AS BIGINT) AS sxy
+  FROM d WHERE x IS NOT NULL GROUP BY 1, 2
+  HAVING count(*) >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0)
+SELECT source, day, CAST(n AS BIGINT) AS n_pairs,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_lag1
+FROM s
+""",
+        "ratio_to_total_1h": """
+WITH c AS (
+  SELECT event_type AS source,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT source, hour,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(sum(n) OVER (PARTITION BY hour) AS BIGINT) AS n_total,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY hour) AS DOUBLE) AS share
+FROM c
+""",
+        "seasonal_naive_mae": f"""
+WITH b AS (
+  SELECT event_type AS source,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         CAST(sum({_CENTS}) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2),
+j AS (
+  SELECT b.source, abs(b.s - p.s) AS err
+  FROM b JOIN b p ON p.source = b.source
+                 AND p.hour = b.hour - INTERVAL 24 HOUR)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(sum(err) AS BIGINT) AS total_abs_err,
+       CAST(sum(err) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mae_cents
+FROM j GROUP BY 1
+""",
+        "prefix_dup_groups": """
+WITH p AS (
+  SELECT source,
+         array_to_string((string_split(text, ' '))[1:8], ' ') AS pre
+  FROM documents),
+g AS (SELECT source, pre, count(*) AS n FROM p GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_prefix_groups,
+       CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+         AS n_dup_docs
+FROM g GROUP BY 1
+""",
+        "bigram_vocab_size": """
+WITH toks AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+bg AS (
+  SELECT source,
+         unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS bigram
+  FROM toks)
+SELECT source, CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams
+FROM bg GROUP BY 1
+""",
+        "embedding_quant_stats": """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+       CAST(max(len(embedding)) AS BIGINT) AS dim_max,
+       CAST(sum(list_sum([CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+                               AS BIGINT) for x in embedding]))
+            AS BIGINT) AS sum_q,
+       CAST(sum(list_sum([CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+                               AS BIGINT)
+                          * CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+                                 AS BIGINT) for x in embedding]))
+            AS BIGINT) AS sum_q2
+FROM embeddings GROUP BY 1
+""",
+        "pmi_top_bigrams": """
+WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+uni AS (SELECT unnest(l) AS w FROM toks),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+n AS (SELECT count(*) AS total FROM uni),
+bc AS (
+  SELECT bigram, count(*) AS cxy FROM (
+    SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS bigram
+    FROM toks) GROUP BY 1),
+b2 AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2,
+         cxy
+  FROM bc WHERE cxy >= 5)
+SELECT b2.w1, b2.w2, CAST(b2.cxy AS BIGINT) AS c_xy,
+       CAST(u1.c AS BIGINT) AS c_x, CAST(u2.c AS BIGINT) AS c_y,
+       ln((CAST(b2.cxy AS DOUBLE) * CAST(n.total AS DOUBLE))
+          / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) AS pmi
+FROM b2 JOIN uc u1 ON u1.w = b2.w1 JOIN uc u2 ON u2.w = b2.w2, n
+ORDER BY pmi DESC, b2.w1, b2.w2 LIMIT 20
+""",
+        "ndjson_ingest_stats": f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(n_lines) AS BIGINT) AS sum_lines,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM read_json_auto('{_NDJSON_FIXTURE}') GROUP BY 1
+""",
+        "token_len_histogram": """
+WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+t AS (SELECT unnest(l) AS w FROM toks)
+SELECT CAST(length(w) AS BIGINT) AS tok_len,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM t GROUP BY 1
+""",
+        "dup_cluster_size_hist": """
+WITH g AS (SELECT text, count(*) AS sz FROM documents GROUP BY 1)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs
+FROM g GROUP BY sz
+""",
+        "top_event_per_day": f"""
+SELECT source, day, event_id, ts, c AS max_cents FROM (
+  SELECT event_type AS source,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         event_id, ts, {_CENTS} AS c,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY {_CENTS} DESC, event_id) AS rn
+  FROM events) WHERE rn = 1
 """,
         "tier_consistency_audit": f"""
 WITH fine AS (

@@ -1,0 +1,447 @@
+"""Round-4d operators vs brute-force single-process references:
+CUSUM drift, lag-1 autocorrelation, and hourly ratio-to-total."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from workbook_exporter_fe_ray.stages.window import (
+    autocorr_lag1,
+    cusum_drift,
+    ratio_to_total_1h,
+)
+
+US = 1_000_000
+DAY = 86_400 * US
+HOUR = 3_600 * US
+
+
+def _events_table(n=6000, seed=23) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    base = 1_700_000_000 * US
+    ts = base + rng.integers(0, 3 * DAY, n)
+    ts[100:120] = ts[99]  # ties pin the (ts, event_id) tie-break
+    # a drifting segment so CUSUM has a real changepoint to find
+    vals = np.round(rng.normal(50, 40, n), 2)
+    vals[3000:3400] += 250.0
+    vals[500:560] = vals[499]  # flat runs: zero variance pairs exist
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+            "ts": pa.array(ts.astype(np.int64), pa.timestamp("us")),
+            "event_type": pa.array(
+                [f"type_{i}" for i in rng.integers(0, 5, n)], pa.string()
+            ),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+
+
+def _prepped(tbl: pa.Table) -> pd.DataFrame:
+    df = tbl.to_pandas()
+    df["c"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+    df["tsu"] = tbl["ts"].cast(pa.int64()).to_numpy()
+    df["day"] = df["tsu"] - df["tsu"] % DAY
+    return df.sort_values(["event_type", "tsu", "event_id"])
+
+
+def test_cusum_drift_vs_brute(ray_session):
+    tbl = _events_table()
+    out = (
+        cusum_drift(ray.data.from_arrow(tbl).repartition(6), thresh_cents=50_000)
+        .to_pandas()
+        .set_index(["source", "day"])
+        .sort_index()
+    )
+    df = _prepped(tbl)
+    n_expected = 0
+    for (src, day), g in df.groupby(["event_type", "day"]):
+        n_expected += 1
+        c = g["c"].to_numpy()
+        med = int(np.sort(c)[(len(c) + 1) // 2 - 1])
+        s = 0
+        mx = 0
+        n_over = 0
+        for v in c:
+            s = max(0, s + (int(v) - med))
+            mx = max(mx, s)
+            n_over += s > 50_000
+        r = out.loc[(src, pd.Timestamp(day, unit="us"))]
+        assert r["n_events"] == len(c)
+        assert r["med_cents"] == med
+        assert r["max_cusum"] == mx
+        assert r["n_over"] == n_over
+    assert len(out) == n_expected
+
+
+def test_autocorr_lag1_vs_brute(ray_session):
+    tbl = _events_table()
+    out = (
+        autocorr_lag1(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index(["source", "day"])
+        .sort_index()
+    )
+    df = _prepped(tbl)
+    n_expected = 0
+    for (src, day), g in df.groupby(["event_type", "day"]):
+        c = g["c"].to_numpy()
+        if len(c) < 3:
+            continue
+        x, y = c[:-1].astype(object), c[1:].astype(object)
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxx, syy, sxy = sum(x * x), sum(y * y), sum(x * y)
+        if n < 2 or n * sxx - sx * sx <= 0 or n * syy - sy * sy <= 0:
+            continue
+        n_expected += 1
+        f = np.float64
+        corr = (f(n) * f(sxy) - f(sx) * f(sy)) / (
+            np.sqrt(f(n) * f(sxx) - f(sx) * f(sx))
+            * np.sqrt(f(n) * f(syy) - f(sy) * f(sy))
+        )
+        r = out.loc[(src, pd.Timestamp(day, unit="us"))]
+        assert r["n_pairs"] == n
+        # bit-identical: same pinned float evaluation order
+        assert np.float64(r["corr_lag1"]).view(np.int64) == corr.view(np.int64)
+    assert len(out) == n_expected
+
+
+def test_autocorr_constant_run_filtered(ray_session):
+    # one source whose values never change -> zero variance -> no row
+    n = 64
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(np.zeros(n, np.int64)),
+            "ts": pa.array(
+                (1_700_000_000 * US + np.arange(n) * US).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(["flat"] * n, pa.string()),
+            "value": pa.array(np.full(n, 7.25), pa.float64()),
+        }
+    )
+    out = autocorr_lag1(ray.data.from_arrow(tbl)).to_pandas()
+    assert len(out) == 0
+
+
+def test_ratio_to_total_vs_brute(ray_session):
+    tbl = _events_table()
+    out = (
+        ratio_to_total_1h(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .sort_values(["hour", "source"])
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    df["tsu"] = tbl["ts"].cast(pa.int64()).to_numpy()
+    df["hour"] = df["tsu"] - df["tsu"] % HOUR
+    g = (
+        df.groupby(["hour", "event_type"])
+        .size()
+        .rename("n")
+        .reset_index()
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    g["tot"] = g.groupby("hour")["n"].transform("sum")
+    assert len(out) == len(g)
+    assert (out["source"].to_numpy() == g["event_type"].to_numpy()).all()
+    assert (out["n_events"].to_numpy() == g["n"].to_numpy()).all()
+    assert (out["n_total"].to_numpy() == g["tot"].to_numpy()).all()
+    share = g["n"].to_numpy().astype(np.float64) / g["tot"].to_numpy().astype(
+        np.float64
+    )
+    assert (out["share"].to_numpy().view(np.int64) == share.view(np.int64)).all()
+    # shares of one hour sum to ~1
+    sums = out.groupby("hour")["share"].sum()
+    assert np.allclose(sums.to_numpy(), 1.0)
+
+
+def test_seasonal_naive_mae_vs_brute(ray_session):
+    tbl = _events_table(n=8000, seed=31)
+    from workbook_exporter_fe_ray.stages.window import seasonal_naive_mae
+
+    out = (
+        seasonal_naive_mae(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    df = tbl.to_pandas()
+    df["c"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+    df["tsu"] = tbl["ts"].cast(pa.int64()).to_numpy()
+    df["hour"] = df["tsu"] - df["tsu"] % HOUR
+    b = df.groupby(["event_type", "hour"])["c"].sum().rename("s").reset_index()
+    n_expected = 0
+    for src, g in b.groupby("event_type"):
+        m = dict(zip(g["hour"], g["s"]))
+        errs = [
+            abs(int(s) - int(m[h - 24 * HOUR]))
+            for h, s in zip(g["hour"], g["s"])
+            if h - 24 * HOUR in m
+        ]
+        if not errs:
+            continue
+        n_expected += 1
+        r = out.loc[src]
+        assert r["n_scored"] == len(errs)
+        assert r["total_abs_err"] == sum(errs)
+        exp = np.float64(np.int64(sum(errs))) / np.float64(np.int64(len(errs)))
+        assert np.float64(r["mae_cents"]).view(np.int64) == exp.view(np.int64)
+    assert len(out) == n_expected
+
+
+def _docs_table(n=400, seed=7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i}" for i in range(50)])
+    texts = [
+        " ".join(vocab[rng.integers(0, 50, rng.integers(1, 30))]) for _ in range(n)
+    ]
+    # planted shared prefixes: 3 SAME-SOURCE docs (9 % 3 == 12 % 3 ==
+    # 15 % 3 == 0) with an identical 8-token intro
+    intro = "w1 w2 w3 w4 w5 w6 w7 w8"
+    texts[9] = intro + " " + texts[9]
+    texts[12] = intro + " " + texts[12]
+    texts[15] = intro + " " + texts[15]
+    return pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(n)], pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array([f"s{i % 3}" for i in range(n)], pa.string()),
+        }
+    )
+
+
+def test_prefix_dup_groups_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.text import prefix_dup_groups
+
+    tbl = _docs_table()
+    out = (
+        prefix_dup_groups(ray.data.from_arrow(tbl).repartition(5), k=8)
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    df = tbl.to_pandas()
+    df["pre"] = df["text"].str.split(" ").apply(lambda l: " ".join(l[:8]))
+    g = df.groupby(["source", "pre"]).size().rename("n").reset_index()
+    for src, gg in g.groupby("source"):
+        r = out.loc[src]
+        assert r["n_docs"] == gg["n"].sum()
+        assert r["n_prefix_groups"] == len(gg)
+        assert r["n_dup_docs"] == gg.loc[gg["n"] > 1, "n"].sum()
+    # the planted intro produced at least one dup group somewhere
+    assert out["n_dup_docs"].sum() >= 3
+
+
+def test_bigram_vocab_size_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.text import bigram_vocab_size
+
+    tbl = _docs_table(seed=11)
+    out = (
+        bigram_vocab_size(ray.data.from_arrow(tbl).repartition(5))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    df = tbl.to_pandas()
+    agg: dict[str, set] = {}
+    for src, t in zip(df["source"], df["text"]):
+        l = t.split(" ")
+        agg.setdefault(src, set()).update(
+            l[i] + " " + l[i + 1] for i in range(len(l) - 1)
+        )
+    assert len(out) == len(agg)
+    for src, v in agg.items():
+        assert out.loc[src, "n_distinct_bigrams"] == len(v)
+
+
+def test_embedding_quant_stats_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.similarity import embedding_quant_stats
+
+    rng = np.random.default_rng(3)
+    vecs = [rng.normal(0, 0.2, 64).astype(np.float32) for _ in range(200)]
+    vecs[5] = rng.normal(0, 0.2, 32).astype(np.float32)  # ragged dim
+    vecs[7] = np.zeros(0, np.float32)  # empty vector
+    labels = rng.integers(0, 4, 200).astype(np.int32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    out = (
+        embedding_quant_stats(ray.data.from_arrow(tbl).repartition(5))
+        .to_pandas()
+        .set_index("label")
+        .sort_index()
+    )
+    exp: dict[int, list] = {}
+    for v, lb in zip(vecs, labels):
+        q = np.floor(v.astype(np.float64) * 1e6).astype(np.int64)
+        r = exp.setdefault(int(lb), [0, 1 << 62, -1, 0, 0])
+        r[0] += 1
+        r[1] = min(r[1], len(v))
+        r[2] = max(r[2], len(v))
+        r[3] += int(q.sum())
+        r[4] += int((q * q).sum())
+    assert len(out) == len(exp)
+    for lb, (n, dmin, dmax, sq, sq2) in exp.items():
+        r = out.loc[lb]
+        assert r["n_vecs"] == n
+        assert r["dim_min"] == dmin
+        assert r["dim_max"] == dmax
+        assert r["sum_q"] == sq
+        assert r["sum_q2"] == sq2
+
+
+def test_pmi_top_bigrams_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.text import pmi_top_bigrams
+
+    tbl = _docs_table(n=600, seed=13)
+    out = (
+        pmi_top_bigrams(
+            ray.data.from_arrow(tbl).repartition(5), k=15, min_count=4
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    # brute force
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    total = 0
+    for t in tbl["text"].to_pylist():
+        l = t.split(" ")
+        total += len(l)
+        for w in l:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(l[:-1], l[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    import math
+
+    f = np.float64
+    cand = []
+    for (a, b), cxy in bi.items():
+        if cxy < 4:
+            continue
+        # libm log, matching the engine and DuckDB ln
+        pmi = np.float64(math.log((f(cxy) * f(total)) / (f(uni[a]) * f(uni[b]))))
+        cand.append((a, b, cxy, uni[a], uni[b], pmi))
+    cand.sort(key=lambda r: (-r[5], r[0], r[1]))
+    exp = cand[:15]
+    assert len(out) == len(exp)
+    for i, (a, b, cxy, cx, cy, pmi) in enumerate(exp):
+        r = out.iloc[i]
+        assert (r["w1"], r["w2"]) == (a, b)
+        assert r["c_xy"] == cxy and r["c_x"] == cx and r["c_y"] == cy
+        assert np.float64(r["pmi"]).view(np.int64) == np.float64(pmi).view(np.int64)
+
+
+def test_ndjson_ingest_stats_vs_brute(ray_session):
+    import json
+
+    import __ray_entry__ as E
+
+    out = (
+        E.queries()["ndjson_ingest_stats"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    exp: dict[str, list] = {}
+    with open(E._NDJSON_FIXTURE) as fh:
+        for line in fh:
+            d = json.loads(line)
+            r = exp.setdefault(d["lang"], [0, 0, 0, 0])
+            r[0] += 1
+            r[1] += d["n_chars"]
+            r[2] += d["n_lines"]
+            r[3] = max(r[3], d["n_chars"])
+    assert len(out) == len(exp)
+    for lang, (n, sc, sl, mx) in exp.items():
+        r = out.loc[lang]
+        assert r["n_docs"] == n
+        assert r["sum_chars"] == sc
+        assert r["sum_lines"] == sl
+        assert r["max_chars"] == mx
+
+
+def test_token_len_histogram_vs_brute(ray_session):
+    from collections import Counter
+
+    from workbook_exporter_fe_ray.stages.text import token_len_histogram
+
+    tbl = _docs_table(n=300, seed=19)
+    out = (
+        token_len_histogram(ray.data.from_arrow(tbl).repartition(5))
+        .to_pandas()
+        .set_index("tok_len")
+        .sort_index()
+    )
+    c: Counter = Counter()
+    for t in tbl["text"].to_pylist():
+        for w in t.split(" "):
+            c[len(w)] += 1
+    assert len(out) == len(c)
+    for ln, n in c.items():
+        assert out.loc[ln, "n_tokens"] == n
+
+
+def test_dup_cluster_size_hist_planted(ray_session):
+    from collections import Counter
+
+    from workbook_exporter_fe_ray.stages.text import dup_cluster_size_hist
+
+    tbl = _docs_table(n=300, seed=29)
+    texts = tbl["text"].to_pylist()
+    # plant a size-4 and a size-3 exact-duplicate cluster
+    for i in (40, 80, 120, 160):
+        texts[i] = "dup cluster alpha body"
+    for i in (55, 95, 135):
+        texts[i] = "dup cluster beta body"
+    tbl = tbl.set_column(1, "text", pa.array(texts, pa.string()))
+    out = (
+        dup_cluster_size_hist(ray.data.from_arrow(tbl).repartition(7))
+        .to_pandas()
+        .set_index("cluster_size")
+        .sort_index()
+    )
+    sizes = Counter(Counter(texts).values())
+    assert len(out) == len(sizes)
+    for sz, n in sizes.items():
+        assert out.loc[sz, "n_clusters"] == n
+        assert out.loc[sz, "n_docs"] == sz * n
+    assert out.loc[4, "n_clusters"] == 1 and out.loc[3, "n_clusters"] == 1
+
+
+def test_top_event_per_day_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import top_event_per_day
+
+    tbl = _events_table(n=5000, seed=41)
+    # plant a tie: two events same day/source/value -> min event_id wins
+    out = (
+        top_event_per_day(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index(["source", "day"])
+        .sort_index()
+    )
+    df = _prepped(tbl)
+    n_expected = 0
+    for (src, day), g in df.groupby(["event_type", "day"]):
+        n_expected += 1
+        g = g.sort_values(["c", "event_id"], ascending=[False, True])
+        r0 = g.iloc[0]
+        r = out.loc[(src, pd.Timestamp(day, unit="us"))]
+        assert r["event_id"] == r0["event_id"]
+        assert r["max_cents"] == r0["c"]
+        assert r["ts"].value // 1000 == r0["tsu"]  # Timestamp.value is ns
+    assert len(out) == n_expected

@@ -91,3 +91,49 @@ def read_auto(
         ds = ray.data.from_arrow(tbl)
         return ds.select_columns(columns) if columns else ds
     raise ValueError(f"unsupported input extension {ext!r} for {path!r}")
+
+
+def synth_docs_jsonl(path: str, n: int = 2400, seed: int = 97) -> str:
+    """Deterministic newline-delimited-JSON ingest fixture — the log-ish
+    format the reference's upload surface never had but a crawl
+    pipeline always does.  Pure-integer/string payload (no floats, so
+    JSON round-tripping is exact on every parser); written atomically
+    so concurrent ensure-calls can't observe a half file.
+
+    Schema per line: doc_id (string), lang (string), source (string),
+    n_chars (int), n_lines (int).
+    """
+    import json
+    import os
+    import tempfile
+
+    import numpy as np
+
+    if os.path.isfile(path):
+        return path
+    rng = np.random.default_rng(seed)
+    langs = ["en", "de", "fr", "es", "pt"]
+    sources = [f"crawl{i}" for i in range(6)]
+    li = rng.integers(0, len(langs), n)
+    si = rng.integers(0, len(sources), n)
+    chars = rng.integers(40, 20_000, n)
+    lines = rng.integers(1, 400, n)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".jsonl")
+    with os.fdopen(fd, "w") as f:
+        for i in range(n):
+            f.write(
+                json.dumps(
+                    {
+                        "doc_id": f"jd{i:06d}",
+                        "lang": langs[int(li[i])],
+                        "source": sources[int(si[i])],
+                        "n_chars": int(chars[i]),
+                        "n_lines": int(lines[i]),
+                    },
+                    separators=(",", ":"),
+                )
+                + "\n"
+            )
+    os.replace(tmp, path)
+    return path

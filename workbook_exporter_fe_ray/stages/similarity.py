@@ -433,3 +433,95 @@ def cosine_neardup_lsh_pairs(
         ),
         batch_format="pyarrow",
     )
+
+
+def embedding_quant_stats(
+    embs: ray.data.Dataset,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: float = 1_000_000.0,
+) -> ray.data.Dataset:
+    """Per-label embedding-distribution summary with EXACT integer
+    arithmetic: components are quantized with ``floor(f8(x) * scale)``
+    (floor is exact on IEEE doubles — no rounding-mode parity trap),
+    then per-block int64 partial sums (n, Σq, Σq²) combine
+    associatively into per-label first/second moments. The schema gate
+    (min/max vector length per label) rides along, so a ragged column
+    is caught in the same pass that profiles it. Map-side work is one
+    zero-copy flatten + reshape per batch; the exchange carries one
+    row per (label, block).
+
+    Output: (label, n_vecs, dim_min, dim_max, sum_q, sum_q2) —
+    all int64, hash-exact vs the list-comprehension SQL.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        arr = b[vec_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * np.float64(scale)).astype(np.int64)
+        if np.abs(q).max(initial=0) >= (1 << 31):
+            raise ValueError(
+                "embedding_quant_stats: |quantized component| >= 2**31 — "
+                "Σq² headroom exhausted, lower the scale"
+            )
+        # per-row segment sums, then per-(label) block partials
+        if len(q):
+            # clip run starts into range (a trailing empty vector would
+            # index past the end — the reduceat trap from ADVICE r3),
+            # then zero the empty rows explicitly
+            offs = np.minimum(np.r_[0, np.cumsum(lens)[:-1]], len(q) - 1)
+            row_q = np.add.reduceat(q, offs)
+            row_q2 = np.add.reduceat(q * q, offs)
+            row_q[lens == 0] = 0
+            row_q2[lens == 0] = 0
+        else:
+            row_q = np.zeros(len(b), np.int64)
+            row_q2 = np.zeros(len(b), np.int64)
+        t = pa.table(
+            {
+                "label": pc.cast(b[label_col], pa.int64()),
+                "n_vecs": pa.array(np.ones(len(b), np.int64)),
+                "dim_min": pa.array(lens.astype(np.int64)),
+                "dim_max": pa.array(lens.astype(np.int64)),
+                "sum_q": pa.array(row_q),
+                "sum_q2": pa.array(row_q2),
+            }
+        )
+        g = t.group_by("label").aggregate(
+            [
+                ("n_vecs", "sum"),
+                ("dim_min", "min"),
+                ("dim_max", "max"),
+                ("sum_q", "sum"),
+                ("sum_q2", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["label", "n_vecs", "dim_min", "dim_max", "sum_q", "sum_q2"]
+        )
+
+    agg = (
+        embs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(
+            Sum("n_vecs"), Min("dim_min"), Max("dim_max"), Sum("sum_q"), Sum("sum_q2")
+        )
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": pc.cast(b["label"], pa.int64()),
+                "n_vecs": pc.cast(b["sum(n_vecs)"], pa.int64()),
+                "dim_min": pc.cast(b["min(dim_min)"], pa.int64()),
+                "dim_max": pc.cast(b["max(dim_max)"], pa.int64()),
+                "sum_q": pc.cast(b["sum(sum_q)"], pa.int64()),
+                "sum_q2": pc.cast(b["sum(sum_q2)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

@@ -1151,3 +1151,430 @@ def vocab_jaccard_sources(
     return summed.repartition(1).map_batches(
         _finish, batch_format="pyarrow"
     )
+
+
+def prefix_dup_groups(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 8,
+) -> ray.data.Dataset:
+    """Prefix-duplicate screen per source: how many documents share
+    their first ``k`` whitespace tokens with another document of the
+    same source — the cheap boilerplate/template detector run before
+    the expensive MinHash pass (shared intros are the dominant
+    template signal in crawled corpora).  The exchange carries one row
+    per DISTINCT (source, prefix) — block-local Arrow partials count
+    duplicates before the shuffle — and the per-source rollup is a
+    second, sources-bounded aggregation of int64 partials.
+
+    Output: (source, n_docs, n_prefix_groups, n_dup_docs) —
+    n_dup_docs counts documents in prefix groups of size >= 2.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        prefix = pc.binary_join(pc.list_slice(toks, 0, k), " ")
+        t = pa.table({"source": b["source"], "prefix": prefix})
+        g = t.group_by(["source", "prefix"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "prefix", "n"])
+
+    groups = (
+        docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "prefix"])
+        .sum("n")
+    )
+
+    def _stats(b: pa.Table) -> pa.Table:
+        nv = pc.cast(b["sum(n)"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["source"],
+                "n_docs": pa.array(nv),
+                "n_prefix_groups": pa.array(np.ones(len(b), np.int64)),
+                "n_dup_docs": pa.array(np.where(nv > 1, nv, 0)),
+            }
+        )
+        g = t.group_by("source").aggregate(
+            [("n_docs", "sum"), ("n_prefix_groups", "sum"), ("n_dup_docs", "sum")]
+        )
+        return g.rename_columns(
+            ["source", "n_docs", "n_prefix_groups", "n_dup_docs"]
+        )
+
+    agg = (
+        groups.map_batches(_stats, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs"), Sum("n_prefix_groups"), Sum("n_dup_docs"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_docs": pc.cast(b["sum(n_docs)"], pa.int64()),
+                "n_prefix_groups": pc.cast(b["sum(n_prefix_groups)"], pa.int64()),
+                "n_dup_docs": pc.cast(b["sum(n_dup_docs)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def bigram_vocab_size(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Distinct adjacent-bigram count per source — the vocabulary-growth
+    side of the Gopher repetition screens (a slice whose bigram
+    vocabulary stops growing is template-dominated even when unigram
+    vocabulary looks healthy).  Block-local distinct (source, bigram)
+    partials route by a hash of BOTH keys so each sweep task
+    deduplicates its partition exactly (every copy of a pair lands
+    together) and emits per-source int64 partial counts; the final
+    rollup is a sources-bounded groupby-sum.  Bigrams join with a
+    single space — bijective, since tokens are the split fields of
+    that very separator.
+
+    Output: (source, n_distinct_bigrams).
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]  # normalize sliced-array offsets
+        n_rows = len(b)
+        # adjacent pairs within each doc: drop each doc's last token as
+        # a pair start
+        total = len(flat)
+        is_start = np.ones(total, dtype=bool)
+        last_idx = offs[1:] - 1  # last token index per doc (may be -1+off for empty)
+        valid_last = offs[1:] > offs[:-1]
+        is_start[last_idx[valid_last]] = False
+        starts_idx = np.flatnonzero(is_start)
+        if len(starts_idx) == 0:
+            return with_part(
+                pa.table(
+                    {
+                        "source": pa.array([], pa.string()),
+                        "bigram": pa.array([], pa.string()),
+                    }
+                ),
+                ["source", "bigram"],
+                num_partitions,
+            )
+        w1 = flat.take(pa.array(starts_idx))
+        w2 = flat.take(pa.array(starts_idx + 1))
+        doc_of = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+        src = b["source"].take(pa.array(doc_of[starts_idx]))
+        bigram = pc.binary_join_element_wise(w1, w2, " ")
+        t = pa.table({"source": src, "bigram": bigram})
+        distinct = t.group_by(["source", "bigram"]).aggregate([])
+        return with_part(distinct, ["source", "bigram"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[("source", "ascending"), ("bigram", "ascending")]
+        )
+        g = g.take(idx)
+        starts_all = run_starts_table(g, ["source", "bigram"])
+        srcs = g["source"].take(pa.array(starts_all))
+        compact = pa.table({"source": srcs})
+        s_starts = run_starts_table(compact, ["source"])
+        lens = np.diff(np.r_[s_starts, len(compact)])
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(s_starts)),
+                "n": pa.array(lens.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+    )
+    agg = partials.groupby("source").aggregate(Sum("n"))
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_distinct_bigrams": pc.cast(b["sum(n)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def pmi_top_bigrams(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 5,
+    max_vocab: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Collocation mining: top-k adjacent bigrams by pointwise mutual
+    information ``ln(c_xy·N / (c_x·c_y))`` with a minimum-support
+    gate — the phrase-extraction pass a tokenizer-training pipeline
+    runs over a corpus slice.  Two vocabulary-bounded aggregations
+    (unigram counts, bigram counts); the unigram table is materialized
+    once (loud ``max_vocab`` cap), broadcast via ``ray.put`` and read
+    from the object store by every scoring task (never re-shipped per
+    batch); PMI is evaluated in pinned order (f8 products, one
+    division, one ``ln`` — both libm-exact vs DuckDB, proven by
+    ``bm25_score``), and the final total order (pmi DESC, w1, w2)
+    makes float ties deterministic.
+
+    Output: (w1, w2, c_xy, c_x, c_y, pmi) — k rows.
+    """
+    from .sweep import with_part  # noqa: F401  (house import pattern)
+
+    def _uni_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        t = pa.table({"token": toks.flatten()})
+        g = t.group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "n"])
+
+    uni = (
+        docs.map_batches(_uni_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .sum("n")
+        .materialize()
+    )
+    n_vocab = uni.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"pmi_top_bigrams: vocabulary {n_vocab} exceeds max_vocab="
+            f"{max_vocab} — the broadcast lookup would not fit; raise the "
+            "cap explicitly if the cluster has the memory"
+        )
+    chunks = [t for t in ray.get(uni.to_arrow_refs()) if len(t)]
+    uni_tbl = (
+        pa.concat_tables(chunks)
+        if chunks
+        else pa.table({"token": pa.array([], pa.string()), "sum(n)": pa.array([], pa.int64())})
+    )
+    counts = pc.cast(uni_tbl["sum(n)"], pa.int64()).to_numpy(zero_copy_only=False)
+    total = int(counts.sum())
+    lut = dict(zip(uni_tbl["token"].to_pylist(), counts.tolist()))
+    lut_ref = ray.put((lut, total))
+
+    def _bg_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        flat = toks.flatten()
+        total_toks = len(flat)
+        is_start = np.ones(total_toks, dtype=bool)
+        last_idx = offs[1:] - 1
+        valid_last = offs[1:] > offs[:-1]
+        is_start[last_idx[valid_last]] = False
+        starts_idx = np.flatnonzero(is_start)
+        if len(starts_idx) == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "w1": flat.take(pa.array(starts_idx)),
+                "w2": flat.take(pa.array(starts_idx + 1)),
+            }
+        )
+        g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "n"])
+
+    bg = (
+        docs.map_batches(_bg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .sum("n")
+    )
+
+    _cache: dict = {}
+
+    def _score(b: pa.Table) -> pa.Table:
+        import math
+
+        import pandas as pd
+
+        if "lut" not in _cache:
+            _cache["lut"], _cache["total"] = ray.get(lut_ref)
+        lut_l, total_l = _cache["lut"], _cache["total"]
+        cxy = pc.cast(b["sum(n)"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = cxy >= min_count
+        if not keep.any():
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "c_xy": pa.array([], pa.int64()),
+                    "c_x": pa.array([], pa.int64()),
+                    "c_y": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        ki = pa.array(np.flatnonzero(keep))
+        w1 = b["w1"].take(ki)
+        w2 = b["w2"].take(ki)
+        cxy = cxy[keep]
+        cx = pd.Series(w1.to_pylist()).map(lut_l).to_numpy(dtype=np.int64)
+        cy = pd.Series(w2.to_pylist()).map(lut_l).to_numpy(dtype=np.int64)
+        f = np.float64
+        ratio = (cxy.astype(f) * f(total_l)) / (cx.astype(f) * cy.astype(f))
+        # libm log (math.log), NOT np.log: numpy's SIMD log drifts from
+        # DuckDB's ln by 1 ulp on some arguments (the bm25_score lesson,
+        # text.py:325). The loop runs only over support-filtered
+        # candidates — vocabulary-bounded, never the token stream.
+        pmi = np.array([math.log(r) for r in ratio], dtype=np.float64)
+        return pa.table(
+            {
+                "w1": w1,
+                "w2": w2,
+                "c_xy": pa.array(cxy, pa.int64()),
+                "c_x": pa.array(cx, pa.int64()),
+                "c_y": pa.array(cy, pa.int64()),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    scored = bg.map_batches(_score, batch_format="pyarrow")
+    return scored.sort(
+        ["pmi", "w1", "w2"], descending=[True, False, False]
+    ).limit(k)
+
+
+def token_len_histogram(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Token-length (chars) histogram over the whole corpus — the
+    tokenizer-design diagnostic (length distribution drives BPE merge
+    budgets and max-word heuristics).  Per-block dense ``bincount``
+    partials (length domain is tiny) combine by a length-keyed
+    groupby-sum of int64 counts; the token stream itself never crosses
+    the exchange.
+
+    Output: (tok_len, n_tokens) — one row per occurring length.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lens = pc.utf8_length(toks.flatten()).to_numpy(zero_copy_only=False)
+        if len(lens) == 0:
+            return pa.table(
+                {
+                    "tok_len": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        counts = np.bincount(lens)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "tok_len": pa.array(nz.astype(np.int64)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok_len")
+        .aggregate(Sum("n"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tok_len": pc.cast(b["tok_len"], pa.int64()),
+                "n_tokens": pc.cast(b["sum(n)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def dup_cluster_size_hist(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Exact-duplicate cluster-size profile: how many byte-identical
+    text groups exist at each multiplicity — the "how duplicated is
+    this crawl" report read before choosing a dedup budget (a corpus
+    with 10^6 size-2 clusters wants a different pass than one with a
+    single size-10^6 cluster).  Texts route by content hash so each
+    sweep counts its clusters exactly; cluster sizes (small-int domain)
+    then combine in a size-keyed groupby-sum.
+
+    Output: (cluster_size, n_clusters, n_docs) — n_docs = size × count.
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table({"text": b[text_col]})
+        return with_part(t, ["text"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "cluster_size": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(g, sort_keys=[("text", "ascending")])
+        g = g.take(idx)
+        starts = run_starts_table(g, ["text"])
+        sizes = np.diff(np.r_[starts, len(g)])
+        counts = np.bincount(sizes)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "cluster_size": pa.array(nz.astype(np.int64)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    agg = (
+        docs.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        size = pc.cast(b["cluster_size"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = pc.cast(b["sum(n)"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cluster_size": pa.array(size),
+                "n_clusters": pa.array(n),
+                "n_docs": pa.array(size * n),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

@@ -3146,3 +3146,480 @@ def late_arrival_stats(
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def cusum_drift(
+    events: ray.data.Dataset,
+    thresh_cents: int = 50_000,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Changepoint / drift detection per (source, day): the classic
+    CUSUM statistic ``s_i = max(0, s_{i-1} + (x_i - target))`` with the
+    per-day integer MEDIAN as the target, swept in (ts, event_id)
+    order.  The sequential recursion is vectorized through the exact
+    prefix-sum identity ``s_i = P_i - min(0, min_{k<=i} P_k)`` with
+    ``P = cumsum(x - target)`` — a cumsum, one biased
+    ``np.minimum.accumulate`` (segmented per run, same bias idiom as
+    :func:`late_arrival_stats`), and reduceat fan-ins, so the whole
+    day's recursion costs O(n) vectorized work instead of a Python
+    loop.  All arithmetic is int64 → hash-exact vs the running-min
+    window SQL formulation; the median target reuses the
+    ``quantile_disc`` integer pick (index ceil(q·n)−1 of the
+    value-sorted run).
+
+    Reference parity: the reference has no drift analytics; this is
+    brief-mandated timeseries coverage (alerting-style changepoint
+    screens over rolled-up series).
+
+    Output: (source, day, n_events, med_cents, max_cusum, n_over) —
+    max_cusum is the day's peak positive drift vs the median,
+    n_over counts samples with cusum above ``thresh_cents``.
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+    BIG = np.int64(1) << np.int64(40)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+                "ts": pa.array(ts_np, pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source", "day"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "day": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "med_cents": pa.array([], pa.int64()),
+                "max_cusum": pa.array([], pa.int64()),
+                "n_over": pa.array([], pa.int64()),
+            }
+        )
+        n = len(g)
+        if n == 0:
+            return empty
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "day"])
+        if len(starts) >= (1 << 22):
+            raise ValueError(
+                "cusum_drift: >2**22 (source, day) runs in one partition "
+                "— raise num_partitions (int64 bias headroom)"
+            )
+        lens = np.diff(np.r_[starts, n])
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        # per-run integer median: value-sorted pick at ceil(n/2)-1
+        # (same group order — both sorts lead with (source, day) asc)
+        idx2 = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("c", "ascending"),
+            ],
+        )
+        c_sorted = cv[idx2.to_numpy(zero_copy_only=False)]
+        med = c_sorted[starts + (lens + 1) // 2 - 1]
+        x = cv - np.repeat(med, lens)
+        tot = np.cumsum(x)
+        base = np.zeros(len(starts), dtype=np.int64)
+        base[1:] = tot[starts[1:] - 1]
+        p = tot - np.repeat(base, lens)
+        if np.abs(p).max(initial=0) >= (np.int64(1) << np.int64(39)):
+            raise ValueError(
+                "cusum_drift: |prefix drift| >= 2**39 cents in one day "
+                "run — bias headroom exhausted, shrink the window"
+            )
+        run_idx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        # segmented running min: earlier runs get LARGER bias so they
+        # can never win a later run's minimum
+        biased = p - run_idx * BIG
+        runmin = np.minimum.accumulate(biased) + run_idx * BIG
+        s = p - np.minimum(0, runmin)
+        i64 = np.int64
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(starts)),
+                "day": pa.array(
+                    g["day"].to_numpy(zero_copy_only=False)[starts],
+                    pa.timestamp("us"),
+                ),
+                "n_events": pa.array(lens.astype(i64), pa.int64()),
+                "med_cents": pa.array(med, pa.int64()),
+                "max_cusum": pa.array(np.maximum.reduceat(s, starts), pa.int64()),
+                "n_over": pa.array(
+                    np.add.reduceat((s > np.int64(thresh_cents)).astype(i64), starts),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def autocorr_lag1(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Lag-1 autocorrelation of value cents per (source, day) in
+    (ts, event_id) order — the "is this series mean-reverting or
+    trending" diagnostic run before picking a forecast model.  Pairs
+    are day-local consecutive samples (x = previous, y = current);
+    the per-run partials (n, Σx, Σy, Σx², Σy², Σxy) are exact int64
+    reduceat sums, and the Pearson formula is evaluated exactly once
+    in :func:`grouped_corr`'s pinned order (widen each int sum to f8
+    BEFORE the n· products).  Degenerate runs (n_pairs < 2 or zero
+    variance on either side) are filtered with INTEGER comparisons so
+    the engine and the SQL oracle keep the identical row set.
+
+    Output: (source, day, n_pairs, corr_lag1).
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+                "ts": pa.array(ts_np, pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source", "day"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "day": pa.array([], pa.timestamp("us")),
+                "n_pairs": pa.array([], pa.int64()),
+                "corr_lag1": pa.array([], pa.float64()),
+            }
+        )
+        n = len(g)
+        if n == 0:
+            return empty
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "day"])
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        xprev = np.zeros(n, dtype=np.int64)
+        xprev[1:] = cv[:-1]
+        valid = np.ones(n, dtype=bool)
+        valid[starts] = False  # first row of a run has no lag pair
+        v = valid.astype(np.int64)
+        i64 = np.int64
+        np_ = np.add.reduceat(v, starts)
+        sx = np.add.reduceat(v * xprev, starts)
+        sy = np.add.reduceat(v * cv, starts)
+        sxx = np.add.reduceat(v * xprev * xprev, starts)
+        syy = np.add.reduceat(v * cv * cv, starts)
+        sxy = np.add.reduceat(v * xprev * cv, starts)
+        # integer degenerate filter (must mirror the SQL HAVING): the
+        # n·Σ products stay in int64 — guard the headroom loudly
+        mx = sxx.max(initial=0) | syy.max(initial=0) | sxy.max(initial=0)
+        if np_.max(initial=0) * max(int(mx), 1) >= (1 << 62):
+            raise ValueError(
+                "autocorr_lag1: n*Σx² exceeds int64 — day runs too large"
+            )
+        varx = np_ * sxx - sx * sx
+        vary = np_ * syy - sy * sy
+        keep = (np_ >= 2) & (varx > 0) & (vary > 0)
+        if not keep.any():
+            return empty
+        f = np.float64
+        nf, sxf, syf = np_[keep].astype(f), sx[keep].astype(f), sy[keep].astype(f)
+        sxxf, syyf, sxyf = (
+            sxx[keep].astype(f),
+            syy[keep].astype(f),
+            sxy[keep].astype(f),
+        )
+        corr = (nf * sxyf - sxf * syf) / (
+            np.sqrt(nf * sxxf - sxf * sxf) * np.sqrt(nf * syyf - syf * syf)
+        )
+        ki = starts[keep]
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(ki)),
+                "day": pa.array(
+                    g["day"].to_numpy(zero_copy_only=False)[ki],
+                    pa.timestamp("us"),
+                ),
+                "n_pairs": pa.array(np_[keep].astype(i64), pa.int64()),
+                "corr_lag1": pa.array(corr, pa.float64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def ratio_to_total_1h(
+    events: ray.data.Dataset,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Each source's share of total traffic per hour bucket — the
+    PromQL ``sum by (source) / ignoring(source) group_left sum``
+    binary-operation pattern.  Per-block Arrow partial counts shrink
+    the exchange to the bounded (hour, source) domain BEFORE the
+    shuffle (combiner-first, like :func:`hour_of_day_profile`); the
+    keyed exchange routes on the hour alone so a sweep task sees every
+    source of its hours and computes totals + shares locally.  The
+    share is one f8/f8 division of exact int64 counts → hash-exact.
+
+    Output: (source, hour, n_events, n_total, share).
+    """
+    from .sweep import run_starts_table, with_part
+
+    HOUR = np.int64(3_600 * US)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "hour": pa.array(ts_np - ts_np % HOUR, pa.int64()),
+            }
+        )
+        part = t.group_by(["hour", "source"]).aggregate([([], "count_all")])
+        part = part.rename_columns(["hour", "source", "n"])
+        return with_part(part, ["hour"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "hour": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "n_total": pa.array([], pa.int64()),
+                "share": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[("hour", "ascending"), ("source", "ascending")]
+        )
+        g = g.take(idx)
+        nv = pc.cast(g["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        # combine duplicate (hour, source) partials from different blocks
+        hs_starts = run_starts_table(g, ["hour", "source"])
+        n_hs = np.add.reduceat(nv, hs_starts)
+        hour_hs = g["hour"].to_numpy(zero_copy_only=False)[hs_starts]
+        # hour-level totals over the compacted (hour, source) rows
+        h_change = np.zeros(len(hour_hs), dtype=bool)
+        h_change[0] = True
+        h_change[1:] = hour_hs[1:] != hour_hs[:-1]
+        h_starts = np.flatnonzero(h_change)
+        tot_h = np.add.reduceat(n_hs, h_starts)
+        h_lens = np.diff(np.r_[h_starts, len(hour_hs)])
+        tot = np.repeat(tot_h, h_lens)
+        share = n_hs.astype(np.float64) / tot.astype(np.float64)
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(hs_starts)),
+                "hour": pa.array(hour_hs, pa.timestamp("us")),
+                "n_events": pa.array(n_hs, pa.int64()),
+                "n_total": pa.array(tot, pa.int64()),
+                "share": pa.array(share, pa.float64()),
+            }
+        )
+
+    routed = events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def seasonal_naive_mae(
+    events: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Forecast-quality evaluation of the seasonal-naive baseline
+    (predict this hour's total by the SAME hour yesterday) per source —
+    the model-selection gate run before replacing a rollup tier with a
+    forecast.  Per-block Arrow partials shrink the stream to the
+    bounded (source, hour) bucket domain before the single keyed
+    exchange (route: source); the sweep matches each bucket to its
+    hour−24h predecessor with one ``searchsorted`` per source run
+    (buckets are hour-sorted, runs are domain-bounded).  Absolute
+    errors are exact int64 cents; the MAE is one f8/f8 division.
+
+    Output: (source, n_scored, total_abs_err, mae_cents) — one row per
+    source with at least one scoreable bucket pair.
+    """
+    from .sweep import run_starts_table, with_part
+
+    HOUR = np.int64(3_600 * US)
+    DAY = np.int64(86_400 * US)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "hour": pa.array(ts_np - ts_np % HOUR, pa.int64()),
+                "s": _cents(b),
+            }
+        )
+        part = t.group_by(["source", "hour"]).aggregate([("s", "sum")])
+        part = part.rename_columns(["source", "hour", "s"])
+        return with_part(part, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_scored": pa.array([], pa.int64()),
+                "total_abs_err": pa.array([], pa.int64()),
+                "mae_cents": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[("source", "ascending"), ("hour", "ascending")]
+        )
+        g = g.take(idx)
+        sv = pc.cast(g["s"], pa.int64()).to_numpy(zero_copy_only=False)
+        bs = run_starts_table(g, ["source", "hour"])
+        s_c = np.add.reduceat(sv, bs)  # combine cross-block partials
+        hour_c = g["hour"].to_numpy(zero_copy_only=False)[bs]
+        src_starts_full = run_starts_table(g, ["source"])
+        # compact source runs onto the (source, hour) bucket rows
+        src_starts = np.searchsorted(bs, src_starts_full)
+        ends = np.r_[src_starts[1:], len(bs)]
+        out_src, out_n, out_tot = [], [], []
+        for a, e in zip(src_starts, ends):
+            hrs = hour_c[a:e]
+            vals = s_c[a:e]
+            pos = np.searchsorted(hrs, hrs - DAY)
+            ok = (pos < len(hrs)) & (hrs[np.minimum(pos, len(hrs) - 1)] == hrs - DAY)
+            n = int(ok.sum())
+            if n == 0:
+                continue
+            err = np.abs(vals[ok] - vals[pos[ok]])
+            out_src.append(int(a))
+            out_n.append(n)
+            out_tot.append(int(err.sum()))
+        if not out_n:
+            return empty
+        i64 = np.int64
+        tot = np.asarray(out_tot, dtype=i64)
+        nn = np.asarray(out_n, dtype=i64)
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(bs[np.asarray(out_src)])),
+                "n_scored": pa.array(nn, pa.int64()),
+                "total_abs_err": pa.array(tot, pa.int64()),
+                "mae_cents": pa.array(
+                    tot.astype(np.float64) / nn.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    routed = events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def top_event_per_day(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Grouped argmax with a deterministic tie-break: per (source, day)
+    the single event holding the day's maximum value (ties broken by
+    smallest event_id) — the "what caused the spike" drill-down row a
+    dashboard pins next to each rollup bucket.  Complements
+    ``first_event_per_user`` (grouped argmin by time) with the
+    value-argmax flavor; one keyed exchange, in-sweep reduceat argmax,
+    all int64.
+
+    Output: (source, day, event_id, ts, max_cents).
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+                "ts": pa.array(ts_np, pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source", "day"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "day": pa.array([], pa.timestamp("us")),
+                    "event_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "max_cents": pa.array([], pa.int64()),
+                }
+            )
+        # sort puts each run's winner first: value DESC, event_id ASC
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("c", "descending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "day"])
+        ki = pa.array(starts)
+        return pa.table(
+            {
+                "source": g["source"].take(ki),
+                "day": pa.array(
+                    g["day"].to_numpy(zero_copy_only=False)[starts],
+                    pa.timestamp("us"),
+                ),
+                "event_id": g["event_id"].take(ki),
+                "ts": pa.array(
+                    g["ts"].to_numpy(zero_copy_only=False)[starts],
+                    pa.timestamp("us"),
+                ),
+                "max_cents": g["c"].take(ki),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
