@@ -1589,6 +1589,115 @@ def _q_top_event_per_day(sf_dir: str):
     return top_event_per_day(_events(sf_dir))
 
 
+def _q_user_retention_cohorts(sf_dir: str):
+    """Cohort retention triangle (first-day cohort × activity age)."""
+    from workbook_exporter_fe_ray.stages.window import user_retention_cohorts
+
+    return user_retention_cohorts(_events(sf_dir))
+
+
+def _q_inter_arrival_hist(sf_dir: str):
+    """Power-of-two inter-arrival-gap histogram per source."""
+    from workbook_exporter_fe_ray.stages.window import inter_arrival_hist
+
+    return inter_arrival_hist(_events(sf_dir))
+
+
+def _q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5-shaped five-way join: local-supply revenue per nation."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import local_supplier_revenue
+
+    return local_supplier_revenue(
+        read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]),
+        read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]),
+        read_table(f"{sf_dir}/nation.parquet"),
+        read_table(f"{sf_dir}/region.parquet"),
+    )
+
+
+def _q_lang_confusion(sf_dir: str):
+    """Labeled-lang vs LangId-prediction confusion matrix."""
+    from workbook_exporter_fe_ray.stages.text import lang_confusion
+
+    return lang_confusion(_documents(sf_dir))
+
+
+def _q_hapax_rate(sf_dir: str):
+    """Global-hapax vocabulary screen per source."""
+    from workbook_exporter_fe_ray.stages.text import hapax_rate_by_source
+
+    return hapax_rate_by_source(_documents(sf_dir))
+
+
+def _q_ship_delay_hist(sf_dir: str):
+    """Order→ship delay histogram via the fact-fact hash-bucket join
+    (neither side broadcast): lineitem ⋈ orders co-partitioned on the
+    orderkey hash, then a day-bucket count exchange (domain-bounded)."""
+    from ray.data.aggregate import Sum
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import hash_bucket_join
+
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def _okey(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_orderkey": b["o_orderkey"], "o_orderdate": b["o_orderdate"]}
+        )
+
+    joined = hash_bucket_join(
+        li,
+        orders.map_batches(_okey, batch_format="pyarrow", zero_copy_batch=True),
+        key="l_orderkey",
+        left_carry=("l_shipdate",),
+        right_carry=("o_orderdate",),
+    )
+    DAY = np.int64(86_400_000_000)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b["l_shipdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        od = pc.cast(b["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        delay = (ship - od) // DAY  # both day-aligned -> exact quotient
+        t = pa.table(
+            {
+                "delay_days": pa.array(delay),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = t.group_by("delay_days").aggregate([("n", "sum")])
+        return g.rename_columns(["delay_days", "n"])
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("delay_days")
+        .aggregate(Sum("n"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "delay_days": pc.cast(b["delay_days"], pa.int64()),
+                "n_items": pc.cast(b["sum(n)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
 _NDJSON_FIXTURE = "/tmp/wfer_docs.jsonl"
 
 
@@ -1708,6 +1817,12 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "token_len_histogram": _q_token_len_histogram,  # tokenizer diag (r4)
         "dup_cluster_size_hist": _q_dup_cluster_size_hist,  # dup profile (r4)
         "top_event_per_day": _q_top_event_per_day,  # grouped argmax (r4)
+        "user_retention_cohorts": _q_user_retention_cohorts,  # cohort triangle (r4)
+        "inter_arrival_hist": _q_inter_arrival_hist,  # traffic-model diag (r4)
+        "local_supplier_revenue": _q_local_supplier_revenue,  # TPC-H Q5 joins (r4)
+        "lang_confusion": _q_lang_confusion,        # classifier audit (r4)
+        "hapax_rate_by_source": _q_hapax_rate,      # vocab-noise screen (r4)
+        "ship_delay_hist": _q_ship_delay_hist,      # fact-fact join hist (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -1885,6 +2000,12 @@ _NEW_R4 = (
     "token_len_histogram",
     "dup_cluster_size_hist",
     "top_event_per_day",
+    "user_retention_cohorts",
+    "inter_arrival_hist",
+    "local_supplier_revenue",
+    "lang_confusion",
+    "hapax_rate_by_source",
+    "ship_delay_hist",
 )
 
 _ROWS_ONLY_R3 = (
@@ -2673,6 +2794,88 @@ SELECT source, day, event_id, ts, c AS max_cents FROM (
          row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
                             ORDER BY {_CENTS} DESC, event_id) AS rn
   FROM events) WHERE rn = 1
+""",
+        "user_retention_cohorts": """
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events GROUP BY 1, 2),
+f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+SELECT f.cohort AS cohort_day,
+       CAST(date_diff('day', f.cohort, d.day) AS BIGINT) AS age_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d JOIN f USING (user_id) GROUP BY 1, 2
+""",
+        "inter_arrival_hist": """
+WITH d AS (
+  SELECT event_type AS source,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT source,
+       CAST(length(printf('%b', gap)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM d WHERE gap IS NOT NULL GROUP BY 1, 2
+""",
+        "local_supplier_revenue": """
+WITH rn AS (
+  SELECT n_nationkey, n_name FROM nation
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+j AS (
+  SELECT rn.n_name,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN rn ON s_nationkey = rn.n_nationkey
+  WHERE c_nationkey = s_nationkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01')
+SELECT n_name, CAST(sum(rev) AS BIGINT) AS revenue_e4,
+       CAST(sum(rev) AS DOUBLE) / 10000.0 AS revenue
+FROM j GROUP BY 1
+""",
+        "lang_confusion": """
+WITH c AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(lower(text), ' '),
+        w -> w IN ('der','die','das','und','ist','nicht','ein','mit','auf'))) AS de,
+    len(list_filter(string_split(lower(text), ' '),
+        w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+    len(list_filter(string_split(lower(text), ' '),
+        w -> w IN ('le','la','et','les','des','est','un','une','dans'))) AS fr
+  FROM documents),
+p AS (
+  SELECT lang,
+    CASE WHEN greatest(de, en, fr) = 0 THEN 'und'
+         WHEN de >= en AND de >= fr THEN 'de'
+         WHEN en >= fr THEN 'en'
+         ELSE 'fr' END AS lang_pred
+  FROM c)
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY 1, 2
+""",
+        "hapax_rate_by_source": """
+WITH st AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+sv AS (SELECT source, w, count(*) AS ns FROM st GROUP BY 1, 2),
+tot AS (SELECT w, CAST(sum(ns) AS BIGINT) AS n FROM sv GROUP BY 1)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(coalesce(sum(CASE WHEN tot.n = 1 THEN 1 END), 0) AS BIGINT)
+         AS n_hapax,
+       CAST(coalesce(sum(CASE WHEN tot.n = 1 THEN 1 END), 0) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS hapax_rate
+FROM sv JOIN tot USING (w) GROUP BY 1
+""",
+        "ship_delay_hist": """
+SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+         AS delay_days,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
 """,
         "tier_consistency_audit": f"""
 WITH fine AS (

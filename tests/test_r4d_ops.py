@@ -445,3 +445,195 @@ def test_top_event_per_day_vs_brute(ray_session):
         assert r["max_cents"] == r0["c"]
         assert r["ts"].value // 1000 == r0["tsu"]  # Timestamp.value is ns
     assert len(out) == n_expected
+
+
+def test_user_retention_cohorts_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import user_retention_cohorts
+
+    tbl = _events_table(n=6000, seed=53)
+    out = (
+        user_retention_cohorts(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index(["cohort_day", "age_days"])
+        .sort_index()
+    )
+    df = tbl.to_pandas()
+    df["tsu"] = tbl["ts"].cast(pa.int64()).to_numpy()
+    df["day"] = df["tsu"] - df["tsu"] % DAY
+    d = df[["user_id", "day"]].drop_duplicates()
+    first = d.groupby("user_id")["day"].min().rename("cohort")
+    j = d.join(first, on="user_id")
+    j["age"] = (j["day"] - j["cohort"]) // DAY
+    exp = j.groupby(["cohort", "age"]).size()
+    assert len(out) == len(exp)
+    for (coh, age), n in exp.items():
+        assert out.loc[(pd.Timestamp(coh, unit="us"), age), "n_users"] == n
+
+
+def test_inter_arrival_hist_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import inter_arrival_hist
+
+    tbl = _events_table(n=6000, seed=59)
+    out = (
+        inter_arrival_hist(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index(["source", "bucket"])
+        .sort_index()
+    )
+    df = _prepped(tbl)
+    rows: dict = {}
+    for (src, day), g in df.groupby(["event_type", "day"]):
+        for gp in np.diff(g["tsu"].to_numpy()):
+            b = max(int(gp).bit_length(), 1)
+            rows[(src, b)] = rows.get((src, b), 0) + 1
+    assert len(out) == len(rows)
+    for (src, b), n in rows.items():
+        assert out.loc[(src, b), "n_gaps"] == n
+    # tied timestamps exist in the fixture -> gap-0 gaps land in bucket 1
+    assert any(b == 1 for (_, b) in rows)
+
+
+def test_local_supplier_revenue_vs_brute(ray_session):
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        E.queries()["local_supplier_revenue"](sf)
+        .to_pandas()
+        .set_index("n_name")
+        .sort_index()
+    )
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+    sup = pq.read_table(f"{sf}/supplier.parquet").to_pandas()
+    nat = pq.read_table(f"{sf}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf}/region.parquet").to_pandas()
+    natr = nat[nat["n_regionkey"].isin(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])]
+    o = orders[
+        (orders["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+        & (orders["o_orderdate"] < pd.Timestamp("1997-01-01"))
+    ]
+    j = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    j = j[(j["c_nationkey"] == j["s_nationkey"]) & j["s_nationkey"].isin(natr["n_nationkey"])]
+    rev = np.round(j["l_extendedprice"].to_numpy() * 100).astype(np.int64) * (
+        100 - np.round(j["l_discount"].to_numpy() * 100).astype(np.int64)
+    )
+    j = j.assign(rev=rev).merge(natr, left_on="s_nationkey", right_on="n_nationkey")
+    exp = j.groupby("n_name")["rev"].sum()
+    assert len(out) == len(exp)
+    for name, r in exp.items():
+        assert out.loc[name, "revenue_e4"] == r
+        e = np.int64(r).astype(np.float64) / np.float64(10_000.0)
+        assert np.float64(out.loc[name, "revenue"]).view(np.int64) == e.view(np.int64)
+
+
+def test_lang_confusion_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.text import _STOPWORDS, lang_confusion
+
+    rng = np.random.default_rng(67)
+    langs = ["en", "de", "fr", "zh"]
+    # texts with known stopword mixes, incl. und rows (no stopwords)
+    pool = {
+        "en": "the cat of doom and more",
+        "de": "der hund und die katze",
+        "fr": "le chat et la mer",
+        "zh": "pure opaque tokens here",
+    }
+    rows = [(f"d{i}", langs[i % 4], pool[langs[rng.integers(0, 4)]]) for i in range(200)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "lang": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+        }
+    )
+    out = (
+        lang_confusion(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .set_index(["lang", "lang_pred"])
+        .sort_index()
+    )
+    from collections import Counter
+
+    cm: Counter = Counter()
+    names = sorted(_STOPWORDS)
+    for _, lang, text in rows:
+        toks = text.lower().split(" ")
+        sc = {k: sum(1 for w in toks if w in _STOPWORDS[k]) for k in names}
+        best = max(sc.values())
+        pred = "und" if best == 0 else min(k for k in names if sc[k] == best)
+        cm[(lang, pred)] += 1
+    assert len(out) == len(cm)
+    for (lang, pred), n in cm.items():
+        assert out.loc[(lang, pred), "n_docs"] == n
+
+
+def test_hapax_rate_planted(ray_session):
+    from workbook_exporter_fe_ray.stages.text import hapax_rate_by_source
+
+    tbl = _docs_table(n=200, seed=71)
+    texts = tbl["text"].to_pylist()
+    texts[3] = texts[3] + " zzqx9unique"  # planted global hapax in s0
+    texts[4] = texts[4] + " sharedrare"
+    texts[5] = texts[5] + " sharedrare"  # count 2 -> NOT hapax
+    tbl = tbl.set_column(1, "text", pa.array(texts, pa.string()))
+    out = (
+        hapax_rate_by_source(ray.data.from_arrow(tbl).repartition(5))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    from collections import Counter, defaultdict
+
+    sv: Counter = Counter()
+    tot: Counter = Counter()
+    for src, text in zip(tbl["source"].to_pylist(), texts):
+        for w in text.split(" "):
+            sv[(src, w)] += 1
+            tot[w] += 1
+    per: dict = defaultdict(lambda: [0, 0])
+    for (src, w), _ in sv.items():
+        per[src][0] += 1
+        per[src][1] += tot[w] == 1
+    assert len(out) == len(per)
+    for src, (nv, nh) in per.items():
+        r = out.loc[src]
+        assert r["n_vocab"] == nv
+        assert r["n_hapax"] == nh
+        exp = np.float64(np.int64(nh)) / np.float64(np.int64(nv))
+        assert np.float64(r["hapax_rate"]).view(np.int64) == exp.view(np.int64)
+    assert per["s0"][1] >= 1  # the planted hapax registered
+
+
+def test_ship_delay_hist_vs_brute(ray_session):
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        E.queries()["ship_delay_hist"](sf)
+        .to_pandas()
+        .set_index("delay_days")
+        .sort_index()
+    )
+    import pyarrow.parquet as pq
+
+    li = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+    o = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    delay = (
+        (j["l_shipdate"].astype("int64") - j["o_orderdate"].astype("int64"))
+        // 86_400_000_000
+    ).astype(int)
+    from collections import Counter
+
+    exp = Counter(delay)
+    assert len(out) == len(exp)
+    for d, n in exp.items():
+        assert out.loc[d, "n_items"] == n

@@ -2012,3 +2012,174 @@ def shipping_priority_topk(
     return out.sort(
         ["revenue_e4", "o_orderkey"], descending=[True, False]
     ).limit(k)
+
+
+def local_supplier_revenue(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    region: ray.data.Dataset,
+    region_name: str = "ASIA",
+    date_lo_us: int = 820_454_400_000_000,  # 1996-01-01 UTC
+    date_hi_us: int = 852_076_800_000_000,  # 1997-01-01 UTC
+) -> ray.data.Dataset:
+    """TPC-H Q5-shaped five-way composition — revenue per nation from
+    LOCAL supply chains (customer and supplier in the same nation of
+    one region, orders in a one-year window).  Join strategy by side
+    size, composed from this module's primitives exactly like
+    :func:`shipping_priority_topk`: nation⋈region and supplier are
+    dimensions (driver-collected, broadcast once); the windowed
+    region-customer orders reduce to a broadcast (orderkey →
+    customer-nation) map — bounded by the window×region selectivity;
+    for a window where this side is fact-sized, swap the broadcast for
+    ``hash_bucket_join``, same semantics — and lineitem streams with
+    two sorted-array lookups, the locality filter, and per-block
+    int64 revenue partials keyed on the nation (domain-bounded
+    exchange).  Revenue is exact cents·(100−disc) int64; the dollar
+    column is one f8/1e4 division.
+
+    Output: (n_name, revenue_e4, revenue) per region nation with
+    qualifying rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def _collect(ds: ray.data.Dataset) -> pa.Table | None:
+        rows = [
+            b
+            for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+            if len(b)
+        ]
+        return pa.concat_tables(rows) if rows else None
+
+    reg = _collect(region.filter(expr=f"r_name == '{region_name}'"))
+    nat = _collect(nation)
+    if reg is None or nat is None:
+        raise ValueError("local_supplier_revenue: empty region/nation dims")
+    rkey = reg["r_regionkey"][0].as_py()
+    nmask = pc.equal(nat["n_regionkey"], rkey)
+    nat_r = nat.filter(nmask)
+    nkeys = nat_r["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nnames = nat_r["n_name"].to_pylist()
+    nsort = np.argsort(nkeys, kind="stable")
+    nkeys_s = nkeys[nsort]
+    nname_by_key = {int(k): nnames[i] for i, k in zip(nsort, nkeys_s)}
+
+    sup = _collect(supplier.select_columns(["s_suppkey", "s_nationkey"]))
+    skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ssort = np.argsort(skeys, kind="stable")
+    skeys_s, snat_s = skeys[ssort], snat[ssort]
+
+    # region customers: (c_custkey -> c_nationkey), streamed filter
+    def _cust_pick(b: pa.Table) -> pa.Table:
+        cn = pc.cast(b["c_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(nkeys_s, cn), max(len(nkeys_s) - 1, 0))
+        keep = (nkeys_s[pos] == cn) if len(nkeys_s) else np.zeros(len(cn), bool)
+        return b.filter(pa.array(keep)).select(["c_custkey", "c_nationkey"])
+
+    cust = _collect(
+        customer.map_batches(_cust_pick, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    empty = pa.table(
+        {
+            "n_name": pa.array([], pa.string()),
+            "revenue_e4": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+        }
+    )
+    if cust is None or len(cust) == 0:
+        return ray.data.from_arrow(empty)
+    ckeys = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnat = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    csort = np.argsort(ckeys, kind="stable")
+    ckeys_s, cnat_s = ckeys[csort], cnat[csort]
+    cref = ray.put((ckeys_s, cnat_s))
+
+    _cache: dict = {}
+
+    def _orders_pick(b: pa.Table) -> pa.Table:
+        if "c" not in _cache:
+            _cache["c"] = ray.get(cref)
+        ck, cn = _cache["c"]
+        ok = pc.cast(b["o_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        od = pc.cast(b["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ck, ok), max(len(ck) - 1, 0))
+        keep = (ck[pos] == ok) if len(ck) else np.zeros(len(ok), bool)
+        keep &= (od >= date_lo_us) & (od < date_hi_us)
+        t = b.filter(pa.array(keep))
+        pos = pos[keep]
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "cust_nat": pa.array(cn[pos] if len(ck) else np.array([], np.int64)),
+            }
+        )
+
+    o_tbl = _collect(
+        orders.map_batches(_orders_pick, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if o_tbl is None or len(o_tbl) == 0:
+        return ray.data.from_arrow(empty)
+    okeys = o_tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+    onat = o_tbl["cust_nat"].to_numpy(zero_copy_only=False)
+    osort = np.argsort(okeys, kind="stable")
+    oref = ray.put((okeys[osort], onat[osort], skeys_s, snat_s))
+
+    def _li_partial(b: pa.Table) -> pa.Table:
+        if "o" not in _cache:
+            _cache["o"] = ray.get(oref)
+        ok_s, on_s, sk_s, sn_s = _cache["o"]
+        lk = pc.cast(b["l_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ok_s, lk), max(len(ok_s) - 1, 0))
+        keep = ok_s[pos] == lk
+        t = b.filter(pa.array(keep))
+        if len(t) == 0:
+            return pa.table(
+                {"nationkey": pa.array([], pa.int64()), "rev": pa.array([], pa.int64())}
+            )
+        cust_n = on_s[pos[keep]]
+        ls = pc.cast(t["l_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        spos = np.minimum(np.searchsorted(sk_s, ls), max(len(sk_s) - 1, 0))
+        smatch = sk_s[spos] == ls
+        local = smatch & (sn_s[spos] == cust_n)
+        t2 = t.filter(pa.array(local))
+        if len(t2) == 0:
+            return pa.table(
+                {"nationkey": pa.array([], pa.int64()), "rev": pa.array([], pa.int64())}
+            )
+        cents = pc.cast(
+            pc.round(pc.multiply(t2["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        disc = pc.cast(
+            pc.round(pc.multiply(t2["l_discount"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        rev = cents * (np.int64(100) - disc)
+        part = pa.table(
+            {"nationkey": pa.array(cust_n[local]), "rev": pa.array(rev)}
+        )
+        g = part.group_by("nationkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["nationkey", "rev"])
+
+    agg = (
+        lineitem.map_batches(_li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("nationkey")
+        .aggregate(Sum("rev"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        nk = pc.cast(b["nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        rev = pc.cast(b["sum(rev)"], pa.int64()).to_numpy(zero_copy_only=False)
+        names = [nname_by_key[int(k)] for k in nk]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue_e4": pa.array(rev),
+                "revenue": pa.array(
+                    rev.astype(np.float64) / np.float64(10_000.0), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

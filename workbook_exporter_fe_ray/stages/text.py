@@ -1578,3 +1578,140 @@ def dup_cluster_size_hist(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def lang_confusion(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> ray.data.Dataset:
+    """Classifier audit: confusion matrix of the labeled language vs
+    :class:`LangId`'s stopword-heuristic prediction — the calibration
+    report run before trusting a cheap classifier to route a corpus
+    slice.  The LangId actor pool does the per-batch scoring (state in
+    ``__init__``); per-block (label, pred) Arrow count partials sum in
+    a languages²-bounded exchange.
+
+    Output: (lang, lang_pred, n_docs) — all int64 counts.
+    """
+    from ray.data.aggregate import Sum
+
+    scored = docs.map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"text_col": text_col},
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b[label_col], "lang_pred": b["lang_pred"]})
+        g = t.group_by(["lang", "lang_pred"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "lang_pred", "n"])
+
+    agg = (
+        scored.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "lang_pred": b["lang_pred"],
+                "n_docs": pc.cast(b["sum(n)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def hapax_rate_by_source(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Global-hapax vocabulary screen per source: which slice of the
+    corpus is minting tokens seen exactly ONCE anywhere — the noisy-OCR
+    / boilerplate-id detector (a healthy slice's hapax rate is stable;
+    a corrupted one spikes).  Block-local (source, token) count
+    partials route by token so each sweep owns every copy of its
+    tokens: it reconstitutes exact global counts, flags hapaxes
+    (global count 1 — necessarily single-source), and emits per-source
+    int64 (n_vocab, n_hapax) partials; final rollup is sources-bounded.
+    The rate is one f8/f8 division.
+
+    Output: (source, n_vocab, n_hapax, hapax_rate) — n_vocab counts
+    the source's distinct tokens.
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = pa.array(np.repeat(np.arange(len(b), dtype=np.int64), lengths))
+        pairs = pa.table(
+            {"source": b["source"].take(src), "token": toks.flatten()}
+        )
+        g = pairs.group_by(["token", "source"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["token", "source", "n"])
+        return with_part(g, ["token"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_vocab": pa.array([], pa.int64()),
+                "n_hapax": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[("token", "ascending"), ("source", "ascending")]
+        )
+        g = g.take(idx)
+        nv = pc.cast(g["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        ts_starts = run_starts_table(g, ["token", "source"])
+        n_ts = np.add.reduceat(nv, ts_starts)  # exact (token, source) counts
+        gc = g.take(pa.array(ts_starts))
+        t_starts = run_starts_table(gc, ["token"])
+        t_lens = np.diff(np.r_[t_starts, len(gc)])
+        tok_total = np.repeat(np.add.reduceat(n_ts, t_starts), t_lens)
+        hapax = tok_total == 1
+        t = pa.table(
+            {
+                "source": gc["source"],
+                "n_vocab": pa.array(np.ones(len(gc), np.int64)),
+                "n_hapax": pa.array(hapax.astype(np.int64)),
+            }
+        )
+        g2 = t.group_by("source").aggregate(
+            [("n_vocab", "sum"), ("n_hapax", "sum")]
+        )
+        return g2.rename_columns(["source", "n_vocab", "n_hapax"])
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_vocab"), Sum("n_hapax"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        nv = pc.cast(b["sum(n_vocab)"], pa.int64()).to_numpy(zero_copy_only=False)
+        nh = pc.cast(b["sum(n_hapax)"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_vocab": pa.array(nv),
+                "n_hapax": pa.array(nh),
+                "hapax_rate": pa.array(
+                    nh.astype(np.float64) / nv.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

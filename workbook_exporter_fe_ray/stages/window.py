@@ -3623,3 +3623,193 @@ def top_event_per_day(
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def user_retention_cohorts(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Cohort retention analysis: users grouped by their FIRST active
+    day, counted by days-since-cohort activity — the classic retention
+    triangle every product-analytics engine materializes.  One
+    user-routed exchange: the sweep collapses a user to its distinct
+    active days (dedup in-sweep), computes the cohort (min day) and
+    emits (cohort_day, age_days) partial rows — one per (user, active
+    day), never per event; the final count is a domain-bounded
+    (cohort × age) groupby-sum of int64 partials.
+
+    Output: (cohort_day, age_days, n_users) — n_users is exact
+    (each (user, day) contributes once).
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+            }
+        )
+        # block-local (user, day) dedup before the shuffle
+        t = t.group_by(["user_id", "day"]).aggregate([])
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "cohort_day": pa.array([], pa.int64()),
+                    "age_days": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("day", "ascending")]
+        )
+        g = g.take(idx)
+        starts_ud = run_starts_table(g, ["user_id", "day"])
+        days = g["day"].to_numpy(zero_copy_only=False)[starts_ud]
+        users_c = g["user_id"].to_numpy(zero_copy_only=False)[starts_ud]
+        u_change = np.zeros(len(users_c), dtype=bool)
+        u_change[0] = True
+        u_change[1:] = users_c[1:] != users_c[:-1]
+        u_starts = np.flatnonzero(u_change)
+        u_lens = np.diff(np.r_[u_starts, len(users_c)])
+        cohort = np.repeat(days[u_starts], u_lens)  # day-sorted: first = min
+        age = (days - cohort) // (86_400 * US)
+        t = pa.table(
+            {
+                "cohort_day": pa.array(cohort),
+                "age_days": pa.array(age.astype(np.int64)),
+                "n": pa.array(np.ones(len(days), np.int64)),
+            }
+        )
+        g2 = t.group_by(["cohort_day", "age_days"]).aggregate([("n", "sum")])
+        return g2.rename_columns(["cohort_day", "age_days", "n"])
+
+    agg = (
+        events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby(["cohort_day", "age_days"])
+        .aggregate(Sum("n"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_day": pa.array(
+                    pc.cast(b["cohort_day"], pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    pa.timestamp("us"),
+                ),
+                "age_days": pc.cast(b["age_days"], pa.int64()),
+                "n_users": pc.cast(b["sum(n)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def inter_arrival_hist(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Inter-arrival-gap histogram per source with power-of-two buckets
+    — the traffic-model diagnostic (Poisson-ish vs bursty) read before
+    sizing gap-fill grids and staleness thresholds.  Gaps are day-local
+    consecutive (ts, event_id)-ordered deltas in µs; the bucket is the
+    BINARY LENGTH of the gap (exact integer bit arithmetic via
+    ``np.frexp`` exponents — no float-log parity trap; the SQL mirror
+    is ``length(printf('%b', gap))``).  Per-sweep dense bincount
+    partials sum in a tiny (source, bucket)-keyed exchange.
+
+    Output: (source, bucket, n_gaps) — bucket b covers gaps in
+    [2^(b−1), 2^b), except b=1 which also holds gap 0.
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+                "ts": pa.array(ts_np, pa.int64()),
+                "event_id": b["event_id"],
+            }
+        )
+        return with_part(t, ["source", "day"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        n = len(g)
+        if n == 0:
+            return empty
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "day"])
+        tsv = g["ts"].to_numpy(zero_copy_only=False)
+        gap = np.zeros(n, dtype=np.int64)
+        gap[1:] = tsv[1:] - tsv[:-1]
+        valid = np.ones(n, dtype=bool)
+        valid[starts] = False
+        # binary length: frexp exponent is exact for int64 < 2**53
+        # (day-local gaps < 2**37); gap 0 folds into bucket 1
+        _, expo = np.frexp(gap.astype(np.float64))
+        bucket = np.maximum(expo.astype(np.int64), 1)
+        src_all = g["source"]
+        t = pa.table(
+            {
+                "source": src_all.filter(pa.array(valid)),
+                "bucket": pa.array(bucket[valid]),
+                "n": pa.array(np.ones(int(valid.sum()), np.int64)),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        g2 = t.group_by(["source", "bucket"]).aggregate([("n", "sum")])
+        return g2.rename_columns(["source", "bucket", "n"])
+
+    agg = (
+        events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby(["source", "bucket"])
+        .aggregate(Sum("n"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket": pc.cast(b["bucket"], pa.int64()),
+                "n_gaps": pc.cast(b["sum(n)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
