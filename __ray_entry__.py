@@ -1624,6 +1624,27 @@ def _q_local_supplier_revenue(sf_dir: str):
     )
 
 
+def _q_cross_corr_sources(sf_dir: str):
+    """Pairwise cross-series Pearson correlation of hourly totals."""
+    from workbook_exporter_fe_ray.stages.window import cross_corr_sources
+
+    return cross_corr_sources(_events(sf_dir))
+
+
+def _q_quantile_over_time(sf_dir: str):
+    """Windowed p50/p90/p99 per (source, day) — quantile_over_time."""
+    from workbook_exporter_fe_ray.stages.window import quantile_over_time_daily
+
+    return quantile_over_time_daily(_events(sf_dir))
+
+
+def _q_weekday_weekend(sf_dir: str):
+    """Weekday-vs-weekend contrast via pure epoch-day arithmetic."""
+    from workbook_exporter_fe_ray.stages.window import weekday_weekend_contrast
+
+    return weekday_weekend_contrast(_events(sf_dir))
+
+
 def _q_lang_confusion(sf_dir: str):
     """Labeled-lang vs LangId-prediction confusion matrix."""
     from workbook_exporter_fe_ray.stages.text import lang_confusion
@@ -1823,6 +1844,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _q_lang_confusion,        # classifier audit (r4)
         "hapax_rate_by_source": _q_hapax_rate,      # vocab-noise screen (r4)
         "ship_delay_hist": _q_ship_delay_hist,      # fact-fact join hist (r4)
+        "cross_corr_sources": _q_cross_corr_sources,  # between-series corr (r4)
+        "quantile_over_time": _q_quantile_over_time,  # windowed p50/90/99 (r4)
+        "weekday_weekend_contrast": _q_weekday_weekend,  # calendar split (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2006,6 +2030,9 @@ _NEW_R4 = (
     "lang_confusion",
     "hapax_rate_by_source",
     "ship_delay_hist",
+    "cross_corr_sources",
+    "quantile_over_time",
+    "weekday_weekend_contrast",
 )
 
 _ROWS_ONLY_R3 = (
@@ -2876,6 +2903,67 @@ SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
+""",
+        "cross_corr_sources": f"""
+WITH b AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS hour,
+         CAST(sum({_CENTS}) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT a.source AS src_a, b2.source AS src_b,
+         count(*) AS n,
+         CAST(sum(a.s) AS BIGINT) AS sx, CAST(sum(b2.s) AS BIGINT) AS sy,
+         CAST(sum(a.s * a.s) AS BIGINT) AS sxx,
+         CAST(sum(b2.s * b2.s) AS BIGINT) AS syy,
+         CAST(sum(a.s * b2.s) AS BIGINT) AS sxy
+  FROM b a JOIN b b2 ON a.hour = b2.hour AND a.source < b2.source
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+     AND CAST(count(*) AS DOUBLE) * CAST(CAST(sum(a.s * a.s) AS BIGINT)
+         AS DOUBLE) - CAST(CAST(sum(a.s) AS BIGINT) AS DOUBLE)
+         * CAST(CAST(sum(a.s) AS BIGINT) AS DOUBLE) > 0.0
+     AND CAST(count(*) AS DOUBLE) * CAST(CAST(sum(b2.s * b2.s) AS BIGINT)
+         AS DOUBLE) - CAST(CAST(sum(b2.s) AS BIGINT) AS DOUBLE)
+         * CAST(CAST(sum(b2.s) AS BIGINT) AS DOUBLE) > 0.0)
+SELECT src_a, src_b, CAST(n AS BIGINT) AS n_hours,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_hourly
+FROM p
+""",
+        "quantile_over_time": f"""
+SELECT event_type AS source,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       quantile_disc({_CENTS}, 0.50) AS p50_cents,
+       quantile_disc({_CENTS}, 0.90) AS p90_cents,
+       quantile_disc({_CENTS}, 0.99) AS p99_cents
+FROM events GROUP BY 1, 2
+""",
+        "weekday_weekend_contrast": f"""
+WITH d AS (
+  SELECT event_type AS source,
+         ((epoch_us(ts) // 86400000000) + 3) % 7 >= 5 AS we,
+         {_CENTS} AS c
+  FROM events),
+s AS (
+  SELECT source,
+         CAST(coalesce(sum(CASE WHEN NOT we THEN 1 END), 0) AS BIGINT)
+           AS n_wd,
+         CAST(coalesce(sum(CASE WHEN we THEN 1 END), 0) AS BIGINT) AS n_we,
+         CAST(coalesce(sum(CASE WHEN NOT we THEN c END), 0) AS BIGINT)
+           AS s_wd,
+         CAST(coalesce(sum(CASE WHEN we THEN c END), 0) AS BIGINT) AS s_we
+  FROM d GROUP BY 1
+  HAVING n_wd > 0 AND n_we > 0)
+SELECT source, n_wd AS n_weekday, n_we AS n_weekend,
+       s_wd AS sum_weekday_cents, s_we AS sum_weekend_cents,
+       CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE) AS mean_weekday,
+       CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE) AS mean_weekend
+FROM s
 """,
         "tier_consistency_audit": f"""
 WITH fine AS (

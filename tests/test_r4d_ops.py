@@ -637,3 +637,114 @@ def test_ship_delay_hist_vs_brute(ray_session):
     assert len(out) == len(exp)
     for d, n in exp.items():
         assert out.loc[d, "n_items"] == n
+
+
+def test_cross_corr_sources_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import cross_corr_sources
+
+    tbl = _events_table(n=7000, seed=79)
+    out = (
+        cross_corr_sources(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index(["src_a", "src_b"])
+        .sort_index()
+    )
+    df = _prepped(tbl)
+    df["hour"] = df["tsu"] - df["tsu"] % HOUR
+    b = df.groupby(["event_type", "hour"])["c"].sum().rename("s").reset_index()
+    piv = b.pivot(index="hour", columns="event_type", values="s")
+    srcs = sorted(piv.columns)
+    f = np.float64
+    n_expected = 0
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            sub = piv[[srcs[i], srcs[j]]].dropna()
+            x = sub[srcs[i]].to_numpy().astype(object)
+            y = sub[srcs[j]].to_numpy().astype(object)
+            n = len(x)
+            if n < 2:
+                continue
+            sx, sy = sum(x), sum(y)
+            sxx, syy, sxy = sum(x * x), sum(y * y), sum(x * y)
+            varx = f(n) * f(sxx) - f(sx) * f(sx)
+            vary = f(n) * f(syy) - f(sy) * f(sy)
+            if not (varx > 0 and vary > 0):
+                continue
+            n_expected += 1
+            corr = (f(n) * f(sxy) - f(sx) * f(sy)) / (
+                np.sqrt(varx) * np.sqrt(vary)
+            )
+            r = out.loc[(srcs[i], srcs[j])]
+            assert r["n_hours"] == n
+            assert np.float64(r["corr_hourly"]).view(np.int64) == corr.view(
+                np.int64
+            )
+    assert len(out) == n_expected
+
+
+def test_quantile_over_time_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import quantile_over_time_daily
+
+    tbl = _events_table(n=6000, seed=83)
+    out = (
+        quantile_over_time_daily(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index(["source", "day"])
+        .sort_index()
+    )
+    df = _prepped(tbl)
+    n_expected = 0
+    for (src, day), g in df.groupby(["event_type", "day"]):
+        n_expected += 1
+        c = np.sort(g["c"].to_numpy())
+        n = len(c)
+        r = out.loc[(src, pd.Timestamp(day, unit="us"))]
+        for q, col in ((50, "p50_cents"), (90, "p90_cents"), (99, "p99_cents")):
+            assert r[col] == c[(q * n + 99) // 100 - 1]
+        assert r["n_events"] == n
+    assert len(out) == n_expected
+
+
+def test_weekday_weekend_contrast_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import weekday_weekend_contrast
+
+    # 7-day span (the shared fixture covers Tue-Fri only — no weekend)
+    rng = np.random.default_rng(89)
+    n = 9000
+    ts = 1_700_000_000 * US + rng.integers(0, 7 * DAY, n)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+            "ts": pa.array(ts.astype(np.int64), pa.timestamp("us")),
+            "event_type": pa.array(
+                [f"type_{i}" for i in rng.integers(0, 5, n)], pa.string()
+            ),
+            "value": pa.array(np.round(rng.normal(50, 40, n), 2), pa.float64()),
+        }
+    )
+    out = (
+        weekday_weekend_contrast(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    df = _prepped(tbl)
+    df["we"] = ((df["tsu"] // DAY + 3) % 7) >= 5
+    f = np.float64
+    n_expected = 0
+    for src, g in df.groupby("event_type"):
+        nwd = int((~g["we"]).sum())
+        nwe = int(g["we"].sum())
+        if nwd == 0 or nwe == 0:
+            continue
+        n_expected += 1
+        swd = int(g.loc[~g["we"], "c"].sum())
+        swe = int(g.loc[g["we"], "c"].sum())
+        r = out.loc[src]
+        assert r["n_weekday"] == nwd and r["n_weekend"] == nwe
+        assert r["sum_weekday_cents"] == swd and r["sum_weekend_cents"] == swe
+        for s, n, col in ((swd, nwd, "mean_weekday"), (swe, nwe, "mean_weekend")):
+            exp = f(np.int64(s)) / f(np.int64(n))
+            assert np.float64(r[col]).view(np.int64) == exp.view(np.int64)
+    assert len(out) == n_expected

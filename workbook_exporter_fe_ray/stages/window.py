@@ -3813,3 +3813,295 @@ def inter_arrival_hist(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def cross_corr_sources(
+    events: ray.data.Dataset,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Cross-series Pearson correlation between every pair of sources
+    over their hourly totals — "do these two streams move together"
+    (the cousin of :func:`autocorr_lag1`, BETWEEN series instead of
+    within one).  Per-block Arrow partials shrink the stream to the
+    (source, hour) bucket domain; the exchange routes on the HOUR so a
+    sweep task sees every source of its hours and expands the aligned
+    pair partials (sources²-bounded per hour) with exact int64
+    products; a final tiny (src_a, src_b) groupby-sum feeds the
+    :func:`grouped_corr` pinned float finish.  Hours missing from
+    either series are excluded from that pair (inner alignment).
+
+    Output: (src_a, src_b, n_hours, corr_hourly) for src_a < src_b
+    with n_hours >= 2 and positive variance on both sides (integer
+    compares, mirrored in the SQL HAVING).
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    HOUR = np.int64(3_600 * US)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "hour": pa.array(ts_np - ts_np % HOUR, pa.int64()),
+                "s": _cents(b),
+            }
+        )
+        g = t.group_by(["hour", "source"]).aggregate([("s", "sum")])
+        g = g.rename_columns(["hour", "source", "s"])
+        return with_part(g, ["hour"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src_a": pa.array([], pa.string()),
+                "src_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sx": pa.array([], pa.int64()),
+                "sy": pa.array([], pa.int64()),
+                "sxx": pa.array([], pa.int64()),
+                "syy": pa.array([], pa.int64()),
+                "sxy": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[("hour", "ascending"), ("source", "ascending")]
+        )
+        g = g.take(idx)
+        sv = pc.cast(g["s"], pa.int64()).to_numpy(zero_copy_only=False)
+        hs_starts = run_starts_table(g, ["hour", "source"])
+        s_c = np.add.reduceat(sv, hs_starts)  # combine cross-block partials
+        gc = g.take(pa.array(hs_starts))
+        h_starts = run_starts_table(gc, ["hour"])
+        h_lens = np.diff(np.r_[h_starts, len(gc)])
+        # expand aligned pairs within each hour run (runs are tiny:
+        # <= n_sources rows), vectorized triangle expansion per run
+        srcs = gc["source"].to_pylist()
+        ai, bi = [], []
+        for st, ln in zip(h_starts, h_lens):
+            if ln < 2:
+                continue
+            ii, jj = np.triu_indices(ln, k=1)
+            ai.append(ii + st)
+            bi.append(jj + st)
+        if not ai:
+            return empty
+        a_idx = np.concatenate(ai)
+        b_idx = np.concatenate(bi)
+        x, y = s_c[a_idx], s_c[b_idx]
+        if max(np.abs(x).max(initial=0), np.abs(y).max(initial=0)) >= 3_000_000_000:
+            raise ValueError(
+                "cross_corr_sources: |hourly sum| >= 3e9 cents — the int64 "
+                "x·y partials would overflow; pre-scale the values"
+            )
+        t = pa.table(
+            {
+                "src_a": pa.array([srcs[i] for i in a_idx], pa.string()),
+                "src_b": pa.array([srcs[i] for i in b_idx], pa.string()),
+                "n": pa.array(np.ones(len(a_idx), np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+                "sxy": pa.array(x * y),
+            }
+        )
+        g2 = t.group_by(["src_a", "src_b"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")]
+        )
+        return g2.rename_columns(
+            ["src_a", "src_b", "n", "sx", "sy", "sxx", "syy", "sxy"]
+        )
+
+    agg = (
+        events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby(["src_a", "src_b"])
+        .aggregate(
+            Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("syy"), Sum("sxy")
+        )
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        i = lambda c: pc.cast(b[c], pa.int64()).to_numpy(zero_copy_only=False)  # noqa: E731
+        n, sx, sy = i("sum(n)"), i("sum(sx)"), i("sum(sy)")
+        sxx, syy, sxy = i("sum(sxx)"), i("sum(syy)"), i("sum(sxy)")
+        # degeneracy filter in FLOAT (the same widened products the
+        # corr denominator uses): n·Σx² can overflow int64 on hourly
+        # sums long before the f8 formula loses the sign
+        f = np.float64
+        nf, sxf, syf = n.astype(f), sx.astype(f), sy.astype(f)
+        sxxf, syyf, sxyf = sxx.astype(f), syy.astype(f), sxy.astype(f)
+        varx = nf * sxxf - sxf * sxf
+        vary = nf * syyf - syf * syf
+        keep = (n >= 2) & (varx > 0.0) & (vary > 0.0)
+        corr = (nf[keep] * sxyf[keep] - sxf[keep] * syf[keep]) / (
+            np.sqrt(varx[keep]) * np.sqrt(vary[keep])
+        )
+        ki = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                "src_a": b["src_a"].take(ki),
+                "src_b": b["src_b"].take(ki),
+                "n_hours": pa.array(n[keep], pa.int64()),
+                "corr_hourly": pa.array(corr, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def quantile_over_time_daily(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """PromQL ``quantile_over_time``-shaped windowed quantiles: exact
+    p50/p90/p99 value-cents picks per (source, day) using the
+    ``quantile_disc`` integer convention (index ceil(q·n)−1 of the
+    value-sorted run) — the per-tier latency/size percentile panel.
+    One keyed exchange; each partition does ONE composite sort and
+    three vectorized index picks per run, all int64.
+
+    Output: (source, day, n_events, p50_cents, p90_cents, p99_cents).
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source", "day"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "day": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "p50_cents": pa.array([], pa.int64()),
+                    "p90_cents": pa.array([], pa.int64()),
+                    "p99_cents": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("c", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "day"])
+        n = len(g)
+        lens = np.diff(np.r_[starts, n])
+        cv = g["c"].to_numpy(zero_copy_only=False)
+
+        def pick(q: float) -> np.ndarray:
+            # ceil(q*n)-1 in integer math: (q_num*n + q_den - 1)//q_den - 1
+            # with q expressed as num/100 — no float involved
+            num = int(round(q * 100))
+            k = (num * lens + 99) // 100 - 1
+            return cv[starts + k]
+
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(starts)),
+                "day": pa.array(
+                    g["day"].to_numpy(zero_copy_only=False)[starts],
+                    pa.timestamp("us"),
+                ),
+                "n_events": pa.array(lens.astype(np.int64), pa.int64()),
+                "p50_cents": pa.array(pick(0.50), pa.int64()),
+                "p90_cents": pa.array(pick(0.90), pa.int64()),
+                "p99_cents": pa.array(pick(0.99), pa.int64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def weekday_weekend_contrast(
+    events: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Weekday-vs-weekend traffic/value contrast per source — the
+    capacity-planning split.  The weekend flag is PURE EPOCH-DAY
+    ARITHMETIC (``(epoch_us // day + 3) % 7 >= 5``, day 0 = Monday
+    since 1970-01-01 was a Thursday) so the engine and the SQL share
+    an integer formula instead of a calendar function with
+    library-specific week conventions.  Per-block int64 partials, one
+    sources-bounded exchange; means are single pinned divisions.
+
+    Output: (source, n_weekday, n_weekend, sum_weekday_cents,
+    sum_weekend_cents, mean_weekday, mean_weekend) — sources with
+    both-side activity only (integer HAVING, mirrored in SQL).
+    """
+    from ray.data.aggregate import Sum
+
+    DAY = np.int64(86_400 * US)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        wd = (ts_np // DAY + np.int64(3)) % np.int64(7)
+        we = wd >= 5
+        c = _cents(b).to_numpy(zero_copy_only=False)
+        i64 = np.int64
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "n_wd": pa.array((~we).astype(i64)),
+                "n_we": pa.array(we.astype(i64)),
+                "s_wd": pa.array(np.where(we, 0, c)),
+                "s_we": pa.array(np.where(we, c, 0)),
+            }
+        )
+        g = t.group_by("source").aggregate(
+            [("n_wd", "sum"), ("n_we", "sum"), ("s_wd", "sum"), ("s_we", "sum")]
+        )
+        return g.rename_columns(["source", "n_wd", "n_we", "s_wd", "s_we"])
+
+    agg = (
+        events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_wd"), Sum("n_we"), Sum("s_wd"), Sum("s_we"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        i = lambda c: pc.cast(b[c], pa.int64()).to_numpy(zero_copy_only=False)  # noqa: E731
+        n_wd, n_we = i("sum(n_wd)"), i("sum(n_we)")
+        s_wd, s_we = i("sum(s_wd)"), i("sum(s_we)")
+        keep = (n_wd > 0) & (n_we > 0)
+        ki = pa.array(np.flatnonzero(keep))
+        f = np.float64
+        return pa.table(
+            {
+                "source": b["source"].take(ki),
+                "n_weekday": pa.array(n_wd[keep], pa.int64()),
+                "n_weekend": pa.array(n_we[keep], pa.int64()),
+                "sum_weekday_cents": pa.array(s_wd[keep], pa.int64()),
+                "sum_weekend_cents": pa.array(s_we[keep], pa.int64()),
+                "mean_weekday": pa.array(
+                    s_wd[keep].astype(f) / n_wd[keep].astype(f), pa.float64()
+                ),
+                "mean_weekend": pa.array(
+                    s_we[keep].astype(f) / n_we[keep].astype(f), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
