@@ -1624,6 +1624,28 @@ def _q_local_supplier_revenue(sf_dir: str):
     )
 
 
+def _q_dup_graph_degree(sf_dir: str):
+    """Near-dup-graph degree histogram (dedup budget planner)."""
+    from workbook_exporter_fe_ray.stages.dedup import dup_graph_degree_hist
+
+    return dup_graph_degree_hist(_documents(sf_dir), threshold=0.35)
+
+
+def _q_incremental_merge_audit(sf_dir: str):
+    """Resume/backfill mergeability audit: half-stream tiers merged
+    must equal the single-pass tier (north-rule checkpoint soundness)."""
+    from workbook_exporter_fe_ray.pipelines.events import incremental_merge_audit
+
+    return incremental_merge_audit(sf_dir)
+
+
+def _q_value_change_quantiles(sf_dir: str):
+    """p50/p90 of |consecutive delta| per (source, day) — volatility."""
+    from workbook_exporter_fe_ray.stages.window import value_change_quantiles
+
+    return value_change_quantiles(_events(sf_dir))
+
+
 def _q_cross_corr_sources(sf_dir: str):
     """Pairwise cross-series Pearson correlation of hourly totals."""
     from workbook_exporter_fe_ray.stages.window import cross_corr_sources
@@ -1847,6 +1869,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "cross_corr_sources": _q_cross_corr_sources,  # between-series corr (r4)
         "quantile_over_time": _q_quantile_over_time,  # windowed p50/90/99 (r4)
         "weekday_weekend_contrast": _q_weekday_weekend,  # calendar split (r4)
+        "dup_graph_degree_hist": _q_dup_graph_degree,  # dedup graph profile (r4)
+        "incremental_merge_audit": _q_incremental_merge_audit,  # resume gate (r4)
+        "value_change_quantiles": _q_value_change_quantiles,  # volatility (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2033,6 +2058,9 @@ _NEW_R4 = (
     "cross_corr_sources",
     "quantile_over_time",
     "weekday_weekend_contrast",
+    "dup_graph_degree_hist",
+    "incremental_merge_audit",
+    "value_change_quantiles",
 )
 
 _ROWS_ONLY_R3 = (
@@ -2964,6 +2992,69 @@ SELECT source, n_wd AS n_weekday, n_we AS n_weekend,
        CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE) AS mean_weekday,
        CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE) AS mean_weekend
 FROM s
+""",
+        "dup_graph_degree_hist": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                 FOR i IN range(1, len(l) - 1)]) AS g
+  FROM toks WHERE len(l) >= 3),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35),
+deg AS (
+  SELECT doc_id, count(*) AS degree FROM (
+    SELECT id_a AS doc_id FROM pairs
+    UNION ALL SELECT id_b AS doc_id FROM pairs) GROUP BY 1)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY 1
+""",
+        "incremental_merge_audit": f"""
+WITH direct AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         count(*) AS n, CAST(sum({_CENTS}) AS BIGINT) AS s,
+         min({_CENTS}) AS mn, max({_CENTS}) AS mx
+  FROM events GROUP BY 1, 2),
+h AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         event_id % 2 AS par,
+         count(*) AS n, CAST(sum({_CENTS}) AS BIGINT) AS s,
+         min({_CENTS}) AS mn, max({_CENTS}) AS mx
+  FROM events GROUP BY 1, 2, 3),
+merged AS (
+  SELECT source, b, CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+         min(mn) AS mn, max(mx) AS mx
+  FROM h GROUP BY 1, 2)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(coalesce(sum(CASE WHEN d.n = m.n AND d.s = m.s
+                               AND d.mn = m.mn AND d.mx = m.mx
+                          THEN 1 END), 0) AS BIGINT) AS n_agree
+FROM direct d JOIN merged m USING (source, b) GROUP BY 1
+""",
+        "value_change_quantiles": f"""
+WITH d AS (
+  SELECT event_type AS source,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         abs({_CENTS} - lag({_CENTS}) OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts, event_id)) AS ad
+  FROM events)
+SELECT source, day,
+       CAST(count(*) AS BIGINT) AS n_deltas,
+       quantile_disc(ad, 0.50) AS p50_abs_delta,
+       quantile_disc(ad, 0.90) AS p90_abs_delta
+FROM d WHERE ad IS NOT NULL GROUP BY 1, 2
 """,
         "tier_consistency_audit": f"""
 WITH fine AS (

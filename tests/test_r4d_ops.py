@@ -748,3 +748,66 @@ def test_weekday_weekend_contrast_vs_brute(ray_session):
             exp = f(np.int64(s)) / f(np.int64(n))
             assert np.float64(r[col]).view(np.int64) == exp.view(np.int64)
     assert len(out) == n_expected
+
+
+def test_value_change_quantiles_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import value_change_quantiles
+
+    tbl = _events_table(n=6000, seed=97)
+    out = (
+        value_change_quantiles(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index(["source", "day"])
+        .sort_index()
+    )
+    df = _prepped(tbl)
+    n_expected = 0
+    for (src, day), g in df.groupby(["event_type", "day"]):
+        ad = np.abs(np.diff(g["c"].to_numpy()))
+        if len(ad) == 0:
+            continue
+        n_expected += 1
+        ads = np.sort(ad)
+        n = len(ads)
+        r = out.loc[(src, pd.Timestamp(day, unit="us"))]
+        assert r["n_deltas"] == n
+        assert r["p50_abs_delta"] == ads[(50 * n + 99) // 100 - 1]
+        assert r["p90_abs_delta"] == ads[(90 * n + 99) // 100 - 1]
+    assert len(out) == n_expected
+
+
+def test_incremental_merge_audit_agrees(ray_session):
+    from workbook_exporter_fe_ray.pipelines.events import incremental_merge_audit
+
+    out = incremental_merge_audit("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    # the merge of disjoint half-stream tiers must equal the
+    # single-pass tier in EVERY bucket — this is resume soundness
+    assert (out["n_buckets"].to_numpy() == out["n_agree"].to_numpy()).all()
+
+
+def test_dup_graph_degree_hist_planted(ray_session):
+    from workbook_exporter_fe_ray.stages.dedup import dup_graph_degree_hist
+
+    rng = np.random.default_rng(101)
+    vocab = np.array([f"tk{i}" for i in range(4000)])
+    # 40 unique long docs + one planted template family of 4 near-identical
+    texts = [
+        " ".join(vocab[rng.integers(0, 4000, 60)]) for _ in range(40)
+    ]
+    base = " ".join(vocab[rng.integers(0, 4000, 60)])
+    fam = [base + f" extra{i}" for i in range(4)]  # pairwise jaccard ~ .94
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(44, dtype=np.int64)),
+            "text": pa.array(texts + fam, pa.string()),
+        }
+    )
+    out = (
+        dup_graph_degree_hist(ray.data.from_arrow(tbl).repartition(4), threshold=0.35)
+        .to_pandas()
+        .set_index("degree")
+        .sort_index()
+    )
+    # the 4-doc family forms a clique: every member has degree 3
+    assert out.loc[3, "n_docs"] == 4

@@ -339,3 +339,182 @@ def tier_consistency_audit(
         ),
         batch_format="pyarrow",
     )
+
+
+def incremental_merge_audit(
+    sf_dir: str,
+    bucket_s: int = 3600,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Resume/backfill mergeability audit — the incremental sibling of
+    :func:`tier_consistency_audit`: the 1h tier is built ONCE directly
+    over all events and ONCE as the merge of two disjoint half-streams
+    (event_id parity split — both halves land partials in the SAME
+    buckets, so the merge must sum counts/sums and fold min/max), and
+    the audit counts buckets where every statistic agrees.  On a
+    correct engine n_agree == n_buckets; this is exactly the property
+    that makes checkpoint-resume (north rule) sound — a tier rebuilt
+    from saved partial partitions must equal the single-pass tier.
+
+    One bucket-bounded exchange: direct rows (tag 0) and both half
+    tiers (tag 1) union, route by (source, bucket_ts), and a run
+    sweep folds the tag-1 partials before the compare; per-partition
+    int64 (n_buckets, n_agree) partials collapse in a sources-sized
+    final groupby.
+
+    Output: (source, n_buckets, n_agree) — all int64.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..sources import read_table
+    from ..stages.rollup import rollup_tier
+    from ..stages.sweep import run_starts_table, with_part
+
+    ds = read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "value"],
+    )
+
+    def _derive(parity: int | None):
+        def _d(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "source": b["event_type"],
+                    "ts": b["ts"],
+                    "value_cents": pc.cast(
+                        pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                    ),
+                }
+            )
+            if parity is None:
+                return t
+            eid = pc.cast(b["event_id"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            return t.filter(pa.array(eid % 2 == parity))
+
+        return _d
+
+    direct = rollup_tier(
+        ds.map_batches(_derive(None), batch_format="pyarrow", zero_copy_batch=True),
+        bucket_s,
+        value_col="value_cents",
+    )
+    halves = [
+        rollup_tier(
+            ds.map_batches(
+                _derive(p), batch_format="pyarrow", zero_copy_batch=True
+            ),
+            bucket_s,
+            value_col="value_cents",
+        )
+        for p in (0, 1)
+    ]
+
+    def _tag_path(tag: int):
+        def _t(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "source": b["source"],
+                    "bucket_ts": pc.cast(
+                        pc.cast(b["bucket_ts"], pa.timestamp("us")), pa.int64()
+                    ),
+                    "count": pc.cast(b["count"], pa.int64()),
+                    "sum": pc.cast(b["sum"], pa.int64()),
+                    "min": pc.cast(b["min"], pa.int64()),
+                    "max": pc.cast(b["max"], pa.int64()),
+                    "tag": pa.array(np.full(len(b), tag, dtype=np.int8), pa.int8()),
+                }
+            )
+            return with_part(t, ["source", "bucket_ts"], num_partitions)
+
+        return _t
+
+    tagged = direct.map_batches(
+        _tag_path(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        halves[0].map_batches(
+            _tag_path(1), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        halves[1].map_batches(
+            _tag_path(1), batch_format="pyarrow", zero_copy_batch=True
+        ),
+    )
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_buckets": pa.array([], pa.int64()),
+                "n_agree": pa.array([], pa.int64()),
+            }
+        )
+        n = len(g)
+        if n == 0:
+            return empty
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("bucket_ts", "ascending"),
+                ("tag", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "bucket_ts"])
+        lens = np.diff(np.r_[starts, n])
+        tag = g["tag"].to_numpy(zero_copy_only=False)
+        cnt = g["count"].to_numpy(zero_copy_only=False)
+        sm = g["sum"].to_numpy(zero_copy_only=False)
+        mn = g["min"].to_numpy(zero_copy_only=False)
+        mx = g["max"].to_numpy(zero_copy_only=False)
+        i64 = np.int64
+        is_half = (tag == 1).astype(i64)
+        # fold the tag-1 partials per run (tag sorts the direct row
+        # first): merged count/sum = sums over halves; min/max = folds
+        m_cnt = np.add.reduceat(is_half * cnt, starts)
+        m_sum = np.add.reduceat(is_half * sm, starts)
+        BIG = np.int64(1) << np.int64(62)
+        m_min = np.minimum.reduceat(np.where(tag == 1, mn, BIG), starts)
+        m_max = np.maximum.reduceat(np.where(tag == 1, mx, -BIG), starts)
+        has_direct = np.add.reduceat((tag == 0).astype(i64), starts) > 0
+        has_half = np.add.reduceat(is_half, starts) > 0
+        d_cnt, d_sum = cnt[starts], sm[starts]  # direct sorts first
+        d_min, d_max = mn[starts], mx[starts]
+        agree = (
+            has_direct
+            & has_half
+            & (m_cnt == d_cnt)
+            & (m_sum == d_sum)
+            & (m_min == d_min)
+            & (m_max == d_max)
+        )
+        t = pa.table(
+            {
+                "source": g["source"].take(pa.array(starts)),
+                "n_buckets": pa.array(np.ones(len(starts), i64)),
+                "n_agree": pa.array(agree.astype(i64)),
+            }
+        )
+        g2 = t.group_by("source").aggregate(
+            [("n_buckets", "sum"), ("n_agree", "sum")]
+        )
+        return g2.rename_columns(["source", "n_buckets", "n_agree"])
+
+    agg = (
+        tagged.groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_buckets"), Sum("n_agree"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_buckets": pc.cast(b["sum(n_buckets)"], pa.int64()),
+                "n_agree": pc.cast(b["sum(n_agree)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

@@ -951,3 +951,61 @@ def simhash_pairs(
         ),
         batch_format="pyarrow",
     )
+
+
+def dup_graph_degree_hist(
+    docs: ray.data.Dataset,
+    threshold: float = 0.35,
+) -> ray.data.Dataset:
+    """Near-duplicate-graph degree profile: for every document involved
+    in at least one near-dup pair, its pair count — histogrammed as
+    (degree, n_docs).  The dedup-budget planner's first question: is
+    the graph a sea of isolated pairs (keep one of each, cheap) or a
+    few hub-and-spoke template families (cluster first, then pick)?
+    Composes the exact-on-driver-corpora MinHash+LSH miner with two
+    tiny exchanges: pair endpoints fan out 2×pairs rows → doc-keyed
+    count → degree-keyed histogram; all int64.
+
+    Output: (degree, n_docs).
+    """
+    from ray.data.aggregate import Sum
+
+    pairs = minhash_lsh_pairs(docs, threshold=threshold)
+
+    def _endpoints(b: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [b["id_a"].combine_chunks(), b["id_b"].combine_chunks()]
+        )
+        t = pa.table({"doc_id": ids})
+        g = t.group_by("doc_id").aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "n"])
+
+    deg = (
+        pairs.map_batches(_endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .sum("n")
+    )
+
+    def _hist_partial(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["sum(n)"], pa.int64())
+        t = pa.table(
+            {"degree": d, "n": pa.array(np.ones(len(b), np.int64))}
+        )
+        g = t.group_by("degree").aggregate([("n", "sum")])
+        return g.rename_columns(["degree", "n"])
+
+    agg = (
+        deg.map_batches(_hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("degree")
+        .aggregate(Sum("n"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "degree": pc.cast(b["degree"], pa.int64()),
+                "n_docs": pc.cast(b["sum(n)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

@@ -4105,3 +4105,108 @@ def weekday_weekend_contrast(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def value_change_quantiles(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Volatility profile per (source, day): exact p50/p90 of the
+    ABSOLUTE consecutive-sample delta (|Δcents| in (ts, event_id)
+    order) — the "how big is a normal move" panel that sizes spike
+    thresholds and Gorilla XOR width expectations.  One keyed
+    exchange, two composite sorts in-sweep (time order for deltas,
+    value order for the quantile_disc integer picks), all int64.
+
+    Output: (source, day, n_deltas, p50_abs_delta, p90_abs_delta) for
+    runs with >= 2 samples.
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+                "ts": pa.array(ts_np, pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source", "day"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "day": pa.array([], pa.timestamp("us")),
+                "n_deltas": pa.array([], pa.int64()),
+                "p50_abs_delta": pa.array([], pa.int64()),
+                "p90_abs_delta": pa.array([], pa.int64()),
+            }
+        )
+        n = len(g)
+        if n == 0:
+            return empty
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "day"])
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        d = np.zeros(n, dtype=np.int64)
+        d[1:] = np.abs(cv[1:] - cv[:-1])
+        valid = np.ones(n, dtype=bool)
+        valid[starts] = False
+        if not valid.any():
+            return empty
+        deltas = pa.table(
+            {
+                "source": g["source"].filter(pa.array(valid)),
+                "day": pa.array(
+                    g["day"].to_numpy(zero_copy_only=False)[valid], pa.int64()
+                ),
+                "ad": pa.array(d[valid]),
+            }
+        )
+        idx2 = pc.sort_indices(
+            deltas,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("ad", "ascending"),
+            ],
+        )
+        deltas = deltas.take(idx2)
+        s2 = run_starts_table(deltas, ["source", "day"])
+        lens = np.diff(np.r_[s2, len(deltas)])
+        av = deltas["ad"].to_numpy(zero_copy_only=False)
+
+        def pick(num: int) -> np.ndarray:
+            k = (num * lens + 99) // 100 - 1
+            return av[s2 + k]
+
+        return pa.table(
+            {
+                "source": deltas["source"].take(pa.array(s2)),
+                "day": pa.array(
+                    deltas["day"].to_numpy(zero_copy_only=False)[s2],
+                    pa.timestamp("us"),
+                ),
+                "n_deltas": pa.array(lens.astype(np.int64), pa.int64()),
+                "p50_abs_delta": pa.array(pick(50), pa.int64()),
+                "p90_abs_delta": pa.array(pick(90), pa.int64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
