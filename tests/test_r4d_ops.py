@@ -811,3 +811,77 @@ def test_dup_graph_degree_hist_planted(ray_session):
     )
     # the 4-doc family forms a clique: every member has degree 3
     assert out.loc[3, "n_docs"] == 4
+
+
+def test_rollup_1mo_calendar_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import rollup_1mo_calendar
+
+    # span three calendar months incl. a month boundary mid-fixture
+    rng = np.random.default_rng(103)
+    n = 5000
+    ts = 1_700_000_000 * US + rng.integers(0, 80 * DAY, n)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+            "ts": pa.array(ts.astype(np.int64), pa.timestamp("us")),
+            "event_type": pa.array(
+                [f"type_{i}" for i in rng.integers(0, 4, n)], pa.string()
+            ),
+            "value": pa.array(np.round(rng.normal(50, 40, n), 2), pa.float64()),
+        }
+    )
+    out = (
+        rollup_1mo_calendar(ray.data.from_arrow(tbl).repartition(5))
+        .to_pandas()
+        .set_index(["source", "bucket_ts"])
+        .sort_index()
+    )
+    df = tbl.to_pandas()
+    df["c"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+    tsu = tbl["ts"].cast(pa.int64()).to_numpy()
+    df["m"] = (
+        tsu.astype("datetime64[us]")
+        .astype("datetime64[M]")
+        .astype("datetime64[us]")
+        .view(np.int64)
+    )
+    g = df.groupby(["event_type", "m"])["c"].agg(["count", "sum", "min", "max"])
+    assert len(out) == len(g)
+    assert g.index.get_level_values("m").nunique() >= 3
+    for (src, m), r0 in g.iterrows():
+        r = out.loc[(src, pd.Timestamp(m, unit="us"))]
+        assert r["n_points"] == r0["count"]
+        assert r["sum_cents"] == r0["sum"]
+        assert r["min_cents"] == r0["min"] and r["max_cents"] == r0["max"]
+        exp = np.float64(np.int64(r0["sum"])) / np.float64(np.int64(r0["count"]))
+        assert np.float64(r["mean_cents"]).view(np.int64) == exp.view(np.int64)
+
+
+def test_user_gini_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import user_gini_concentration
+
+    tbl = _events_table(n=6000, seed=107)
+    out = (
+        user_gini_concentration(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    df = tbl.to_pandas()
+    n_expected = 0
+    for src, g in df.groupby("event_type"):
+        x = np.sort(g.groupby("user_id").size().to_numpy()).astype(object)
+        n = len(x)
+        sx = sum(x)
+        six = sum((i + 1) * v for i, v in enumerate(x))
+        num, den = 2 * six - (n + 1) * sx, n * sx
+        if den <= 0:
+            continue
+        n_expected += 1
+        r = out.loc[src]
+        assert r["n_users"] == n
+        assert r["gini_num"] == num and r["gini_den"] == den
+        exp = np.float64(np.int64(num)) / np.float64(np.int64(den))
+        assert np.float64(r["gini"]).view(np.int64) == exp.view(np.int64)
+    assert len(out) == n_expected

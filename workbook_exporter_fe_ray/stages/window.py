@@ -4210,3 +4210,173 @@ def value_change_quantiles(
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def rollup_1mo_calendar(
+    events: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Calendar-month retention tier — the one bucket width the fixed
+    1m/5m/1h/1d cascade cannot express with epoch arithmetic (months
+    are irregular).  Buckets come from NumPy's proleptic-Gregorian
+    ``datetime64[M]`` truncation, bit-identical to DuckDB's
+    ``date_trunc('month')`` (probed in the SQL validation); the rest
+    is the standard combiner-first rollup: per-block Arrow partials
+    over the bounded (source, month) domain, one keyed exchange,
+    associative count/sum/min/max.
+
+    Output: (source, bucket_ts, n_points, sum_cents, min_cents,
+    max_cents, mean_cents) — mean is one pinned f8/f8 division.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        month = (
+            ts_np.astype("datetime64[us]")
+            .astype("datetime64[M]")
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        c = _cents(b)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "bucket_ts": pa.array(month, pa.int64()),
+                "n": pa.array(np.ones(len(b), np.int64)),
+                "s": c,
+                "mn": c,
+                "mx": c,
+            }
+        )
+        g = t.group_by(["source", "bucket_ts"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("mn", "min"), ("mx", "max")]
+        )
+        return g.rename_columns(["source", "bucket_ts", "n", "s", "mn", "mx"])
+
+    agg = (
+        events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "bucket_ts"])
+        .aggregate(Sum("n"), Sum("s"), Min("mn"), Max("mx"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["sum(n)"], pa.int64()).to_numpy(zero_copy_only=False)
+        s = pc.cast(b["sum(s)"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": pa.array(
+                    pc.cast(b["bucket_ts"], pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    pa.timestamp("us"),
+                ),
+                "n_points": pa.array(n),
+                "sum_cents": pa.array(s),
+                "min_cents": pc.cast(b["min(mn)"], pa.int64()),
+                "max_cents": pc.cast(b["max(mx)"], pa.int64()),
+                "mean_cents": pa.array(
+                    s.astype(np.float64) / n.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def user_gini_concentration(
+    events: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Gini coefficient of per-user activity per source — the
+    concentration/inequality panel ("is this stream five whales or a
+    crowd").  Exact integer formulation of the sorted-rank identity
+    ``G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)`` over count-ascending
+    order (tie order is irrelevant: equal x values receive the same
+    set of ranks whichever way they sort, so Σ i·x is invariant).
+    Per-block (source, user) count partials → keyed sum → one
+    source-routed sweep (per-run arange + reduceat, user-cardinality
+    bounded like the vocabulary sweeps, loud int64 headroom guard);
+    numerator/denominator ship as exact ints, the ratio is one
+    division.
+
+    Output: (source, n_users, gini_num, gini_den, gini).
+    """
+    from .sweep import run_starts_table, with_part
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"source": b["event_type"], "user_id": pc.cast(b["user_id"], pa.int64())}
+        )
+        g = t.group_by(["source", "user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "user_id", "x"])
+
+    counts = (
+        events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "user_id"])
+        .sum("x")
+    )
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["source"],
+                "x": pc.cast(b["sum(x)"], pa.int64()),
+            }
+        )
+        return with_part(t, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_users": pa.array([], pa.int64()),
+                "gini_num": pa.array([], pa.int64()),
+                "gini_den": pa.array([], pa.int64()),
+                "gini": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[("source", "ascending"), ("x", "ascending")]
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source"])
+        lens = np.diff(np.r_[starts, len(g)])
+        xv = g["x"].to_numpy(zero_copy_only=False)
+        if int(lens.max(initial=0)) * max(int(xv.max(initial=0)), 1) * int(
+            lens.max(initial=0)
+        ) >= (1 << 62):
+            raise ValueError(
+                "user_gini_concentration: n²·max_count exceeds int64 — "
+                "pre-aggregate counts or shard the source"
+            )
+        rank = np.arange(1, len(g) + 1, dtype=np.int64) - np.repeat(
+            starts.astype(np.int64), lens
+        )  # 1..n within each run
+        six = np.add.reduceat(rank * xv, starts)
+        sx = np.add.reduceat(xv, starts)
+        n = lens.astype(np.int64)
+        num = 2 * six - (n + 1) * sx
+        den = n * sx
+        keep = den > 0
+        ki = pa.array(starts[keep])
+        f = np.float64
+        return pa.table(
+            {
+                "source": g["source"].take(ki),
+                "n_users": pa.array(n[keep], pa.int64()),
+                "gini_num": pa.array(num[keep], pa.int64()),
+                "gini_den": pa.array(den[keep], pa.int64()),
+                "gini": pa.array(
+                    num[keep].astype(f) / den[keep].astype(f), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        counts.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+    )
