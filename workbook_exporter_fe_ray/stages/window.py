@@ -4344,6 +4344,13 @@ def user_gini_concentration(
         g = g.take(idx)
         starts = run_starts_table(g, ["source"])
         lens = np.diff(np.r_[starts, len(g)])
+        if int(lens.max(initial=0)) > 50_000_000:
+            raise ValueError(
+                "user_gini_concentration: one source holds >50M distinct "
+                "users in a single sweep task — switch to the two-pass "
+                "global-rank plan (stages/window._rank_plan) for the "
+                "rank·x sum, the way percent_rank_by_value scales"
+            )
         xv = g["x"].to_numpy(zero_copy_only=False)
         if int(lens.max(initial=0)) * max(int(xv.max(initial=0)), 1) * int(
             lens.max(initial=0)
