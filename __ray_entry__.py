@@ -1624,6 +1624,26 @@ def _q_local_supplier_revenue(sf_dir: str):
     )
 
 
+def _q_label_centroid_sums(sf_dir: str):
+    """Per-(label, dim) exact centroid numerators over embeddings."""
+    from workbook_exporter_fe_ray.stages.similarity import label_centroid_sums
+
+    return label_centroid_sums(_embeddings(sf_dir))
+
+
+def _q_above_avg_customers(sf_dir: str):
+    """Decorrelated scalar subquery: strictly-above-nation-average
+    balances via exact integer cross-multiplication."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import above_avg_customers
+
+    return above_avg_customers(
+        read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+        )
+    )
+
+
 def _q_rollup_1mo_calendar(sf_dir: str):
     """Calendar-month retention tier (irregular bucket widths)."""
     from workbook_exporter_fe_ray.stages.window import rollup_1mo_calendar
@@ -1888,6 +1908,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "value_change_quantiles": _q_value_change_quantiles,  # volatility (r4)
         "rollup_1mo_calendar": _q_rollup_1mo_calendar,  # calendar-month tier (r4)
         "user_gini_concentration": _q_user_gini,    # inequality metric (r4)
+        "label_centroid_sums": _q_label_centroid_sums,  # vector agg (r4)
+        "above_avg_customers": _q_above_avg_customers,  # decorrelation (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2063,6 +2085,8 @@ _NEW_R4 = (
     "pmi_top_bigrams",
     "rollup_1mo_calendar",
     "user_gini_concentration",
+    "label_centroid_sums",
+    "above_avg_customers",
     # driver grades the first 50 queries() entries; the head now holds 59,
     # so the tail 7 below the cut get local-mirror + pytest evidence
     # only this round — the north-rule-relevant audits and join/window
@@ -3108,6 +3132,34 @@ SELECT source, CAST(n AS BIGINT) AS n_users,
        CAST(2 * six - (n + 1) * sx AS DOUBLE)
          / CAST(n * sx AS DOUBLE) AS gini
 FROM g WHERE n * sx > 0
+""",
+        "label_centroid_sums": """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest([struct_pack(
+             d := i - 1,
+             q := CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                       AS BIGINT))
+           FOR i IN range(1, len(embedding) + 1)]) AS p
+  FROM embeddings)
+SELECT label, CAST(p.d AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(p.q) AS BIGINT) AS sum_q
+FROM e GROUP BY 1, 2
+""",
+        "above_avg_customers": """
+WITH s AS (
+  SELECT c_nationkey, count(*) AS n,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sb
+  FROM customer GROUP BY 1)
+SELECT CAST(c.c_nationkey AS BIGINT) AS n_nationkey,
+       CAST(s.n AS BIGINT) AS n_customers,
+       CAST(s.sb AS BIGINT) AS sum_bal_cents,
+       CAST(coalesce(sum(CASE WHEN CAST(round(c.c_acctbal * 100) AS BIGINT)
+                                   * s.n > s.sb THEN 1 END), 0) AS BIGINT)
+         AS n_above
+FROM customer c JOIN s USING (c_nationkey)
+GROUP BY 1, s.n, s.sb
 """,
         "tier_consistency_audit": f"""
 WITH fine AS (

@@ -885,3 +885,66 @@ def test_user_gini_vs_brute(ray_session):
         exp = np.float64(np.int64(num)) / np.float64(np.int64(den))
         assert np.float64(r["gini"]).view(np.int64) == exp.view(np.int64)
     assert len(out) == n_expected
+
+
+def test_label_centroid_sums_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.similarity import label_centroid_sums
+
+    rng = np.random.default_rng(109)
+    vecs = [rng.normal(0, 0.2, 16).astype(np.float32) for _ in range(150)]
+    vecs[3] = rng.normal(0, 0.2, 8).astype(np.float32)  # ragged vector
+    labels = rng.integers(0, 3, 150).astype(np.int32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(150, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    out = (
+        label_centroid_sums(ray.data.from_arrow(tbl).repartition(5))
+        .to_pandas()
+        .set_index(["label", "dim"])
+        .sort_index()
+    )
+    exp: dict = {}
+    for v, lb in zip(vecs, labels):
+        q = np.floor(v.astype(np.float64) * 1e6).astype(np.int64)
+        for d in range(len(v)):
+            r = exp.setdefault((int(lb), d), [0, 0])
+            r[0] += 1
+            r[1] += int(q[d])
+    assert len(out) == len(exp)
+    for (lb, d), (n, sq) in exp.items():
+        r = out.loc[(lb, d)]
+        assert r["n_vecs"] == n and r["sum_q"] == sq
+    # the ragged vector shortened exactly its label's high dims
+    lb3 = int(labels[3])
+    assert out.loc[(lb3, 15), "n_vecs"] == out.loc[(lb3, 0), "n_vecs"] - 1
+
+
+def test_above_avg_customers_vs_brute(ray_session):
+    import __ray_entry__ as E
+
+    out = (
+        E.queries()["above_avg_customers"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("n_nationkey")
+        .sort_index()
+    )
+    import pyarrow.parquet as pq
+
+    c = pq.read_table(
+        "/root/testdata/sf0.001/customer.parquet",
+        columns=["c_nationkey", "c_acctbal"],
+    ).to_pandas()
+    c["b"] = np.round(c["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    for nk, g in c.groupby("c_nationkey"):
+        n = len(g)
+        sb = int(g["b"].sum())
+        na = int((g["b"].to_numpy().astype(object) * n > sb).sum())
+        r = out.loc[nk]
+        assert r["n_customers"] == n
+        assert r["sum_bal_cents"] == sb
+        assert r["n_above"] == na
+    assert len(out) == c["c_nationkey"].nunique()

@@ -2183,3 +2183,108 @@ def local_supplier_revenue(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def above_avg_customers(
+    customer: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Decorrelated scalar-subquery pattern (TPC-H Q22's shape):
+    customers strictly above their nation's average balance, WITHOUT
+    dividing — the comparison ``bal > avg`` becomes the exact integer
+    cross-multiplication ``bal_cents · n > Σbal_cents``, so the whole
+    query is int64 and hash-exact.  Two passes over the dimension-thin
+    projection: nation partials aggregate to a 25-row table broadcast
+    into the second streamed pass (the canonical decorrelation — the
+    inner aggregate becomes a build side, never a per-row re-scan).
+
+    Output: (n_nationkey, n_customers, sum_bal_cents, n_above).
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["c_acctbal"], 100.0)), pa.int64())
+        t = pa.table(
+            {
+                "n_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                "n": pa.array(np.ones(len(b), np.int64)),
+                "sb": cents,
+            }
+        )
+        g = t.group_by("n_nationkey").aggregate([("n", "sum"), ("sb", "sum")])
+        return g.rename_columns(["n_nationkey", "n", "sb"])
+
+    stats = (
+        customer.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_nationkey")
+        .aggregate(Sum("n"), Sum("sb"))
+    )
+    rows = [
+        b
+        for b in stats.iter_batches(batch_size=None, batch_format="pyarrow")
+        if len(b)
+    ]
+    if not rows:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_nationkey": pa.array([], pa.int64()),
+                    "n_customers": pa.array([], pa.int64()),
+                    "sum_bal_cents": pa.array([], pa.int64()),
+                    "n_above": pa.array([], pa.int64()),
+                }
+            )
+        )
+    st = pa.concat_tables(rows)
+    keys = pc.cast(st["n_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    ns = pc.cast(st["sum(n)"], pa.int64()).to_numpy(zero_copy_only=False)
+    sbs = pc.cast(st["sum(sb)"], pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    sref = ray.put((keys[order], ns[order], sbs[order]))
+
+    _cache: dict = {}
+
+    def _above_partial(b: pa.Table) -> pa.Table:
+        if "s" not in _cache:
+            _cache["s"] = ray.get(sref)
+        ks, nn, sb = _cache["s"]
+        nk = pc.cast(b["c_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(b["c_acctbal"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ks, nk), max(len(ks) - 1, 0))
+        above = (cents * nn[pos] > sb[pos]) & (ks[pos] == nk)
+        t = pa.table(
+            {
+                "n_nationkey": pa.array(nk),
+                "a": pa.array(above.astype(np.int64)),
+            }
+        )
+        g = t.group_by("n_nationkey").aggregate([("a", "sum")])
+        return g.rename_columns(["n_nationkey", "a"])
+
+    above = (
+        customer.map_batches(
+            _above_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("n_nationkey")
+        .aggregate(Sum("a"))
+    )
+
+    lut = {int(k): (int(n), int(s)) for k, n, s in zip(keys, ns, sbs)}
+
+    def _finish(b: pa.Table) -> pa.Table:
+        nk = pc.cast(b["n_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(nk),
+                "n_customers": pa.array(
+                    np.array([lut[int(k)][0] for k in nk], np.int64)
+                ),
+                "sum_bal_cents": pa.array(
+                    np.array([lut[int(k)][1] for k in nk], np.int64)
+                ),
+                "n_above": pc.cast(b["sum(a)"], pa.int64()),
+            }
+        )
+
+    return above.map_batches(_finish, batch_format="pyarrow")

@@ -525,3 +525,67 @@ def embedding_quant_stats(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def label_centroid_sums(
+    embs: ray.data.Dataset,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: float = 1_000_000.0,
+) -> ray.data.Dataset:
+    """Per-label, per-dimension centroid NUMERATORS over the embedding
+    column — the single k-means/cluster-profile step expressed as an
+    exact columnar reduction: components floor-quantize to int64
+    (:func:`embedding_quant_stats`'s parity-safe trick) and each
+    block contributes a (labels × dims) partial-sum tablet, so the
+    exchange is label·dim-bounded regardless of corpus size.  The
+    caller divides sum_q/n for the centroid — shipping the exact
+    ints keeps the driver hash deterministic.
+
+    Output: (label, dim, n_vecs, sum_q) — one row per (label,
+    dimension); ragged vectors contribute to the dims they have.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        arr = b[vec_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * np.float64(scale)).astype(np.int64)
+        labels = pc.cast(b[label_col], pa.int64()).to_numpy(zero_copy_only=False)
+        lab_rep = np.repeat(labels, lens)
+        # dimension index within each vector
+        offs = np.r_[0, np.cumsum(lens)[:-1]]
+        dim_idx = np.arange(len(q), dtype=np.int64) - np.repeat(offs, lens)
+        t = pa.table(
+            {
+                "label": pa.array(lab_rep),
+                "dim": pa.array(dim_idx),
+                "n_vecs": pa.array(np.ones(len(q), np.int64)),
+                "sum_q": pa.array(q),
+            }
+        )
+        g = t.group_by(["label", "dim"]).aggregate(
+            [("n_vecs", "sum"), ("sum_q", "sum")]
+        )
+        return g.rename_columns(["label", "dim", "n_vecs", "sum_q"])
+
+    agg = (
+        embs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("n_vecs"), Sum("sum_q"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": pc.cast(b["label"], pa.int64()),
+                "dim": pc.cast(b["dim"], pa.int64()),
+                "n_vecs": pc.cast(b["sum(n_vecs)"], pa.int64()),
+                "sum_q": pc.cast(b["sum(sum_q)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
