@@ -1658,6 +1658,27 @@ def _q_user_gini(sf_dir: str):
     return user_gini_concentration(_events(sf_dir))
 
 
+def _q_max_drawdown(sf_dir: str):
+    """Peak-to-trough drawdown / trough-to-peak runup per (source, day)."""
+    from workbook_exporter_fe_ray.stages.window import max_drawdown
+
+    return max_drawdown(_events(sf_dir))
+
+
+def _q_longest_up_streak(sf_dir: str):
+    """Gaps-and-islands longest strictly-increasing run per (source, day)."""
+    from workbook_exporter_fe_ray.stages.window import longest_up_streak
+
+    return longest_up_streak(_events(sf_dir))
+
+
+def _q_emb_argmax_hist(sf_dir: str):
+    """Dominant-dimension histogram over the embedding column."""
+    from workbook_exporter_fe_ray.stages.similarity import emb_argmax_hist
+
+    return emb_argmax_hist(_embeddings(sf_dir))
+
+
 def _q_dup_graph_degree(sf_dir: str):
     """Near-dup-graph degree histogram (dedup budget planner)."""
     from workbook_exporter_fe_ray.stages.dedup import dup_graph_degree_hist
@@ -1910,6 +1931,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "user_gini_concentration": _q_user_gini,    # inequality metric (r4)
         "label_centroid_sums": _q_label_centroid_sums,  # vector agg (r4)
         "above_avg_customers": _q_above_avg_customers,  # decorrelation (r4)
+        "max_drawdown": _q_max_drawdown,            # running-extrema risk (r4)
+        "longest_up_streak": _q_longest_up_streak,  # monotone islands (r4)
+        "emb_argmax_hist": _q_emb_argmax_hist,      # vector argmax (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2108,6 +2132,9 @@ _NEW_R4 = (
     "dup_cluster_size_hist",
     "token_len_histogram",
     "ndjson_ingest_stats",
+    "max_drawdown",
+    "longest_up_streak",
+    "emb_argmax_hist",
 )
 
 _ROWS_ONLY_R3 = (
@@ -3160,6 +3187,60 @@ SELECT CAST(c.c_nationkey AS BIGINT) AS n_nationkey,
          AS n_above
 FROM customer c JOIN s USING (c_nationkey)
 GROUP BY 1, s.n, s.sb
+""",
+        "max_drawdown": f"""
+WITH d AS (
+  SELECT event_type AS source,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         ts, event_id, {_CENTS} AS c
+  FROM events),
+r AS (
+  SELECT source, day, c,
+         max(c) OVER (PARTITION BY source, day ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax,
+         min(c) OVER (PARTITION BY source, day ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmin
+  FROM d)
+SELECT source, day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(rmax - c) AS BIGINT) AS max_drawdown_cents,
+       CAST(max(c - rmin) AS BIGINT) AS max_runup_cents
+FROM r GROUP BY 1, 2
+""",
+        "longest_up_streak": f"""
+WITH d AS (
+  SELECT event_type AS source,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         ts, event_id, {_CENTS} AS c
+  FROM events),
+f AS (
+  SELECT source, day, ts, event_id,
+         CASE WHEN c > lag(c) OVER (PARTITION BY source, day
+              ORDER BY ts, event_id) THEN 1 ELSE 0 END AS up
+  FROM d),
+g AS (
+  SELECT source, day, up,
+         sum(1 - up) OVER (PARTITION BY source, day ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM f),
+s AS (
+  SELECT source, day, grp, CAST(sum(up) AS BIGINT) AS st
+  FROM g GROUP BY 1, 2, 3),
+ne AS (
+  SELECT source, day, CAST(count(*) AS BIGINT) AS n_events
+  FROM d GROUP BY 1, 2)
+SELECT ne.source, ne.day, ne.n_events,
+       CAST(coalesce(max(s.st), 0) AS BIGINT) AS max_up_streak
+FROM ne JOIN s ON ne.source = s.source AND ne.day = s.day
+GROUP BY 1, 2, 3
+""",
+        "emb_argmax_hist": """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(list_position(embedding, list_max(embedding)) - 1 AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM embeddings
+WHERE len(embedding) > 0
+GROUP BY 1, 2
 """,
         "tier_consistency_audit": f"""
 WITH fine AS (

@@ -948,3 +948,120 @@ def test_above_avg_customers_vs_brute(ray_session):
         assert r["sum_bal_cents"] == sb
         assert r["n_above"] == na
     assert len(out) == c["c_nationkey"].nunique()
+
+
+def test_max_drawdown_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import max_drawdown
+
+    tbl = _events_table(seed=311)
+    # plant a single-row (source, day) run and a monotone-climb day
+    extra = pa.table(
+        {
+            "event_id": pa.array([9_000_001], pa.int64()),
+            "user_id": pa.array([1], pa.int64()),
+            "ts": pa.array([1_700_000_000 * US + 10 * DAY], pa.timestamp("us")),
+            "event_type": pa.array(["solo"], pa.string()),
+            "value": pa.array([7.25], pa.float64()),
+        }
+    )
+    tbl = pa.concat_tables([tbl, extra])
+    out = (
+        max_drawdown(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index(["source", "day"])
+        .sort_index()
+    )
+    df = _prepped(tbl)
+    n_expected = 0
+    for (src, day), g in df.groupby(["event_type", "day"]):
+        n_expected += 1
+        c = g["c"].to_numpy()
+        rmax = np.maximum.accumulate(c)
+        rmin = np.minimum.accumulate(c)
+        r = out.loc[(src, pd.Timestamp(day, unit="us"))]
+        assert r["n_events"] == len(c)
+        assert r["max_drawdown_cents"] == int((rmax - c).max())
+        assert r["max_runup_cents"] == int((c - rmin).max())
+    assert len(out) == n_expected
+    # the planted single-row day: both extrema are the row itself -> 0/0
+    solo = out.loc[("solo",)].iloc[0]
+    assert solo["n_events"] == 1
+    assert solo["max_drawdown_cents"] == 0 and solo["max_runup_cents"] == 0
+
+
+def test_longest_up_streak_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import longest_up_streak
+
+    tbl = _events_table(seed=313)
+    df0 = tbl.to_pandas()
+    # plant: an 80-row strictly-increasing climb and a 60-row flat run
+    df0.loc[200:279, "value"] = np.arange(80) * 1.5 + 3.0
+    df0.loc[200:279, "event_type"] = "type_0"
+    base_ts = int(df0.loc[200, "ts"].value // 1000)  # ns -> us
+    df0.loc[200:279, "ts"] = pd.to_datetime(
+        base_ts + np.arange(80), unit="us"
+    )
+    df0.loc[400:459, "value"] = 42.0  # flat: zero up-steps inside
+    tbl = pa.Table.from_pandas(df0, preserve_index=False).cast(tbl.schema)
+    out = (
+        longest_up_streak(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index(["source", "day"])
+        .sort_index()
+    )
+    df = _prepped(tbl)
+    n_expected = 0
+    for (src, day), g in df.groupby(["event_type", "day"]):
+        n_expected += 1
+        c = g["c"].to_numpy()
+        best = cur = 0
+        for i in range(1, len(c)):
+            cur = cur + 1 if c[i] > c[i - 1] else 0
+            best = max(best, cur)
+        r = out.loc[(src, pd.Timestamp(day, unit="us"))]
+        assert r["n_events"] == len(c)
+        assert r["max_up_streak"] == best
+    assert len(out) == n_expected
+    # the planted climb is contiguous in (ts, event_id) order -> >= 79
+    day0 = (df["event_type"] == "type_0") & (
+        df["day"] == (base_ts - base_ts % DAY)
+    )
+    assert day0.any()
+    planted = out.loc[("type_0", pd.Timestamp(base_ts - base_ts % DAY, unit="us"))]
+    assert planted["max_up_streak"] >= 79
+
+
+def test_emb_argmax_hist_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.similarity import emb_argmax_hist
+
+    rng = np.random.default_rng(317)
+    vecs = [rng.normal(0, 0.2, 16).astype(np.float32) for _ in range(200)]
+    vecs[5] = np.array([1.0, 3.0, 3.0, 2.0], np.float32)  # tie -> first wins
+    vecs[7] = rng.normal(0, 0.2, 8).astype(np.float32)  # ragged
+    vecs[9] = np.array([], np.float32)  # empty -> skipped
+    labels = rng.integers(0, 3, 200).astype(np.int32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    out = (
+        emb_argmax_hist(ray.data.from_arrow(tbl).repartition(5))
+        .to_pandas()
+        .set_index(["label", "dim"])
+        .sort_index()
+    )
+    exp: dict = {}
+    for v, lb in zip(vecs, labels):
+        if len(v) == 0:
+            continue
+        k = (int(lb), int(np.argmax(v)))
+        exp[k] = exp.get(k, 0) + 1
+    assert len(out) == len(exp)
+    for k, n in exp.items():
+        assert out.loc[k, "n_vecs"] == n
+    assert int(out["n_vecs"].sum()) == 199  # the empty vector was skipped
+    # the planted tie picked dim 1, not 2
+    assert (int(labels[5]), 1) in exp

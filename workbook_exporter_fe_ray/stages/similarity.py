@@ -589,3 +589,90 @@ def label_centroid_sums(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def emb_argmax_hist(
+    embs: ray.data.Dataset,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> ray.data.Dataset:
+    """Dominant-dimension histogram: for every vector the index of its
+    maximum component (first index on ties — np.argmax semantics),
+    counted per (label, dim).  A dead-cheap "is this embedding space
+    collapsed onto a few axes" diagnostic run before spending on ANN
+    index builds; purely comparisons, so it is hash-exact against the
+    ``list_position(v, list_max(v))`` SQL with no float-arithmetic
+    parity risk.
+
+    Vectorized segmented argmax over the ragged list column: per-block
+    flatten once, np.maximum.reduceat for each vector's max, then the
+    FIRST flat position equal to it via a masked np.minimum.reduceat —
+    no per-row loop.  Each block emits a (labels × dims)-bounded
+    partial-count tablet so the exchange is tiny regardless of corpus
+    size.  Zero-length vectors are skipped on both sides.
+
+    Output: (label, dim, n_vecs).
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        arr = b[vec_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        labels = pc.cast(b[label_col], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = lens > 0
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+            }
+        )
+        if len(flat) == 0 or not keep.any():
+            return empty
+        # offsets into flat for the kept (non-empty) vectors only
+        offs_all = np.r_[np.int64(0), np.cumsum(lens)]
+        starts = offs_all[:-1][keep]
+        klens = lens[keep]
+        segmax = np.maximum.reduceat(flat, starts)
+        pos = np.arange(len(flat), dtype=np.int64)
+        hit = flat == np.repeat(segmax, klens)
+        # first hit per segment: min position among hits (BIG elsewhere)
+        BIG = np.int64(len(flat))
+        masked = np.where(hit, pos, BIG)
+        # masked positions outside kept segments don't matter: reduceat
+        # ranges are exactly the kept segments' [start, start+len) spans
+        # only when segments are contiguous — they are not (skipped
+        # empties contribute no flat values, so kept segments ARE
+        # contiguous in flat)
+        first = np.minimum.reduceat(masked, starts)
+        dim = first - starts
+        t = pa.table(
+            {
+                "label": pa.array(labels[keep]),
+                "dim": pa.array(dim),
+                "n_vecs": pa.array(np.ones(int(keep.sum()), np.int64)),
+            }
+        )
+        g = t.group_by(["label", "dim"]).aggregate([("n_vecs", "sum")])
+        return g.rename_columns(["label", "dim", "n_vecs"])
+
+    agg = (
+        embs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("n_vecs"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": pc.cast(b["label"], pa.int64()),
+                "dim": pc.cast(b["dim"], pa.int64()),
+                "n_vecs": pc.cast(b["sum(n_vecs)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

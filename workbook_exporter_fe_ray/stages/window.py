@@ -4387,3 +4387,199 @@ def user_gini_concentration(
         .groupby("__part")
         .map_groups(_sweep, batch_format="pyarrow")
     )
+
+
+def max_drawdown(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Largest peak-to-trough fall (and trough-to-peak rise) of the
+    integer-cents value series per (source, day), walking in
+    (ts, event_id) order — the risk metric behind "how far below its
+    running high has this gauge been today", used to pick alert
+    thresholds on tier dashboards.
+
+    drawdown_i = runmax(c)[..i] - c_i  (>= 0, the current row is in
+    its own prefix); runup_i symmetric vs the running min.  Segmented
+    running max/min without a Python loop via the per-run bias idiom
+    of :func:`late_arrival_stats`: cents are biased by
+    run_index * 2**37 so ONE global np.maximum.accumulate /
+    np.minimum.accumulate computes every (source, day) run's prefix
+    extrema at once (|cents| < 2**36 loudly guarded).  All int64 →
+    hash-exact vs the ROWS-frame running max/min SQL.
+
+    Reference parity: the reference has no windowed analytics
+    (workbook_exporter-fe.py renders rows 1:1); brief-mandated
+    timeseries coverage.
+
+    Output: (source, day, n_events, max_drawdown_cents,
+    max_runup_cents) — one row per (source, day).
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+    BIAS = np.int64(1) << np.int64(37)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+                "ts": pa.array(ts_np, pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source", "day"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "day": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "max_drawdown_cents": pa.array([], pa.int64()),
+                    "max_runup_cents": pa.array([], pa.int64()),
+                }
+            )
+        starts = run_starts_table(g, ["source", "day"])
+        if len(starts) >= (1 << 26):
+            raise ValueError(
+                "max_drawdown: >2**26 (source, day) runs in one "
+                "partition — raise num_partitions (int64 bias headroom)"
+            )
+        lens = np.diff(np.r_[starts, n])
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        if np.abs(cv).max() >= (np.int64(1) << np.int64(36)):
+            raise ValueError(
+                "max_drawdown: |cents| >= 2**36 breaks the per-run "
+                "bias headroom — widen BIAS or pre-scale"
+            )
+        run_idx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        # bias sign must track the accumulate direction: +BIAS per run
+        # resets a running MAX at run boundaries, -BIAS a running MIN
+        runmax = np.maximum.accumulate(cv + run_idx * BIAS) - run_idx * BIAS
+        runmin = np.minimum.accumulate(cv - run_idx * BIAS) + run_idx * BIAS
+        i64 = np.int64
+        dd = np.maximum.reduceat(runmax - cv, starts)
+        ru = np.maximum.reduceat(cv - runmin, starts)
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(starts)),
+                "day": pa.array(
+                    g["day"].to_numpy(zero_copy_only=False)[starts],
+                    pa.timestamp("us"),
+                ),
+                "n_events": pa.array(lens.astype(i64), pa.int64()),
+                "max_drawdown_cents": pa.array(dd, pa.int64()),
+                "max_runup_cents": pa.array(ru, pa.int64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def longest_up_streak(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Longest run of strictly-increasing consecutive samples per
+    (source, day) in (ts, event_id) order — the gaps-and-islands
+    monotone-trend screen (a long unbroken climb on a counter-like
+    gauge flags a leak; on a rate gauge it flags ramp-up), the
+    complement of :func:`delta_sign_flips`'s oscillation counters.
+
+    Vectorized islands: a row is "up" when its delta from the previous
+    row in the same (source, day) run is > 0; streak length at row i
+    is i - last_break_pos where breaks are non-up rows (including each
+    run's first row).  last_break_pos is one global
+    np.maximum.accumulate over positions masked at breaks — no bias
+    needed because run starts are themselves breaks, so the
+    accumulate never crosses a run boundary with a stale position.
+    All int64 → hash-exact vs the row_number-difference islands SQL.
+
+    Output: (source, day, n_events, max_up_streak) — streak counts
+    UP-STEPS (a day with no increase reports 0; k consecutive
+    increasing samples report k-1).
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+                "ts": pa.array(ts_np, pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source", "day"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "day": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "max_up_streak": pa.array([], pa.int64()),
+                }
+            )
+        starts = run_starts_table(g, ["source", "day"])
+        lens = np.diff(np.r_[starts, n])
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        up = np.zeros(n, dtype=bool)
+        up[1:] = cv[1:] > cv[:-1]
+        up[starts] = False  # first row of a run has no in-run delta
+        pos = np.arange(n, dtype=np.int64)
+        # last position at or before i that is NOT an up-step; every
+        # run start is a break, so accumulation is run-local for free
+        brk = np.where(~up, pos, np.int64(-1))
+        last_break = np.maximum.accumulate(brk)
+        streak = pos - last_break  # 0 at breaks, else #consecutive ups
+        i64 = np.int64
+        best = np.maximum.reduceat(streak, starts)
+        # a single-row run's reduceat still sees its own 0 streak
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(starts)),
+                "day": pa.array(
+                    g["day"].to_numpy(zero_copy_only=False)[starts],
+                    pa.timestamp("us"),
+                ),
+                "n_events": pa.array(lens.astype(i64), pa.int64()),
+                "max_up_streak": pa.array(best, pa.int64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
