@@ -17,6 +17,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1797,6 +1799,46 @@ def _q_ship_delay_hist(sf_dir: str):
 
 
 _NDJSON_FIXTURE = "/tmp/wfer_docs.jsonl"
+_DOCX_FIXTURE = "/tmp/wfer_notes.docx"
+_YAML_FIXTURE = "/tmp/wfer_prior_export.eyaml"
+
+
+def _q_docx_ingest_stats(sf_dir: str):
+    """.docx ingest (S1 source breadth): parse the WordprocessingML
+    fixture through the extension-dispatched reader and profile each
+    paragraph; the oracle reads the fixture's CSV twin, so a hash match
+    proves the zip+XML extraction is byte-identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from workbook_exporter_fe_ray.sources import read_auto
+    from workbook_exporter_fe_ray.sources.docx import synth_docx_fixture
+
+    synth_docx_fixture(_DOCX_FIXTURE)
+    ds = read_auto(_DOCX_FIXTURE)
+
+    def _stats(b: pa.Table) -> pa.Table:
+        n_words = pc.list_value_length(pc.split_pattern(b["text"], " "))
+        return pa.table(
+            {
+                "para_id": b["para_id"],
+                "n_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+                "n_words": pc.cast(n_words, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_yaml_export_readback(sf_dir: str):
+    """.eyaml ingest (S1 + S3 closure): read a prior YAML export —
+    rendered by the engine's own sink dumper — back into flat rows;
+    the oracle reads the fixture's CSV twin row set."""
+    from workbook_exporter_fe_ray.sources import read_auto
+    from workbook_exporter_fe_ray.sources.docx import synth_yaml_fixture
+
+    synth_yaml_fixture(_YAML_FIXTURE)
+    return read_auto(_YAML_FIXTURE)
 
 
 def _q_ndjson_ingest_stats(sf_dir: str):
@@ -1912,6 +1954,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "embedding_quant_stats": _q_embedding_quant_stats,  # exact emb moments (r4)
         "pmi_top_bigrams": _q_pmi_top_bigrams,      # collocation mining (r4)
         "ndjson_ingest_stats": _q_ndjson_ingest_stats,  # NDJSON source (r4)
+        "docx_ingest_stats": _q_docx_ingest_stats,      # .docx source (r4)
+        "yaml_export_readback": _q_yaml_export_readback,  # .eyaml source (r4)
         "token_len_histogram": _q_token_len_histogram,  # tokenizer diag (r4)
         "dup_cluster_size_hist": _q_dup_cluster_size_hist,  # dup profile (r4)
         "top_event_per_day": _q_top_event_per_day,  # grouped argmax (r4)
@@ -2135,6 +2179,8 @@ _NEW_R4 = (
     "max_drawdown",
     "longest_up_streak",
     "emb_argmax_hist",
+    "docx_ingest_stats",
+    "yaml_export_readback",
 )
 
 _ROWS_ONLY_R3 = (
@@ -2265,9 +2311,15 @@ def oracle_sql() -> dict[str, str]:
     _ensure_dims_truth()
     _ensure_frames_truth()
     _ensure_scenes_truth()
+    from workbook_exporter_fe_ray.sources.docx import (
+        synth_docx_fixture,
+        synth_yaml_fixture,
+    )
     from workbook_exporter_fe_ray.sources.formats import synth_docs_jsonl
 
     synth_docs_jsonl(_NDJSON_FIXTURE)
+    synth_docx_fixture(_DOCX_FIXTURE)
+    synth_yaml_fixture(_YAML_FIXTURE)
     return {
         "rollup_1m": _rollup_sql("date_trunc('minute', ts)"),
         # the salted two-phase path must produce EXACTLY the same values
@@ -2900,6 +2952,18 @@ SELECT lang,
        CAST(sum(n_lines) AS BIGINT) AS sum_lines,
        CAST(max(n_chars) AS BIGINT) AS max_chars
 FROM read_json_auto('{_NDJSON_FIXTURE}') GROUP BY 1
+""",
+        "docx_ingest_stats": f"""
+SELECT CAST(para_id AS BIGINT) AS para_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+FROM read_csv('{os.path.splitext(_DOCX_FIXTURE)[0] + ".csv"}',
+              header=true, all_varchar=false)
+""",
+        "yaml_export_readback": f"""
+SELECT section, host, field, value
+FROM read_csv('{os.path.splitext(_YAML_FIXTURE)[0] + ".csv"}',
+              header=true, all_varchar=true)
 """,
         "token_len_histogram": """
 WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
 import ray.data
 
 from .parquet import good_num_blocks, read_table
@@ -88,6 +89,43 @@ def read_auto(
         from .xls import read_xls_table
 
         tbl = read_xls_table(path, sheet_name=sheet_name, skip_rows=skip_rows)
+        ds = ray.data.from_arrow(tbl)
+        return ds.select_columns(columns) if columns else ds
+    if ext == ".docx":
+        # the reference ALLOWS .docx uploads but never parses them
+        # (workbook_exporter-fe.py:1928 ALLOWED_EXTENSIONS; no reader
+        # branch) — the engine parses the WordprocessingML main part
+        # (stdlib zip+XML, sources/docx.py) into one row per paragraph
+        # so document uploads feed the text pipeline
+        from .docx import read_docx_table
+
+        ds = ray.data.from_arrow(read_docx_table(path))
+        return ds.select_columns(columns) if columns else ds
+    if ext in (".yaml", ".yml", ".eyaml"):
+        # the second allowed-but-unparsed reference extension: a
+        # previous export (the sink's own {section -> host -> field}
+        # shape) reads back as flat rows, enabling diff/merge pipelines
+        # over prior outputs
+        from ..sinks.yaml_sink import load_yaml_ordered
+
+        with open(path, encoding="utf-8") as f:
+            doc = load_yaml_ordered(f.read())
+        secs, hosts, fields, vals = [], [], [], []
+        for sec, hostmap in doc.items():
+            for host, fieldmap in (hostmap or {}).items():
+                for field, val in (fieldmap or {}).items():
+                    secs.append(str(sec))
+                    hosts.append(str(host))
+                    fields.append(str(field))
+                    vals.append("" if val is None else str(val))
+        tbl = pa.table(
+            {
+                "section": pa.array(secs, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "field": pa.array(fields, pa.string()),
+                "value": pa.array(vals, pa.string()),
+            }
+        )
         ds = ray.data.from_arrow(tbl)
         return ds.select_columns(columns) if columns else ds
     raise ValueError(f"unsupported input extension {ext!r} for {path!r}")
