@@ -1660,6 +1660,20 @@ def _q_user_gini(sf_dir: str):
     return user_gini_concentration(_events(sf_dir))
 
 
+def _q_custdist_hist(sf_dir: str):
+    """TPC-H Q13 shape: left-outer count-of-counts incl. zero-order
+    customers, via per-custkey pre-aggregation + one co-partition."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import custdist_hist
+
+    return custdist_hist(
+        read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
+        read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+        ),
+    )
+
+
 def _q_max_drawdown(sf_dir: str):
     """Peak-to-trough drawdown / trough-to-peak runup per (source, day)."""
     from workbook_exporter_fe_ray.stages.window import max_drawdown
@@ -1978,6 +1992,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "max_drawdown": _q_max_drawdown,            # running-extrema risk (r4)
         "longest_up_streak": _q_longest_up_streak,  # monotone islands (r4)
         "emb_argmax_hist": _q_emb_argmax_hist,      # vector argmax (r4)
+        "custdist_hist": _q_custdist_hist,          # Q13 left-outer hist (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2181,6 +2196,7 @@ _NEW_R4 = (
     "emb_argmax_hist",
     "docx_ingest_stats",
     "yaml_export_readback",
+    "custdist_hist",
 )
 
 _ROWS_ONLY_R3 = (
@@ -3297,6 +3313,16 @@ SELECT ne.source, ne.day, ne.n_events,
        CAST(coalesce(max(s.st), 0) AS BIGINT) AS max_up_streak
 FROM ne JOIN s ON ne.source = s.source AND ne.day = s.day
 GROUP BY 1, 2, 3
+""",
+        "custdist_hist": """
+WITH oc AS (
+  SELECT c.c_custkey, count(o.o_custkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+  GROUP BY 1)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM oc GROUP BY 1
 """,
         "emb_argmax_hist": """
 SELECT CAST(label AS BIGINT) AS label,

@@ -1065,3 +1065,46 @@ def test_emb_argmax_hist_vs_brute(ray_session):
     assert int(out["n_vecs"].sum()) == 199  # the empty vector was skipped
     # the planted tie picked dim 1, not 2
     assert (int(labels[5]), 1) in exp
+
+
+def test_custdist_hist_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.relational import custdist_hist
+
+    rng = np.random.default_rng(331)
+    n_cust, n_ord = 500, 3000
+    custkeys = np.arange(1, n_cust + 1, dtype=np.int64)
+    cust = pa.table({"c_custkey": pa.array(custkeys)})
+    # orders over a SUBSET of customers (so zero-order customers exist),
+    # plus orphan orders referencing custkeys not in the dim (LEFT-join
+    # semantics must drop them), plus excluded-status rows
+    ock = rng.integers(1, 400, n_ord).astype(np.int64)
+    ock[:30] = rng.integers(10_000, 10_100, 30)  # orphans
+    status = np.where(rng.random(n_ord) < 0.3, "F", "O")
+    orders = pa.table(
+        {
+            "o_custkey": pa.array(ock),
+            "o_orderstatus": pa.array(status.tolist(), pa.string()),
+        }
+    )
+    out = (
+        custdist_hist(
+            ray.data.from_arrow(cust).repartition(4),
+            ray.data.from_arrow(orders).repartition(6),
+            n_buckets=7,  # non-power-of-two exercises the mod path
+        )
+        .to_pandas()
+        .set_index("c_count")
+        .sort_index()
+    )
+    qual = (status != "F") & np.isin(ock, custkeys)
+    per_cust = {int(k): 0 for k in custkeys}
+    for k in ock[qual]:
+        per_cust[int(k)] += 1
+    exp: dict = {}
+    for c in per_cust.values():
+        exp[c] = exp.get(c, 0) + 1
+    assert len(out) == len(exp)
+    for c, d in exp.items():
+        assert out.loc[c, "custdist"] == d
+    assert int(out["custdist"].sum()) == n_cust  # every customer counted once
+    assert out.loc[0, "custdist"] >= 100  # the planted zero-order block

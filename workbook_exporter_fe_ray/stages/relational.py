@@ -2288,3 +2288,126 @@ def above_avg_customers(
         )
 
     return above.map_batches(_finish, batch_format="pyarrow")
+
+
+def custdist_hist(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    exclude_status: str = "F",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Customer-distribution histogram (TPC-H Q13's shape): how many
+    customers placed exactly k qualifying orders, INCLUDING the
+    zero-order customers a plain groupby over orders can never see —
+    the left-outer count-of-counts.
+
+    Scale shape: orders pre-aggregate to per-custkey counts (per-block
+    partials → one keyed exchange, so the fact table never ships raw
+    rows); customer keys and the count rows then co-partition into ONE
+    ``custkey % n_buckets`` groupby where a vectorized sorted-merge
+    assigns each customer its count (missing → 0) and emits a
+    histogram PARTIAL per bucket — the final exchange is
+    count-domain-sized (a few dozen rows), never customer-sized.
+    ``c_custkey`` is assumed unique (primary key), like
+    :func:`hash_bucket_join`'s right side.
+
+    Reference parity: the reference has no relational layer; this is
+    SURVEY §2 join/aggregate breadth (the Q13 companion to the Q22
+    shape in :func:`above_avg_customers`).
+
+    Output: (c_count, custdist).
+    """
+    from ray.data.aggregate import Sum
+
+    def _cnt_partial(b: pa.Table) -> pa.Table:
+        m = pc.not_equal(b["o_orderstatus"], exclude_status)
+        k = pc.cast(b["o_custkey"].filter(m), pa.int64())
+        t = pa.table({"ck": k, "n": pa.array(np.ones(len(k), np.int64))})
+        g = t.group_by("ck").aggregate([("n", "sum")])
+        return g.rename_columns(["ck", "n"])
+
+    counts = (
+        orders.map_batches(_cnt_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ck")
+        .aggregate(Sum("n"))
+    )
+
+    def _bucket_of(k: pa.Array) -> pa.Array:
+        if (n_buckets & (n_buckets - 1)) == 0:
+            return pc.cast(pc.bit_wise_and(k, n_buckets - 1), pa.int32())
+        return pa.array(
+            np.mod(k.to_numpy(zero_copy_only=False), n_buckets).astype(np.int32)
+        )
+
+    def _tag_cust(b: pa.Table) -> pa.Table:
+        k = pc.cast(b["c_custkey"], pa.int64())
+        return pa.table(
+            {
+                "ck": k,
+                "n": pa.array(np.zeros(len(b), np.int64)),
+                "__kind": pa.array(np.ones(len(b), np.int8)),
+                "__bucket": _bucket_of(k),
+            }
+        )
+
+    def _tag_counts(b: pa.Table) -> pa.Table:
+        k = pc.cast(b["ck"], pa.int64())
+        return pa.table(
+            {
+                "ck": k,
+                "n": pc.cast(b["sum(n)"], pa.int64()),
+                "__kind": pa.array(np.zeros(len(b), np.int8)),
+                "__bucket": _bucket_of(k),
+            }
+        )
+
+    tagged = customer.select_columns(["c_custkey"]).map_batches(
+        _tag_cust, batch_format="pyarrow", zero_copy_batch=True
+    ).union(counts.map_batches(_tag_counts, batch_format="pyarrow"))
+
+    def _bucket_hist(g: pa.Table) -> pa.Table:
+        kind = g["__kind"].to_numpy(zero_copy_only=False)
+        ck = g["ck"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        K = np.sort(ck[kind == 1])
+        C, N = ck[kind == 0], n[kind == 0]
+        if len(K) == 0:
+            return pa.table(
+                {
+                    "c_count": pa.array([], pa.int64()),
+                    "custdist": pa.array([], pa.int64()),
+                }
+            )
+        if len(C):
+            pos = np.searchsorted(K, C)
+            pos[pos == len(K)] = 0
+            inK = K[pos] == C  # LEFT-join semantics: drop orphan orders
+            C, N = C[inK], N[inK]
+        vals, cnts = np.unique(N, return_counts=True)
+        zeros = np.int64(len(K) - len(C))
+        if zeros > 0:
+            vals = np.r_[np.int64(0), vals]
+            cnts = np.r_[zeros, cnts.astype(np.int64)]
+        return pa.table(
+            {
+                "c_count": pa.array(vals.astype(np.int64)),
+                "custdist": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        tagged.groupby("__bucket")
+        .map_groups(_bucket_hist, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_count": pc.cast(b["c_count"], pa.int64()),
+                "custdist": pc.cast(b["sum(custdist)"], pa.int64()),
+            }
+        )
+
+    return hist.map_batches(_finish, batch_format="pyarrow")
