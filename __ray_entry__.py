@@ -1660,6 +1660,20 @@ def _q_user_gini(sf_dir: str):
     return user_gini_concentration(_events(sf_dir))
 
 
+def _q_trend_slope(sf_dir: str):
+    """Per-(source, day) OLS trend slope from exact int64 moment partials."""
+    from workbook_exporter_fe_ray.stages.window import trend_slope
+
+    return trend_slope(_events(sf_dir))
+
+
+def _q_session_duration_hist(sf_dir: str):
+    """Power-of-two histogram of gap-session durations across users."""
+    from workbook_exporter_fe_ray.stages.relational import session_duration_hist
+
+    return session_duration_hist(_events(sf_dir))
+
+
 def _q_custdist_hist(sf_dir: str):
     """TPC-H Q13 shape: left-outer count-of-counts incl. zero-order
     customers, via per-custkey pre-aggregation + one co-partition."""
@@ -1993,6 +2007,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "longest_up_streak": _q_longest_up_streak,  # monotone islands (r4)
         "emb_argmax_hist": _q_emb_argmax_hist,      # vector argmax (r4)
         "custdist_hist": _q_custdist_hist,          # Q13 left-outer hist (r4)
+        "trend_slope": _q_trend_slope,              # per-day OLS trend (r4)
+        "session_duration_hist": _q_session_duration_hist,  # session p2 hist (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2197,6 +2213,8 @@ _NEW_R4 = (
     "docx_ingest_stats",
     "yaml_export_readback",
     "custdist_hist",
+    "trend_slope",
+    "session_duration_hist",
 )
 
 _ROWS_ONLY_R3 = (
@@ -3313,6 +3331,51 @@ SELECT ne.source, ne.day, ne.n_events,
        CAST(coalesce(max(s.st), 0) AS BIGINT) AS max_up_streak
 FROM ne JOIN s ON ne.source = s.source AND ne.day = s.day
 GROUP BY 1, 2, 3
+""",
+        "session_duration_hist": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT user_id, tsu,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM e),
+s AS (
+  SELECT user_id, sid, max(tsu) - min(tsu) AS dur
+  FROM g GROUP BY 1, 2)
+SELECT CAST(CASE WHEN dur = 0 THEN 0
+            ELSE length(printf('%b', dur)) END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM s GROUP BY 1
+""",
+        "trend_slope": f"""
+WITH d AS (
+  SELECT event_type AS source,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         (epoch_us(ts) - epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)))
+           // 1000000 AS x,
+         {_CENTS} AS y
+  FROM events),
+s AS (
+  SELECT source, day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM d GROUP BY 1, 2
+  HAVING count(*) >= 2 AND min(x) <> max(x))
+SELECT source, day, n AS n_events,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents_per_s
+FROM s
 """,
         "custdist_hist": """
 WITH oc AS (

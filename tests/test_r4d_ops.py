@@ -1108,3 +1108,94 @@ def test_custdist_hist_vs_brute(ray_session):
         assert out.loc[c, "custdist"] == d
     assert int(out["custdist"].sum()) == n_cust  # every customer counted once
     assert out.loc[0, "custdist"] >= 100  # the planted zero-order block
+
+
+def test_trend_slope_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import trend_slope
+
+    tbl = _events_table(seed=337)
+    df0 = tbl.to_pandas()
+    # plant an exactly-linear climb: y = 2.5 cents/s * x + 300 cents
+    base_ns = int(df0.loc[100, "ts"].value)
+    day_start_us = (base_ns // 1000) // (86_400 * US) * (86_400 * US)
+    xs = np.arange(60, dtype=np.int64) * 7 + 1000  # distinct seconds
+    df0.loc[100:159, "ts"] = pd.to_datetime(day_start_us + xs * US, unit="us")
+    df0.loc[100:159, "value"] = (250 * xs + 300) / 100.0  # 2.5 c/s exactly
+    df0.loc[100:159, "event_type"] = "linear"
+    # plant a same-timestamp day: x-variance 0 -> filtered out
+    df0.loc[300:320, "ts"] = df0.loc[300, "ts"]
+    df0.loc[300:320, "event_type"] = "samex"
+    tbl = pa.Table.from_pandas(df0, preserve_index=False).cast(tbl.schema)
+    out = (
+        trend_slope(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index(["source", "day"])
+        .sort_index()
+    )
+    df = _prepped(tbl)
+    df["x"] = (df["tsu"] - df["day"]) // US
+    n_expected = 0
+    for (src, day), g in df.groupby(["event_type", "day"]):
+        x = g["x"].to_numpy().astype(object)
+        y = g["c"].to_numpy().astype(object)
+        n = len(x)
+        if n < 2 or x.min() == x.max():
+            assert (src, pd.Timestamp(day, unit="us")) not in out.index
+            continue
+        n_expected += 1
+        sx, sy, sxx, sxy = sum(x), sum(y), sum(x * x), sum(x * y)
+        f = np.float64
+        exp = (f(n) * f(sxy) - f(sx) * f(sy)) / (f(n) * f(sxx) - f(sx) * f(sx))
+        r = out.loc[(src, pd.Timestamp(day, unit="us"))]
+        assert r["n_events"] == n
+        assert np.float64(r["slope_cents_per_s"]).view(np.int64) == exp.view(
+            np.int64
+        )
+    assert len(out) == n_expected
+    # the planted linear day recovers its slope exactly (OLS on exact
+    # points): 250 cents per second
+    lin = out.loc[("linear",)]
+    assert np.isclose(lin["slope_cents_per_s"].iloc[0], 250.0, atol=1e-9)
+
+
+def test_session_duration_hist_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.relational import session_duration_hist
+
+    tbl = _events_table(seed=347)
+    df0 = tbl.to_pandas()
+    # plant: one user whose events all share a timestamp (zero-duration
+    # session -> bucket 0) and one user with a single long session
+    df0.loc[50:59, "user_id"] = 9001
+    df0.loc[50:59, "ts"] = df0.loc[50, "ts"]
+    df0.loc[70:89, "user_id"] = 9002
+    base_us = int(df0.loc[70, "ts"].value // 1000)
+    df0.loc[70:89, "ts"] = pd.to_datetime(
+        base_us + np.arange(20) * 1000 * US, unit="us"  # 1000 s apart < gap
+    )
+    tbl = pa.Table.from_pandas(df0, preserve_index=False).cast(tbl.schema)
+    out = (
+        session_duration_hist(
+            ray.data.from_arrow(tbl).repartition(6), gap_s=1800
+        )
+        .to_pandas()
+        .set_index("bucket")
+        .sort_index()
+    )
+    df = df0.copy()
+    df["tsu"] = pa.Table.from_pandas(df0, preserve_index=False).cast(tbl.schema)[
+        "ts"
+    ].cast(pa.int64()).to_numpy()
+    exp: dict = {}
+    for _, g in df.sort_values(["user_id", "tsu"]).groupby("user_id"):
+        t = g["tsu"].to_numpy()
+        brk = np.r_[True, (t[1:] - t[:-1]) > 1800 * US]
+        sid = np.cumsum(brk)
+        for s in np.unique(sid):
+            seg = t[sid == s]
+            d = int(seg.max() - seg.min())
+            b = d.bit_length() if d > 0 else 0
+            exp[b] = exp.get(b, 0) + 1
+    assert len(out) == len(exp)
+    for b, c in exp.items():
+        assert out.loc[b, "n_sessions"] == c
+    assert 0 in exp and exp[0] >= 1  # the planted zero-duration session

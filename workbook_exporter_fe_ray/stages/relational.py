@@ -2411,3 +2411,96 @@ def custdist_hist(
         )
 
     return hist.map_batches(_finish, batch_format="pyarrow")
+
+
+def session_duration_hist(
+    events: ray.data.Dataset,
+    gap_s: int = 1800,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Distribution of session DURATIONS (last−first event, µs) across
+    all users, in exact power-of-two buckets — the "how long do
+    sessions actually run" histogram a capacity planner reads next to
+    :func:`sessionize`'s per-user counts.  bucket = bit_length(dur)
+    for dur > 0 (the `inter_arrival_hist` frexp trick — exact, no
+    float log), bucket 0 for zero-duration (single-event or
+    same-timestamp) sessions.
+
+    Scale shape: the exchange carries only (user_id, ts) keyed on
+    hash(user) % num_partitions; each sweep computes every contained
+    user's sessions with diff/reduceat kernels and emits a ≤64-row
+    histogram PARTIAL, so the final exchange is bucket-domain-sized.
+    Session assignment and duration are tie-order-insensitive (equal
+    timestamps give zero gaps wherever they sort), so the driver hash
+    is stable under any partitioning.
+
+    Output: (bucket, n_sessions).
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    gap_us = gap_s * US
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"user_id": b["user_id"], "ts": pc.cast(b["ts"], pa.int64())}
+        )
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+            }
+        )
+        n = len(g)
+        if n == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]
+        )
+        g = g.take(idx)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        ustarts = run_starts_table(g, ["user_id"])
+        new_s = np.zeros(n, dtype=bool)
+        new_s[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_s[ustarts] = True
+        sess_starts = np.flatnonzero(new_s)
+        sess_ends = np.r_[sess_starts[1:], n] - 1
+        dur = ts[sess_ends] - ts[sess_starts]
+        if dur.max(initial=0) >= (np.int64(1) << np.int64(53)):
+            raise ValueError(
+                "session_duration_hist: duration exceeds 2**53 µs — the "
+                "float64 frexp bucket trick stops being exact; bucket in "
+                "integer bit_length instead"
+            )
+        # exact power-of-two bucket: bit_length(dur) == frexp exponent
+        _, expo = np.frexp(dur.astype(np.float64))
+        bucket = np.where(dur > 0, expo.astype(np.int64), np.int64(0))
+        vals, cnts = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(vals.astype(np.int64)),
+                "n_sessions": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    hist = (
+        routed.groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_sessions"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(b["bucket"], pa.int64()),
+                "n_sessions": pc.cast(b["sum(n_sessions)"], pa.int64()),
+            }
+        )
+
+    return hist.map_batches(_finish, batch_format="pyarrow")

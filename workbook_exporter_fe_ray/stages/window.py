@@ -4583,3 +4583,105 @@ def longest_up_streak(
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def trend_slope(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-(source, day) least-squares trend: the OLS slope of value
+    cents against day-relative SECONDS — "how fast is this gauge
+    climbing today", the one-number trend screen behind capacity
+    alerts (the regression twin of :func:`autocorr_lag1`'s
+    mean-reversion screen).
+
+    Exactness recipe (the `grouped_corr` order, proven bit-safe across
+    the corr/autocorr/cross-corr family): per-run partials
+    (n, Σx, Σy, Σx², Σxy) are exact int64 reduceat sums with a loud
+    headroom guard; each sum widens to float64 ONCE, and the slope is
+    the single pinned expression (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx) in
+    f8.  Degenerate runs are filtered with PURE-INTEGER comparisons
+    that the SQL HAVING mirrors exactly: n ≥ 2 AND min(x) ≠ max(x)
+    (x-variance is zero iff all x equal — no big n·Σ products needed,
+    so the filter itself can't overflow).
+
+    Output: (source, day, n_events, slope_cents_per_s).
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+                "ts": pa.array(ts_np, pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source", "day"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "day": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "slope_cents_per_s": pa.array([], pa.float64()),
+            }
+        )
+        n = len(g)
+        if n == 0:
+            return empty
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("day", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["source", "day"])
+        tsv = g["ts"].to_numpy(zero_copy_only=False)
+        dayv = g["day"].to_numpy(zero_copy_only=False)
+        x = (tsv - dayv) // np.int64(US)  # day-relative seconds: [0, 86400)
+        y = g["c"].to_numpy(zero_copy_only=False)
+        i64 = np.int64
+        np_ = np.add.reduceat(np.ones(n, i64), starts)
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(y, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        sxy = np.add.reduceat(x * y, starts)
+        # per-row x·y ≤ 86400·|cents|; Σ headroom guarded loudly (the
+        # f8 slope only needs the SUMS — no int n·Σ products here)
+        if np.abs(y).max(initial=0) * 86_400 * int(np_.max(initial=1)) >= (1 << 62):
+            raise ValueError(
+                "trend_slope: Σ|x·y| exceeds int64 headroom — split days "
+                "into smaller windows or pre-scale cents"
+            )
+        xmin = np.minimum.reduceat(x, starts)
+        xmax = np.maximum.reduceat(x, starts)
+        keep = (np_ >= 2) & (xmax > xmin)
+        if not keep.any():
+            return empty
+        f = np.float64
+        nf, sxf, syf = np_[keep].astype(f), sx[keep].astype(f), sy[keep].astype(f)
+        sxxf, sxyf = sxx[keep].astype(f), sxy[keep].astype(f)
+        slope = (nf * sxyf - sxf * syf) / (nf * sxxf - sxf * sxf)
+        ki = starts[keep]
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(ki)),
+                "day": pa.array(dayv[ki], pa.timestamp("us")),
+                "n_events": pa.array(np_[keep], pa.int64()),
+                "slope_cents_per_s": pa.array(slope, pa.float64()),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
