@@ -1667,6 +1667,71 @@ def _q_trend_slope(sf_dir: str):
     return trend_slope(_events(sf_dir))
 
 
+_HIVE_FIXTURE = "/tmp/wfer_hive_events"
+
+
+def _q_hive_partition_stats(sf_dir: str):
+    """Hive-partitioned directory read (the engine's own checkpoint
+    layout) with partition-column recovery; per-source profile."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from workbook_exporter_fe_ray.sources.formats import synth_hive_events
+
+    synth_hive_events(_HIVE_FIXTURE)
+    ds = ray.data.read_parquet(_HIVE_FIXTURE)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["source"],
+                "n_events": pa.array(np.ones(len(b), np.int64)),
+                "sum_cents": pc.cast(b["cents"], pa.int64()),
+                "min_id": pc.cast(b["event_id"], pa.int64()),
+                "max_id": pc.cast(b["event_id"], pa.int64()),
+            }
+        )
+        g = t.group_by("source").aggregate(
+            [
+                ("n_events", "sum"),
+                ("sum_cents", "sum"),
+                ("min_id", "min"),
+                ("max_id", "max"),
+            ]
+        )
+        return g.rename_columns(
+            ["source", "n_events", "sum_cents", "min_id", "max_id"]
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_events"), Sum("sum_cents"), Min("min_id"), Max("max_id"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_events": pc.cast(b["sum(n_events)"], pa.int64()),
+                "sum_cents": pc.cast(b["sum(sum_cents)"], pa.int64()),
+                "min_id": pc.cast(b["min(min_id)"], pa.int64()),
+                "max_id": pc.cast(b["max(max_id)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def _q_minmax_scale(sf_dir: str):
+    """Per-source min-max feature scaling (broadcast stats, no shuffle)."""
+    from workbook_exporter_fe_ray.stages.relational import minmax_scale_per_source
+
+    return minmax_scale_per_source(_events(sf_dir))
+
+
 def _q_session_duration_hist(sf_dir: str):
     """Power-of-two histogram of gap-session durations across users."""
     from workbook_exporter_fe_ray.stages.relational import session_duration_hist
@@ -2009,6 +2074,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "custdist_hist": _q_custdist_hist,          # Q13 left-outer hist (r4)
         "trend_slope": _q_trend_slope,              # per-day OLS trend (r4)
         "session_duration_hist": _q_session_duration_hist,  # session p2 hist (r4)
+        "minmax_scale": _q_minmax_scale,            # feature scaling (r4)
+        "hive_partition_stats": _q_hive_partition_stats,  # hive dir read (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2215,6 +2282,8 @@ _NEW_R4 = (
     "custdist_hist",
     "trend_slope",
     "session_duration_hist",
+    "minmax_scale",
+    "hive_partition_stats",
 )
 
 _ROWS_ONLY_R3 = (
@@ -2349,11 +2418,15 @@ def oracle_sql() -> dict[str, str]:
         synth_docx_fixture,
         synth_yaml_fixture,
     )
-    from workbook_exporter_fe_ray.sources.formats import synth_docs_jsonl
+    from workbook_exporter_fe_ray.sources.formats import (
+        synth_docs_jsonl,
+        synth_hive_events,
+    )
 
     synth_docs_jsonl(_NDJSON_FIXTURE)
     synth_docx_fixture(_DOCX_FIXTURE)
     synth_yaml_fixture(_YAML_FIXTURE)
+    synth_hive_events(_HIVE_FIXTURE)
     return {
         "rollup_1m": _rollup_sql("date_trunc('minute', ts)"),
         # the salted two-phase path must produce EXACTLY the same values
@@ -3331,6 +3404,25 @@ SELECT ne.source, ne.day, ne.n_events,
        CAST(coalesce(max(s.st), 0) AS BIGINT) AS max_up_streak
 FROM ne JOIN s ON ne.source = s.source AND ne.day = s.day
 GROUP BY 1, 2, 3
+""",
+        "hive_partition_stats": f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM read_parquet('{_HIVE_FIXTURE}/*/*.parquet', hive_partitioning = 1)
+GROUP BY 1
+""",
+        "minmax_scale": f"""
+WITH d AS (
+  SELECT event_id, event_type AS source, {_CENTS} AS c FROM events),
+s AS (
+  SELECT source, min(c) AS mn, max(c) AS mx FROM d GROUP BY 1)
+SELECT d.event_id, d.source, d.c AS cents,
+       CAST(d.c - s.mn AS DOUBLE) / CAST(s.mx - s.mn AS DOUBLE) AS scaled
+FROM d JOIN s USING (source)
+WHERE s.mx > s.mn
 """,
         "session_duration_hist": """
 WITH e AS (

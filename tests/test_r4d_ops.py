@@ -1199,3 +1199,36 @@ def test_session_duration_hist_vs_brute(ray_session):
     for b, c in exp.items():
         assert out.loc[b, "n_sessions"] == c
     assert 0 in exp and exp[0] >= 1  # the planted zero-duration session
+
+
+def test_minmax_scale_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.relational import minmax_scale_per_source
+
+    tbl = _events_table(seed=353)
+    df0 = tbl.to_pandas()
+    # plant a constant-value source: max == min -> all its rows filtered
+    df0.loc[100:140, "event_type"] = "const"
+    df0.loc[100:140, "value"] = 3.5
+    tbl = pa.Table.from_pandas(df0, preserve_index=False).cast(tbl.schema)
+    out = (
+        minmax_scale_per_source(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    df = df0.copy()
+    df["c"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+    g = df.groupby("event_type")["c"]
+    mn, mx = g.transform("min"), g.transform("max")
+    keep = (mx > mn).to_numpy()
+    assert len(out) == int(keep.sum())
+    assert "const" not in set(out["source"])
+    exp = (df["c"] - mn).to_numpy().astype(np.float64)[keep] / (
+        (mx - mn).to_numpy().astype(np.float64)[keep]
+    )
+    got = out.loc[df.loc[keep, "event_id"].to_numpy(), "scaled"].to_numpy()
+    assert (got.view(np.int64) == exp.view(np.int64)).all()
+    assert got.min() >= 0.0 and got.max() <= 1.0
+    # each non-degenerate source hits both endpoints exactly
+    for src, sg in out.groupby("source"):
+        assert sg["scaled"].min() == 0.0 and sg["scaled"].max() == 1.0

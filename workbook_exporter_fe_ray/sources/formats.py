@@ -175,3 +175,46 @@ def synth_docs_jsonl(path: str, n: int = 2400, seed: int = 97) -> str:
             )
     os.replace(tmp, path)
     return path
+
+
+def synth_hive_events(root: str, n_sources: int = 8, seed: int = 139) -> str:
+    """Deterministic hive-partitioned Parquet fixture
+    (``root/source=<s>/part.parquet``) — the engine's own checkpoint
+    layout (one directory per key range, `state/checkpoint.py`) read
+    back with partition-column recovery.  Written atomically per
+    partition dir so concurrent ensure-calls can't observe half a
+    fixture; pure ints so every engine/oracle comparison is exact."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    done = os.path.join(root, "_DONE")
+    if os.path.isfile(done):
+        return root
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    for s in range(n_sources):
+        d = os.path.join(root, f"source=src{s:02d}")
+        # draw BEFORE the skip so a partially-generated fixture keeps
+        # the rng stream aligned for the remaining partitions
+        n = int(rng.integers(500, 3000))
+        cents = rng.integers(-50_000, 50_000, n).astype(np.int64)
+        if os.path.isdir(d):
+            continue
+        t = pa.table(
+            {
+                "event_id": pa.array(
+                    np.arange(s * 100_000, s * 100_000 + n, dtype=np.int64)
+                ),
+                "cents": pa.array(cents),
+            }
+        )
+        tmp = tempfile.mkdtemp(dir=root)
+        pq.write_table(t, os.path.join(tmp, "part.parquet"))
+        os.rename(tmp, d)
+    with open(done, "w") as f:
+        f.write("ok")
+    return root

@@ -2504,3 +2504,91 @@ def session_duration_hist(
         )
 
     return hist.map_batches(_finish, batch_format="pyarrow")
+
+
+def minmax_scale_per_source(
+    events: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Feature scaling — the normalize-before-training transform: every
+    event's value rescaled to [0, 1] within its source via
+    ``(c − min) / (max − min)`` on integer cents.  Two passes, the
+    :func:`above_avg_customers` decorrelation shape: per-source min/max
+    aggregate to a source-domain-sized table `ray.put` ONCE, then one
+    streamed map over the fact rows does the pinned arithmetic (both
+    int64 diffs convert to f8 exactly, one division) — no fact-side
+    shuffle.  Degenerate sources (max == min) are filtered with the
+    integer comparison the SQL mirrors.
+
+    Output: (event_id, source, cents, scaled).
+    """
+    from ray.data.aggregate import Max, Min
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["event_type"],
+                "c": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+            }
+        )
+
+    stats = (
+        events.map_batches(_proj, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Min("c"), Max("c"))
+    )
+    rows = [
+        b
+        for b in stats.iter_batches(batch_size=None, batch_format="pyarrow")
+        if len(b)
+    ]
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "cents": pa.array([], pa.int64()),
+            "scaled": pa.array([], pa.float64()),
+        }
+    )
+    if not rows:
+        return ray.data.from_arrow(empty)
+    st = pa.concat_tables(rows)
+    keys = np.asarray(st["source"].to_pylist(), dtype=object)
+    mns = pc.cast(st["min(c)"], pa.int64()).to_numpy(zero_copy_only=False)
+    mxs = pc.cast(st["max(c)"], pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    sref = ray.put((keys[order], mns[order], mxs[order]))
+
+    _cache: dict = {}
+
+    def _scale(b: pa.Table) -> pa.Table:
+        if "s" not in _cache:
+            _cache["s"] = ray.get(sref)
+        k, mn, mx = _cache["s"]
+        if len(b) == 0:
+            return empty
+        src = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        c = (
+            pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        pos = np.searchsorted(k, src)
+        pos[pos == len(k)] = 0
+        ok = k[pos] == src
+        lo, hi = mn[pos], mx[pos]
+        keep = ok & (hi > lo)
+        if not keep.any():
+            return empty
+        f = np.float64
+        scaled = (c[keep] - lo[keep]).astype(f) / (hi[keep] - lo[keep]).astype(f)
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "source": b["event_type"].filter(pa.array(keep)),
+                "cents": pa.array(c[keep]),
+                "scaled": pa.array(scaled),
+            }
+        )
+
+    return events.map_batches(_scale, batch_format="pyarrow", zero_copy_batch=True)
