@@ -1725,6 +1725,36 @@ def _q_hive_partition_stats(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pyarrow")
 
 
+def _q_active_days_hist(sf_dir: str):
+    """Engagement depth: users active on exactly k distinct days."""
+    from workbook_exporter_fe_ray.stages.window import active_days_hist
+
+    return active_days_hist(_events(sf_dir))
+
+
+def _q_hour_value_heatmap(sf_dir: str):
+    """Hour-of-day x signed power-of-two value bucket 2D histogram."""
+    from workbook_exporter_fe_ray.stages.window import hour_value_heatmap
+
+    return hour_value_heatmap(_events(sf_dir))
+
+
+def _q_vocab_coverage_topk(sf_dir: str):
+    """Top-k vocabulary mass coverage over the synthetic token table."""
+    import glob
+    import os as _os
+
+    from workbook_exporter_fe_ray import datagen
+    from workbook_exporter_fe_ray.stages.pack import vocab_coverage_topk
+
+    d = "/tmp/wfer_flagship_sf"
+    if not _os.path.isdir(d) or not _os.listdir(d):
+        datagen.generate(d, n_sources=8, base_seqs=600, seed=42, n_shards=4)
+    paths = sorted(glob.glob(f"{d}/*.parquet"))
+    docs = ray.data.read_parquet(paths, columns=["tokens"])
+    return vocab_coverage_topk(docs)
+
+
 def _q_minmax_scale(sf_dir: str):
     """Per-source min-max feature scaling (broadcast stats, no shuffle)."""
     from workbook_exporter_fe_ray.stages.relational import minmax_scale_per_source
@@ -2076,6 +2106,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "session_duration_hist": _q_session_duration_hist,  # session p2 hist (r4)
         "minmax_scale": _q_minmax_scale,            # feature scaling (r4)
         "hive_partition_stats": _q_hive_partition_stats,  # hive dir read (r4)
+        "active_days_hist": _q_active_days_hist,    # engagement depth (r4)
+        "hour_value_heatmap": _q_hour_value_heatmap,  # 2D exact heatmap (r4)
+        "vocab_coverage_topk": _q_vocab_coverage_topk,  # vocab planner (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2284,6 +2317,9 @@ _NEW_R4 = (
     "session_duration_hist",
     "minmax_scale",
     "hive_partition_stats",
+    "active_days_hist",
+    "hour_value_heatmap",
+    "vocab_coverage_topk",
 )
 
 _ROWS_ONLY_R3 = (
@@ -3404,6 +3440,38 @@ SELECT ne.source, ne.day, ne.n_events,
        CAST(coalesce(max(s.st), 0) AS BIGINT) AS max_up_streak
 FROM ne JOIN s ON ne.source = s.source AND ne.day = s.day
 GROUP BY 1, 2, 3
+""",
+        "active_days_hist": """
+WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+c AS (SELECT user_id, count(*) AS n_days FROM d GROUP BY 1)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM c GROUP BY 1
+""",
+        "hour_value_heatmap": f"""
+WITH d AS (
+  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+         {_CENTS} AS c
+  FROM events)
+SELECT CAST(hour_of_day AS BIGINT) AS hour_of_day,
+       CAST(CASE WHEN c = 0 THEN 0
+                 WHEN c > 0 THEN length(printf('%b', c))
+                 ELSE -length(printf('%b', -c)) END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM d GROUP BY 1, 2
+""",
+        "vocab_coverage_topk": f"""
+WITH f AS (SELECT unnest(tokens) AS tok FROM read_parquet('{_SYNTH_GLOB}')),
+c AS (SELECT tok, count(*) AS n FROM f GROUP BY 1),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rn FROM c),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+ks AS (SELECT unnest([10, 100, 1000]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(sum(r.n) AS BIGINT) AS topk_occ,
+       CAST(tot.total AS BIGINT) AS total_occ,
+       CAST(sum(r.n) AS DOUBLE) / CAST(tot.total AS DOUBLE) AS coverage
+FROM ks CROSS JOIN tot JOIN r ON r.rn <= ks.k
+GROUP BY ks.k, tot.total
 """,
         "hive_partition_stats": f"""
 SELECT source,

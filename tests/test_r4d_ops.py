@@ -1232,3 +1232,84 @@ def test_minmax_scale_vs_brute(ray_session):
     # each non-degenerate source hits both endpoints exactly
     for src, sg in out.groupby("source"):
         assert sg["scaled"].min() == 0.0 and sg["scaled"].max() == 1.0
+
+
+def test_active_days_hist_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import active_days_hist
+
+    tbl = _events_table(seed=359)
+    out = (
+        active_days_hist(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index("n_days")
+        .sort_index()
+    )
+    df = tbl.to_pandas()
+    df["tsu"] = tbl["ts"].cast(pa.int64()).to_numpy()
+    df["day"] = df["tsu"] - df["tsu"] % DAY
+    per_user = df.groupby("user_id")["day"].nunique()
+    exp = per_user.value_counts().sort_index()
+    assert len(out) == len(exp)
+    for n_days, n_users in exp.items():
+        assert out.loc[n_days, "n_users"] == n_users
+    assert int(out["n_users"].sum()) == df["user_id"].nunique()
+
+
+def test_hour_value_heatmap_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import hour_value_heatmap
+
+    tbl = _events_table(seed=367)
+    df0 = tbl.to_pandas()
+    df0.loc[10, "value"] = 0.0  # exact-zero bucket
+    df0.loc[11, "value"] = -5.0  # negative branch
+    tbl = pa.Table.from_pandas(df0, preserve_index=False).cast(tbl.schema)
+    out = (
+        hour_value_heatmap(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index(["hour_of_day", "bucket"])
+        .sort_index()
+    )
+    df = df0.copy()
+    df["c"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+    df["tsu"] = tbl["ts"].cast(pa.int64()).to_numpy()
+    df["hour"] = (df["tsu"] // HOUR) % 24
+    exp: dict = {}
+    for h, c in zip(df["hour"], df["c"]):
+        b = 0 if c == 0 else (int(c).bit_length() if c > 0 else -int(-c).bit_length())
+        k = (int(h), b)
+        exp[k] = exp.get(k, 0) + 1
+    assert len(out) == len(exp)
+    for k, n in exp.items():
+        assert out.loc[k, "n_events"] == n
+    assert (0 in [b for _, b in exp]) and any(b < 0 for _, b in exp)
+
+
+def test_vocab_coverage_topk_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.pack import vocab_coverage_topk
+
+    rng = np.random.default_rng(373)
+    # zipf-ish token draws over a 40-token vocab, with planted boundary
+    # ties: several tokens share the count at the k=10 cut
+    toks = rng.zipf(1.3, 5000) % 40
+    lists = np.array_split(toks.astype(np.int32), 300)
+    tbl = pa.table(
+        {"tokens": pa.array([x.tolist() for x in lists], pa.list_(pa.int32()))}
+    )
+    out = vocab_coverage_topk(
+        ray.data.from_arrow(tbl).repartition(5), ks=(3, 10, 1000)
+    ).to_pandas()
+    counts = np.bincount(toks, minlength=40)
+    order = np.lexsort((np.arange(40), -counts))
+    cum = np.cumsum(counts[order])
+    total = int(counts.sum())
+    for i, k in enumerate((3, 10, 1000)):
+        top = int(cum[min(k, len(cum)) - 1])
+        assert out.loc[i, "k"] == k
+        assert out.loc[i, "topk_occ"] == top
+        assert out.loc[i, "total_occ"] == total
+        exp = np.float64(np.int64(top)) / np.float64(np.int64(total))
+        assert np.float64(out.loc[i, "coverage"]).view(np.int64) == exp.view(
+            np.int64
+        )
+    # k beyond vocab covers everything
+    assert out.loc[2, "coverage"] == 1.0

@@ -690,3 +690,60 @@ def seq_bigram_repetition(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def vocab_coverage_topk(
+    docs: ray.data.Dataset,
+    ks: tuple[int, ...] = (10, 100, 1000),
+    tokens_col: str = "tokens",
+) -> "pa.Table":
+    """Vocabulary-coverage planner: what fraction of all token
+    occurrences the top-k most frequent token ids cover — the question
+    answered before choosing a vocab truncation ("does a 1k vocab keep
+    99% of mass?").  Builds on :func:`token_vocab_hist`'s dense
+    bincount tree-reduce (no keyed exchange), then the vocab-domain-
+    sized histogram sorts driver-side by (count desc, token id) — the
+    sum of the top k is TIE-ROBUST (boundary ties have equal counts,
+    so any tie order yields the same sum).  Coverage is the single
+    pinned int/int division.
+
+    Returns a driver-side pa.Table (k, topk_occ, total_occ, coverage)
+    — ks-sized, never data-sized.
+    """
+    hist = token_vocab_hist(docs, tokens_col=tokens_col)
+    parts = [
+        b
+        for b in hist.iter_batches(batch_size=None, batch_format="pyarrow")
+        if len(b)
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "topk_occ": pa.array([], pa.int64()),
+                "total_occ": pa.array([], pa.int64()),
+                "coverage": pa.array([], pa.float64()),
+            }
+        )
+    t = pa.concat_tables(parts)
+    n = t["n_occ"].to_numpy(zero_copy_only=False)
+    tok = t["token_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((tok, -n))  # count desc, token id asc
+    sn = n[order]
+    cum = np.cumsum(sn)
+    total = np.int64(cum[-1])
+    rows_k, rows_top = [], []
+    for k in ks:
+        topk = np.int64(cum[min(int(k), len(cum)) - 1]) if len(cum) else np.int64(0)
+        rows_k.append(np.int64(k))
+        rows_top.append(topk)
+    f = np.float64
+    cov = np.array([f(x) / f(total) for x in rows_top], np.float64)
+    return pa.table(
+        {
+            "k": pa.array(rows_k, pa.int64()),
+            "topk_occ": pa.array(rows_top, pa.int64()),
+            "total_occ": pa.array([total] * len(ks), pa.int64()),
+            "coverage": pa.array(cov, pa.float64()),
+        }
+    )

@@ -4685,3 +4685,133 @@ def trend_slope(
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def active_days_hist(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Engagement-depth histogram: how many users were active on
+    exactly k distinct calendar days — the count-of-distinct-counts
+    behind retention dashboards (the user-axis companion of
+    :func:`user_retention_cohorts`).
+
+    ONE exchange: rows route on hash(user) % P carrying only
+    (user_id, day); each sweep sorts its partition, counts distinct
+    days per user with run-start arithmetic (distinct (user, day)
+    pairs are runs of the sorted pairs), and emits a day-count-domain
+    histogram PARTIAL, so the final exchange is tiny.
+
+    Output: (n_days, n_users).
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+
+    def _route(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "day": pa.array(ts_np - ts_np % DAY, pa.int64()),
+            }
+        )
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_days": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("day", "ascending")]
+        )
+        g = g.take(idx)
+        ustarts = run_starts_table(g, ["user_id"])
+        pstarts = run_starts_table(g, ["user_id", "day"])
+        # distinct days per user = number of (user, day) runs per user run
+        per_user = np.diff(
+            np.r_[np.searchsorted(pstarts, ustarts), len(pstarts)]
+        )
+        vals, cnts = np.unique(per_user, return_counts=True)
+        return pa.table(
+            {
+                "n_days": pa.array(vals.astype(np.int64)),
+                "n_users": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    hist = (
+        routed.groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby("n_days")
+        .aggregate(Sum("n_users"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_days": pc.cast(b["n_days"], pa.int64()),
+                "n_users": pc.cast(b["sum(n_users)"], pa.int64()),
+            }
+        )
+
+    return hist.map_batches(_finish, batch_format="pyarrow")
+
+
+def hour_value_heatmap(
+    events: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Hour-of-day × signed power-of-two value-bucket heat map — the 2D
+    histogram a dashboard renders to show "when do big values happen".
+    bucket = sign(c) · bit_length(|c|) (exact frexp trick, no float
+    log; 0 stays 0), hour = (epoch_us // 3600e6) mod 24 (pure epoch
+    arithmetic — no calendar-function parity risk).  Pure per-block
+    partial counts → one (24 × ~35)-cell exchange; no sweep needed.
+
+    Output: (hour_of_day, bucket, n_events).
+    """
+    from ray.data.aggregate import Sum
+
+    HOUR = np.int64(3_600 * US)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        c = _cents(b).to_numpy(zero_copy_only=False)
+        hour = (ts_np // HOUR) % np.int64(24)
+        mag = np.abs(c)
+        _, expo = np.frexp(mag.astype(np.float64))
+        bucket = np.sign(c) * expo.astype(np.int64)
+        t = pa.table(
+            {
+                "hour_of_day": pa.array(hour),
+                "bucket": pa.array(bucket),
+                "n_events": pa.array(np.ones(len(c), np.int64)),
+            }
+        )
+        g = t.group_by(["hour_of_day", "bucket"]).aggregate([("n_events", "sum")])
+        return g.rename_columns(["hour_of_day", "bucket", "n_events"])
+
+    agg = (
+        events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["hour_of_day", "bucket"])
+        .aggregate(Sum("n_events"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour_of_day": pc.cast(b["hour_of_day"], pa.int64()),
+                "bucket": pc.cast(b["bucket"], pa.int64()),
+                "n_events": pc.cast(b["sum(n_events)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
