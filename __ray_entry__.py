@@ -1725,6 +1725,14 @@ def _q_hive_partition_stats(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pyarrow")
 
 
+def _q_nearest_event_join(sf_dir: str):
+    """Nearest-neighbor time join: each purchase to its closest
+    same-user click within +/-10 min (pinned tie rule)."""
+    from workbook_exporter_fe_ray.stages.relational import nearest_event_join
+
+    return nearest_event_join(_events(sf_dir))
+
+
 def _q_active_days_hist(sf_dir: str):
     """Engagement depth: users active on exactly k distinct days."""
     from workbook_exporter_fe_ray.stages.window import active_days_hist
@@ -2109,6 +2117,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "active_days_hist": _q_active_days_hist,    # engagement depth (r4)
         "hour_value_heatmap": _q_hour_value_heatmap,  # 2D exact heatmap (r4)
         "vocab_coverage_topk": _q_vocab_coverage_topk,  # vocab planner (r4)
+        "nearest_event_join": _q_nearest_event_join,  # nearest-time join (r4)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2320,6 +2329,7 @@ _NEW_R4 = (
     "active_days_hist",
     "hour_value_heatmap",
     "vocab_coverage_topk",
+    "nearest_event_join",
 )
 
 _ROWS_ONLY_R3 = (
@@ -3440,6 +3450,25 @@ SELECT ne.source, ne.day, ne.n_events,
        CAST(coalesce(max(s.st), 0) AS BIGINT) AS max_up_streak
 FROM ne JOIN s ON ne.source = s.source AND ne.day = s.day
 GROUP BY 1, 2, 3
+""",
+        "nearest_event_join": """
+WITH L AS (
+  SELECT event_id AS lid, user_id, epoch_us(ts) AS lt
+  FROM events WHERE event_type = 'purchase'),
+R AS (
+  SELECT event_id AS rid, user_id, epoch_us(ts) AS rt
+  FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT L.lid, L.user_id, R.rid, R.rt - L.lt AS delta,
+         row_number() OVER (PARTITION BY L.lid
+           ORDER BY abs(R.rt - L.lt), R.rt, R.rid) AS rn
+  FROM L JOIN R USING (user_id)
+  WHERE abs(R.rt - L.lt) <= 600000000)
+SELECT CAST(lid AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(rid AS BIGINT) AS near_event_id,
+       CAST(delta AS BIGINT) AS delta_us
+FROM j WHERE rn = 1
 """,
         "active_days_hist": """
 WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

@@ -1313,3 +1313,63 @@ def test_vocab_coverage_topk_vs_brute(ray_session):
         )
     # k beyond vocab covers everything
     assert out.loc[2, "coverage"] == 1.0
+
+
+def test_nearest_event_join_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.relational import nearest_event_join
+
+    rng = np.random.default_rng(379)
+    n = 4000
+    base = 1_700_000_000 * US
+    ts = base + rng.integers(0, DAY, n)
+    types = np.where(rng.random(n) < 0.4, "purchase", "click")
+    # planted equidistant tie: clicks at t-5s and t+5s around purchase
+    ts[0], types[0] = base + 1000 * US, "purchase"
+    ts[1], types[1] = base + 995 * US, "click"
+    ts[2], types[2] = base + 1005 * US, "click"
+    # planted equal-timestamp click group (min event_id must win)
+    ts[10], types[10] = base + 7000 * US, "purchase"
+    ts[11], types[11] = base + 7003 * US, "click"
+    ts[12], types[12] = base + 7003 * US, "click"
+    uid = rng.integers(0, 40, n).astype(np.int64)
+    uid[:3] = 777
+    uid[10:13] = 778
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(uid),
+            "ts": pa.array(ts.astype(np.int64), pa.timestamp("us")),
+            "event_type": pa.array(types.tolist(), pa.string()),
+            "value": pa.array(np.zeros(n), pa.float64()),
+        }
+    )
+    out = (
+        nearest_event_join(ray.data.from_arrow(tbl).repartition(6))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    df = tbl.to_pandas()
+    df["tsu"] = tbl["ts"].cast(pa.int64()).to_numpy()
+    L = df[df.event_type == "purchase"]
+    R = df[df.event_type == "click"]
+    exp = {}
+    for _, lr in L.iterrows():
+        cands = R[R.user_id == lr.user_id].copy()
+        if not len(cands):
+            continue
+        cands["d"] = cands["tsu"] - lr.tsu
+        cands["a"] = cands["d"].abs()
+        cands = cands[cands["a"] <= 600 * US]
+        if not len(cands):
+            continue
+        best = cands.sort_values(["a", "tsu", "event_id"]).iloc[0]
+        exp[int(lr.event_id)] = (int(best.event_id), int(best.d))
+    assert len(out) == len(exp)
+    for lid, (rid, d) in exp.items():
+        assert out.loc[lid, "near_event_id"] == rid
+        assert out.loc[lid, "delta_us"] == d
+    # planted equidistant tie resolved to the EARLIER click (id 1)
+    assert out.loc[0, "near_event_id"] == 1 and out.loc[0, "delta_us"] == -5 * US
+    # planted equal-ts group resolved to the smaller event_id (11)
+    assert out.loc[10, "near_event_id"] == 11 and out.loc[10, "delta_us"] == 3 * US

@@ -2592,3 +2592,125 @@ def minmax_scale_per_source(
         )
 
     return events.map_batches(_scale, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def nearest_event_join(
+    events: ray.data.Dataset,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    max_gap_s: int = 600,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """NEAREST-neighbor time join — the missing sibling of the backward
+    as-of join: for every left event, the right event of the SAME user
+    closest in time (either direction) within ±max_gap.  Attribution
+    queries ("which click is this purchase closest to") need nearest,
+    not last-before.
+
+    Tie rule, pinned identically in the SQL oracle: smaller |Δt| wins;
+    equidistant → the EARLIER right timestamp; equal timestamps → the
+    smaller right event_id.
+
+    Scale shape: both sides route into ONE hash(user) % P exchange
+    (the as-of tagged-union pattern); each sweep encodes (user-run,
+    sweep-relative ts) as a composite int64 (`range_join`'s idiom, with
+    the same loud overflow guard) so TWO searchsorted calls find every
+    left row's flanking candidates across all users at once — no
+    per-user Python loop.  Equal-timestamp candidate groups resolve to
+    their min event_id via a third searchsorted against the group key.
+
+    Output: (event_id, user_id, near_event_id, delta_us) — delta
+    signed (negative = nearest right is earlier).
+    """
+    from .sweep import run_starts_table, with_part
+
+    gap_us = np.int64(max_gap_s * US)
+
+    def _route(b: pa.Table) -> pa.Table:
+        kind = pc.cast(pc.equal(b["event_type"], left_type), pa.int8())
+        keep = pc.or_(
+            pc.equal(b["event_type"], left_type),
+            pc.equal(b["event_type"], right_type),
+        )
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": pc.cast(b["ts"], pa.int64()),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "kind": kind,
+            }
+        ).filter(keep)
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "near_event_id": pa.array([], pa.int64()),
+                "delta_us": pa.array([], pa.int64()),
+            }
+        )
+        n = len(g)
+        if n == 0:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending")])
+        g = g.take(idx)
+        ustarts = run_starts_table(g, ["user_id"])
+        uidx_all = (
+            np.searchsorted(ustarts, np.arange(n, dtype=np.int64), side="right") - 1
+        )
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uid = pc.cast(g["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        base = ts.min()
+        rel = ts - base
+        span = np.int64(1) << np.int64(max(int(rel.max()).bit_length() + 1, 1))
+        if len(ustarts) * int(span) >= (1 << 62):
+            raise ValueError(
+                "nearest_event_join: user-runs × ts-span exceeds int64 "
+                "composite headroom — raise num_partitions"
+            )
+        isL = kind == 1
+        lu, lt, lid = uidx_all[isL], rel[isL], eid[isL]
+        ru, rt, rid = uidx_all[~isL], rel[~isL], eid[~isL]
+        luid = uid[isL]
+        if len(lt) == 0 or len(rt) == 0:
+            return empty
+        order = np.lexsort((rid, rt, ru))
+        ru, rt, rid = ru[order], rt[order], rid[order]
+        rc = ru * span + rt
+        lc = lu * span + lt
+        pos = np.searchsorted(rc, lc, side="left")
+        m = len(rc)
+        # candidate B: first right with rt >= t in the same user run
+        bi = np.clip(pos, 0, m - 1)
+        b_ok = (pos < m) & (ru[bi] == lu)
+        # candidate A: last right with rt < t → resolve its equal-ts
+        # group to the group START (min event_id)
+        ai_last = np.clip(pos - 1, 0, m - 1)
+        a_ok = (pos > 0) & (ru[ai_last] == lu)
+        ai = np.searchsorted(rc, rc[ai_last], side="left")
+        dA = lt - rt[ai]  # > 0 where valid
+        dB = rt[bi] - lt  # >= 0 where valid
+        BIGD = np.int64(1) << np.int64(62)
+        absA = np.where(a_ok, dA, BIGD)
+        absB = np.where(b_ok, dB, BIGD)
+        takeA = absA <= absB  # equidistant -> earlier right ts (A)
+        near = np.where(takeA, rid[ai], rid[bi])
+        delta = np.where(takeA, -dA, dB)
+        valid = (a_ok | b_ok) & (np.minimum(absA, absB) <= gap_us)
+        if not valid.any():
+            return empty
+        return pa.table(
+            {
+                "event_id": pa.array(lid[valid]),
+                "user_id": pa.array(luid[valid]),
+                "near_event_id": pa.array(near[valid]),
+                "delta_us": pa.array(delta[valid]),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
