@@ -2028,6 +2028,79 @@ def _q_ndjson_ingest_stats(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pyarrow")
 
 
+def _q_user_lifespan_hist(sf_dir: str):
+    """Power-of-two user-lifespan histogram (last seen - first seen)."""
+    from workbook_exporter_fe_ray.stages.window import user_lifespan_hist
+
+    return user_lifespan_hist(_events(sf_dir))
+
+
+def _q_returned_revenue_topn(sf_dir: str):
+    """TPC-H Q10-shaped top-20 customers by returned-item revenue."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import returned_revenue_topn
+
+    return returned_revenue_topn(
+        read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_returnflag",
+            ],
+        ),
+        read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]),
+        read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]),
+    )
+
+
+def _q_range_frame_sum_1h(sf_dir: str):
+    """RANGE-frame trailing-1h per-event count/sum window."""
+    from workbook_exporter_fe_ray.stages.window import range_frame_sum_1h
+
+    return range_frame_sum_1h(_events(sf_dir))
+
+
+def _q_benford_first_digit(sf_dir: str):
+    """Benford first-significant-digit profile per source."""
+    from workbook_exporter_fe_ray.stages.window import benford_first_digit
+
+    return benford_first_digit(_events(sf_dir))
+
+
+def _q_vocab_novelty_blocks(sf_dir: str):
+    """Vocabulary growth curve per 500-doc-id block."""
+    from workbook_exporter_fe_ray.stages.text import vocab_novelty_blocks
+
+    return vocab_novelty_blocks(_documents(sf_dir))
+
+
+def _q_ab_value_drift(sf_dir: str):
+    """Split-half (even/odd epoch-day) value-distribution drift."""
+    from workbook_exporter_fe_ray.stages.window import ab_value_drift
+
+    return ab_value_drift(_events(sf_dir))
+
+
+def _q_ref_integrity_audit(sf_dir: str):
+    """FK orphan/childless audit between lineitem and orders."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import ref_integrity_audit
+
+    return ref_integrity_audit(
+        read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]),
+        read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]),
+    )
+
+
+def _q_table_profile_events(sf_dir: str):
+    """Deequ-style column profile (nulls / NaN / Inf / min-max) of events."""
+    from workbook_exporter_fe_ray.stages.relational import table_profile_events
+
+    return table_profile_events(_events(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -2118,6 +2191,14 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "hour_value_heatmap": _q_hour_value_heatmap,  # 2D exact heatmap (r4)
         "vocab_coverage_topk": _q_vocab_coverage_topk,  # vocab planner (r4)
         "nearest_event_join": _q_nearest_event_join,  # nearest-time join (r4)
+        "user_lifespan_hist": _q_user_lifespan_hist,  # lifespan p2 hist (r4f)
+        "returned_revenue_topn": _q_returned_revenue_topn,  # Q10-shaped topk (r4f)
+        "range_frame_sum_1h": _q_range_frame_sum_1h,  # RANGE-frame window (r4f)
+        "benford_first_digit": _q_benford_first_digit,  # Benford profile (r4f)
+        "vocab_novelty_blocks": _q_vocab_novelty_blocks,  # vocab growth (r4f)
+        "ab_value_drift": _q_ab_value_drift,  # split-half drift audit (r4f)
+        "ref_integrity_audit": _q_ref_integrity_audit,  # FK audit (r4f)
+        "table_profile_events": _q_table_profile_events,  # column profile (r4f)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2330,6 +2411,14 @@ _NEW_R4 = (
     "hour_value_heatmap",
     "vocab_coverage_topk",
     "nearest_event_join",
+    "user_lifespan_hist",
+    "returned_revenue_topn",
+    "range_frame_sum_1h",
+    "benford_first_digit",
+    "vocab_novelty_blocks",
+    "ab_value_drift",
+    "ref_integrity_audit",
+    "table_profile_events",
 )
 
 _ROWS_ONLY_R3 = (
@@ -3450,6 +3539,103 @@ SELECT ne.source, ne.day, ne.n_events,
        CAST(coalesce(max(s.st), 0) AS BIGINT) AS max_up_streak
 FROM ne JOIN s ON ne.source = s.source AND ne.day = s.day
 GROUP BY 1, 2, 3
+""",
+        "user_lifespan_hist": """
+WITH u AS (
+  SELECT user_id, epoch_us(max(ts)) - epoch_us(min(ts)) AS span
+  FROM events GROUP BY 1)
+SELECT CAST(span // 86400000000 AS BIGINT) AS lifespan_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM u GROUP BY 1
+""",
+        "returned_revenue_topn": """
+WITH r AS (
+  SELECT o.o_custkey AS ck,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS revenue_units
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1),
+t AS (
+  SELECT c.c_custkey, c.c_name, r.revenue_units,
+         row_number() OVER (ORDER BY r.revenue_units DESC, c.c_custkey) AS rn
+  FROM r JOIN customer c ON r.ck = c.c_custkey)
+SELECT c_custkey, c_name, revenue_units FROM t WHERE rn <= 20
+""",
+        "range_frame_sum_1h": f"""
+SELECT event_id, event_type AS source, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_frame,
+       CAST(sum({_CENTS}) OVER w AS BIGINT) AS sum_cents_frame
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "benford_first_digit": f"""
+SELECT event_type AS source,
+       CAST(substr(CAST(abs({_CENTS}) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+""",
+        "vocab_novelty_blocks": """
+WITH f AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+m AS (SELECT token, min(doc_id) AS first_doc FROM f GROUP BY 1)
+SELECT CAST(first_doc // 500 AS BIGINT) AS block,
+       CAST(count(*) AS BIGINT) AS n_new_tokens
+FROM m GROUP BY 1
+""",
+        "ab_value_drift": f"""
+WITH d AS (
+  SELECT event_type AS source,
+         (epoch_us(ts) // 86400000000) % 2 AS par,
+         {_CENTS} AS c
+  FROM events),
+b AS (
+  SELECT source, par,
+         CASE WHEN c = 0 THEN 0
+              WHEN c > 0 THEN length(printf('%b', c))
+              ELSE -length(printf('%b', -c)) END AS bucket
+  FROM d)
+SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_days,
+       CAST(sum(par) AS BIGINT) AS n_odd_days,
+       CAST(abs(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) - sum(par)) AS BIGINT)
+         AS l1_contrib
+FROM b GROUP BY 1, 2
+""",
+        "ref_integrity_audit": """
+WITH l AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+o AS (SELECT o_orderkey AS k FROM orders),
+lm AS (
+  SELECT CAST(coalesce(sum(l.n), 0) AS BIGINT) AS n_lineitem,
+         CAST(coalesce(sum(CASE WHEN o.k IS NOT NULL THEN l.n END), 0) AS BIGINT)
+           AS n_matched
+  FROM l LEFT JOIN o ON l.k = o.k),
+oc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(coalesce(sum(CASE WHEN l.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_childless
+  FROM o LEFT JOIN l ON o.k = l.k)
+SELECT lm.n_lineitem,
+       lm.n_matched AS n_matched_lineitem,
+       CAST(lm.n_lineitem - lm.n_matched AS BIGINT) AS n_orphan_lineitem,
+       oc.n_orders,
+       oc.n_childless AS n_childless_orders
+FROM lm, oc
+""",
+        "table_profile_events": """
+SELECT '*' AS column_name, 'n_rows' AS metric, CAST(count(*) AS BIGINT) AS val FROM events
+UNION ALL SELECT 'event_id', 'n_null', CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL SELECT 'ts', 'n_null', CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL SELECT 'user_id', 'n_null', CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL SELECT 'event_type', 'n_null', CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL SELECT 'value', 'n_null', CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL SELECT 'props', 'n_null', CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL SELECT 'value', 'n_nan', CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL SELECT 'value', 'n_inf', CAST(sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL SELECT 'value', 'min_cents', CAST(min(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
+UNION ALL SELECT 'value', 'max_cents', CAST(max(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
 """,
         "nearest_event_join": """
 WITH L AS (

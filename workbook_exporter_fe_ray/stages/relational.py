@@ -2714,3 +2714,364 @@ def nearest_event_join(
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def returned_revenue_topn(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    k: int = 20,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """TPC-H Q10-shaped returned-item revenue ranking: the top-k
+    customers by revenue lost to returns (``l_returnflag = 'R'``),
+    revenue exact int64 ``cents × (100 − disc)`` units (same pinned
+    arithmetic as :func:`local_supplier_revenue` — no float sums, so
+    the ranking and the hash gate are exact).
+
+    Execution shape for the 100 TB case:
+
+    1. lineitem streams: filter to returns, per-block partial revenue
+       sums keyed on l_orderkey — the join input shrinks to ≤ one row
+       per (block, orderkey) before anything moves;
+    2. orderkey → custkey via :func:`hash_bucket_join` (both sides
+       fact-sized — a dimension broadcast would not survive 100 TB);
+    3. revenue per customer via ONE keyed groupby-sum (customer-domain
+       sized);
+    4. top-k: per-block partial top-k, driver combine of ≤ blocks × k
+       rows (bounded), then the k winner custkeys broadcast back to
+       filter the streaming customer table for names — never a
+       customer-table collect.
+
+    Ties broken by ascending custkey, pinned in SQL via row_number.
+
+    Output: pa.Table (c_custkey, c_name, revenue_units) sorted by
+    revenue desc, custkey asc — k rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def _li_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], "R"))
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.int64()),
+                }
+            )
+        cents = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        disc = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        part = pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "rev": pa.array(cents * (np.int64(100) - disc)),
+            }
+        )
+        g = part.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    li = lineitem.map_batches(
+        _li_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _orders_key(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+            }
+        )
+
+    joined = hash_bucket_join(
+        li,
+        orders.map_batches(_orders_key, batch_format="pyarrow"),
+        key="l_orderkey",
+        left_carry=("rev",),
+        right_carry=("o_custkey",),
+        n_buckets=n_buckets,
+    )
+    per_cust = joined.groupby("o_custkey").aggregate(Sum("rev"))
+
+    def _topk_partial(b: pa.Table) -> pa.Table:
+        ck = pc.cast(b["o_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        rv = pc.cast(b["sum(rev)"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -rv))[: k]
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck[order]),
+                "revenue_units": pa.array(rv[order]),
+            }
+        )
+
+    parts = [
+        t
+        for t in per_cust.map_batches(
+            _topk_partial, batch_format="pyarrow"
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        if len(t)
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "revenue_units": pa.array([], pa.int64()),
+            }
+        )
+    cand = pa.concat_tables(parts)
+    ck = cand["c_custkey"].to_numpy(zero_copy_only=False)
+    rv = cand["revenue_units"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ck, -rv))[: k]
+    win_keys = np.sort(ck[order])
+    rev_by_key = {int(c): int(r) for c, r in zip(ck[order], rv[order])}
+
+    def _name_pick(b: pa.Table) -> pa.Table:
+        cc = pc.cast(b["c_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(win_keys, cc), max(len(win_keys) - 1, 0))
+        keep = (win_keys[pos] == cc) if len(win_keys) else np.zeros(len(cc), bool)
+        return b.filter(pa.array(keep)).select(["c_custkey", "c_name"])
+
+    names = [
+        t
+        for t in customer.map_batches(
+            _name_pick, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        if len(t)
+    ]
+    nm = pa.concat_tables(names) if names else pa.table(
+        {"c_custkey": pa.array([], pa.int64()), "c_name": pa.array([], pa.string())}
+    )
+    name_by_key = {
+        int(c): n
+        for c, n in zip(
+            nm["c_custkey"].to_numpy(zero_copy_only=False), nm["c_name"].to_pylist()
+        )
+    }
+    final_keys = ck[order]
+    return pa.table(
+        {
+            "c_custkey": pa.array(final_keys.astype(np.int64)),
+            "c_name": pa.array(
+                [name_by_key.get(int(c), "") for c in final_keys], pa.string()
+            ),
+            "revenue_units": pa.array(
+                np.array([rev_by_key[int(c)] for c in final_keys], np.int64)
+            ),
+        }
+    )
+
+
+def ref_integrity_audit(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Cross-table referential-integrity audit — the FK data-quality
+    gate a pipeline runs before joining fact tables: how many lineitem
+    rows reference a missing order (orphans), and how many orders have
+    no lineitem at all (childless) — both directions in ONE key-only
+    co-partition.
+
+    Both sides project to bare int64 keys (lineitem pre-counted per
+    key per block, so the exchange is ≤ one row per (block, key));
+    each hash bucket does two sorted-membership probes and emits a
+    5-counter partial, and the driver folds ≤ ``n_buckets`` partial
+    rows.  All counts → hash-exact.
+
+    Reference parity: the reference's only integrity check is the
+    per-row `ip_exists_in_yaml` probe (workbook_exporter-fe.py:
+    1741-1754); this is its set-semantics generalization across
+    tables.
+
+    Output: one row (n_lineitem, n_matched_lineitem, n_orphan_lineitem,
+    n_orders, n_childless_orders).
+    """
+
+    def _li_keys(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": pc.cast(b["l_orderkey"], pa.int64())})
+        g = t.group_by("k").aggregate([([], "count_all")])
+        g = g.rename_columns(["k", "n"])
+        return pa.table(
+            {
+                "k": g["k"],
+                "n": pc.cast(g["n"], pa.int64()),
+                "kind": pa.array(np.ones(len(g), np.int8)),
+            }
+        )
+
+    def _ord_keys(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "n": pa.array(np.ones(len(b), np.int64)),
+                "kind": pa.array(np.zeros(len(b), np.int8)),
+            }
+        )
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        k = pc.cast(b["k"], pa.int64())
+        if (n_buckets & (n_buckets - 1)) == 0:
+            bucket = pc.cast(pc.bit_wise_and(k, n_buckets - 1), pa.int32())
+        else:
+            bucket = pa.array(
+                np.mod(k.to_numpy(zero_copy_only=False), n_buckets).astype(np.int32)
+            )
+        return b.append_column("__bucket", bucket)
+
+    tagged = (
+        lineitem.map_batches(_li_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .union(orders.map_batches(_ord_keys, batch_format="pyarrow"))
+        .map_batches(_bucket, batch_format="pyarrow")
+    )
+
+    def _audit(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        keys = g["k"].to_numpy(zero_copy_only=False)
+        cnts = g["n"].to_numpy(zero_copy_only=False)
+        is_l = kind == 1
+        lk, ln = keys[is_l], cnts[is_l]
+        ok = np.sort(keys[~is_l])
+        n_li = int(ln.sum())
+        if len(ok):
+            pos = np.minimum(np.searchsorted(ok, lk), len(ok) - 1)
+            matched = int(ln[ok[pos] == lk].sum())
+        else:
+            matched = 0
+        lk_u = np.unique(lk)
+        if len(lk_u):
+            pos = np.minimum(np.searchsorted(lk_u, ok), len(lk_u) - 1)
+            childless = int((lk_u[pos] != ok).sum()) if len(ok) else 0
+        else:
+            childless = len(ok)
+        return pa.table(
+            {
+                "n_lineitem": pa.array([n_li], pa.int64()),
+                "n_matched_lineitem": pa.array([matched], pa.int64()),
+                "n_orphan_lineitem": pa.array([n_li - matched], pa.int64()),
+                "n_orders": pa.array([len(ok)], pa.int64()),
+                "n_childless_orders": pa.array([childless], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in tagged.groupby("__bucket")
+        .map_groups(_audit, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+        if len(t)
+    ]
+    if not parts:
+        z = pa.array([0], pa.int64())
+        return pa.table(
+            {
+                "n_lineitem": z,
+                "n_matched_lineitem": z,
+                "n_orphan_lineitem": z,
+                "n_orders": z,
+                "n_childless_orders": z,
+            }
+        )
+    all_p = pa.concat_tables(parts)
+    return pa.table(
+        {
+            c: pa.array([int(pc.sum(all_p[c]).as_py() or 0)], pa.int64())
+            for c in all_p.column_names
+        }
+    )
+
+
+def table_profile_events(
+    events: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Column-profile (data-quality) audit over the events table — the
+    Deequ-style ingest gate: null counts per column, NaN/Inf counts
+    and exact cents min/max for the value column, total rows.
+
+    Per-block partials carry (column_name, metric, s, mn, mx); the
+    single domain-sized exchange folds them with Sum/Min/Max and the
+    finisher picks the right fold per metric.  Null counts come from
+    Arrow validity bitmaps (``null_count`` — zero-copy); NaN/Inf from
+    one ``np.isnan`` / ``np.isinf`` kernel.  All int64 → hash-exact
+    vs the UNION-ALL scalar-aggregate SQL.
+
+    Output: (column_name, metric, val) — metrics n_rows, n_null per
+    column, n_nan / n_inf / min_cents / max_cents for value.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    I64MAX = np.int64(np.iinfo(np.int64).max)
+    I64MIN = np.int64(np.iinfo(np.int64).min)
+    COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        names: list[str] = ["*"]
+        metrics: list[str] = ["n_rows"]
+        s: list[int] = [len(b)]
+        mn: list[int] = [int(I64MAX)]
+        mx: list[int] = [int(I64MIN)]
+        for c in COLS:
+            names.append(c)
+            metrics.append("n_null")
+            s.append(b[c].null_count)
+            mn.append(int(I64MAX))
+            mx.append(int(I64MIN))
+        v = b["value"].to_numpy(zero_copy_only=False)
+        finite = np.isfinite(v)
+        for m, val in (
+            ("n_nan", int(np.isnan(v).sum())),
+            ("n_inf", int(np.isinf(v).sum())),
+        ):
+            names.append("value")
+            metrics.append(m)
+            s.append(val)
+            mn.append(int(I64MAX))
+            mx.append(int(I64MIN))
+        if finite.any():
+            c_f = np.round(v[finite] * 100.0).astype(np.int64)
+            lo, hi = int(c_f.min()), int(c_f.max())
+        else:
+            lo, hi = int(I64MAX), int(I64MIN)
+        names += ["value", "value"]
+        metrics += ["min_cents", "max_cents"]
+        s += [0, 0]
+        mn += [lo, int(I64MAX)]
+        mx += [int(I64MIN), hi]
+        return pa.table(
+            {
+                "column_name": pa.array(names, pa.string()),
+                "metric": pa.array(metrics, pa.string()),
+                "s": pa.array(np.array(s, np.int64)),
+                "mn": pa.array(np.array(mn, np.int64)),
+                "mx": pa.array(np.array(mx, np.int64)),
+            }
+        )
+
+    agg = (
+        events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["column_name", "metric"])
+        .aggregate(Sum("s"), Min("mn"), Max("mx"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        met = b["metric"].to_pylist()
+        sv = pc.cast(b["sum(s)"], pa.int64()).to_numpy(zero_copy_only=False)
+        mnv = pc.cast(b["min(mn)"], pa.int64()).to_numpy(zero_copy_only=False)
+        mxv = pc.cast(b["max(mx)"], pa.int64()).to_numpy(zero_copy_only=False)
+        val = np.where(
+            np.array([m == "min_cents" for m in met]),
+            mnv,
+            np.where(np.array([m == "max_cents" for m in met]), mxv, sv),
+        )
+        return pa.table(
+            {
+                "column_name": b["column_name"],
+                "metric": b["metric"],
+                "val": pa.array(val.astype(np.int64)),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

@@ -1715,3 +1715,71 @@ def hapax_rate_by_source(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def vocab_novelty_blocks(
+    documents: ray.data.Dataset,
+    block_size: int = 500,
+) -> ray.data.Dataset:
+    """Vocabulary growth curve: how many NEW whitespace tokens (never
+    seen in any lower doc_id) each block of ``block_size`` doc ids
+    introduces — the corpus-evolution diagnostic behind "is more data
+    still adding vocabulary?" scaling decisions.
+
+    Two bounded exchanges, both vocab-domain (never doc-payload):
+    per-block (token → min doc_id) partials from one pyarrow
+    ``group_by("token").aggregate(min)`` per batch, an associative
+    ``Min`` fold per token, then block-domain count partials.  All
+    int64 / counts → hash-exact vs the ``min(doc_id) // block``
+    SQL.
+
+    Reference parity: the reference tokenizes nothing
+    (workbook_exporter-fe.py renders cell values 1:1); brief-mandated
+    text-analysis coverage.
+
+    Output: (block, n_new_tokens).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], " ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc = np.repeat(
+            pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False),
+            n.astype(np.int64),
+        )
+        t = pa.table({"token": flat, "min_doc": pa.array(doc)})
+        g = t.group_by("token").aggregate([("min_doc", "min")])
+        return g.rename_columns(["token", "min_doc"])
+
+    first = (
+        documents.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Min("min_doc"))
+    )
+
+    def _block(b: pa.Table) -> pa.Table:
+        fd = pc.cast(b["min(min_doc)"], pa.int64()).to_numpy(zero_copy_only=False)
+        blk = fd // np.int64(block_size)
+        vals, cnts = np.unique(blk, return_counts=True)
+        return pa.table(
+            {
+                "block": pa.array(vals.astype(np.int64)),
+                "n_new_tokens": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    agg = first.map_batches(_block, batch_format="pyarrow").groupby("block").aggregate(
+        Sum("n_new_tokens")
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "block": pc.cast(b["block"], pa.int64()),
+                "n_new_tokens": pc.cast(b["sum(n_new_tokens)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

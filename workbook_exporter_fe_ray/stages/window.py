@@ -4815,3 +4815,282 @@ def hour_value_heatmap(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def user_lifespan_hist(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Power-of-two histogram of user lifespans (last-seen − first-seen
+    in µs) — the user-axis longevity profile next to
+    :func:`active_days_hist`'s engagement depth.
+
+    bucket = whole days of span (exact int64 division — no float or
+    calendar-function parity risk; 0-span one-shot users land in day
+    0).  ONE exchange on hash(user) % P carrying (user, ts); per-run
+    min/max via two ``reduceat`` calls; day-domain partials make the
+    final exchange corpus-window-sized (≤ a few hundred rows).
+
+    Output: (lifespan_days, n_users).
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": pc.cast(b["ts"], pa.int64()),
+            }
+        )
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lifespan_days": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending")])
+        g = g.take(idx)
+        starts = run_starts_table(g, ["user_id"])
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        span = np.maximum.reduceat(ts, starts) - np.minimum.reduceat(ts, starts)
+        DAY = np.int64(86_400 * US)
+        vals, cnts = np.unique(span // DAY, return_counts=True)
+        return pa.table(
+            {
+                "lifespan_days": pa.array(vals.astype(np.int64)),
+                "n_users": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    hist = (
+        routed.groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby("lifespan_days")
+        .aggregate(Sum("n_users"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lifespan_days": pc.cast(b["lifespan_days"], pa.int64()),
+                "n_users": pc.cast(b["sum(n_users)"], pa.int64()),
+            }
+        )
+
+    return hist.map_batches(_finish, batch_format="pyarrow")
+
+
+def range_frame_sum_1h(
+    events: ray.data.Dataset,
+    frame_us: int = 3_600 * US,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """True RANGE-frame window aggregate: for EVERY event, the count
+    and exact cents sum of all same-source events in the trailing
+    time interval ``[ts − frame, ts]`` — SQL's ``SUM(c) OVER
+    (PARTITION BY source ORDER BY ts RANGE BETWEEN <frame> PRECEDING
+    AND CURRENT ROW)``, including peer rows at equal ``ts`` (the
+    value-based frame the ROWS-frame ops in this module can't
+    express; :func:`moving_avg_1h` buckets, this one slides per row).
+
+    ONE exchange on hash(source) % P; inside a partition each source
+    run is one int64 cumsum, and every row's frame is two
+    ``searchsorted`` probes against its run's timestamps (prefix-sum
+    difference) — no per-row loop, peers included via the left/right
+    bisect sides exactly as RANGE semantics demand.  All int64 →
+    hash-exact.
+
+    Output: one row per event (event_id, source, ts, n_in_frame,
+    sum_cents_frame).
+    """
+    from .sweep import run_starts_table, with_part
+
+    F = np.int64(frame_us)
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "ts": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "n_in_frame": pa.array([], pa.int64()),
+                    "sum_cents_frame": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        n = len(g)
+        starts = run_starts_table(g, ["source"])
+        bounds = np.r_[starts, n]
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        pref = np.zeros(n + 1, np.int64)
+        np.cumsum(cv, out=pref[1:])
+        # per-run prefix: subtract the run-start prefix value later;
+        # probes must stay inside each row's own run
+        run_of = np.repeat(np.arange(len(starts), dtype=np.int64),
+                           np.diff(bounds))
+        lo_run = bounds[run_of]
+        hi_run = bounds[run_of + 1]
+        # global searchsorted is valid per-run because ts is sorted
+        # within a run; clamp probe results into the run's bounds
+        lo = np.searchsorted(ts, ts - F, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        lo = np.maximum(lo, lo_run)
+        hi = np.minimum(hi, hi_run)
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "source": g["source"],
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "n_in_frame": pa.array((hi - lo).astype(np.int64)),
+                "sum_cents_frame": pa.array(pref[hi] - pref[lo]),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def benford_first_digit(
+    events: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Benford first-significant-digit profile of the cents magnitudes
+    per source — the forensic-integrity screen ("does this gauge's
+    value distribution look organic?") run over ingest feeds.
+
+    First digit by EXACT integer arithmetic: divide |c| by 10 until
+    < 10, vectorized over the whole batch with a digit-count-bounded
+    loop (≤19 iterations for int64, each one numpy kernel — never a
+    per-row loop).  Zero values land in digit 0.  Pure per-block
+    (source × 10)-cell partials → one domain-sized exchange.  Counts
+    only → hash-exact vs ``substr(CAST(abs(c) AS VARCHAR), 1, 1)``.
+
+    Output: (source, digit, n_events).
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        c = _cents(b).to_numpy(zero_copy_only=False)
+        d = np.abs(c)
+        while True:
+            big = d >= 10
+            if not big.any():
+                break
+            d = np.where(big, d // 10, d)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "digit": pa.array(d.astype(np.int64)),
+                "n_events": pa.array(np.ones(len(d), np.int64)),
+            }
+        )
+        g = t.group_by(["source", "digit"]).aggregate([("n_events", "sum")])
+        return g.rename_columns(["source", "digit", "n_events"])
+
+    agg = (
+        events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "digit"])
+        .aggregate(Sum("n_events"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "digit": pc.cast(b["digit"], pa.int64()),
+                "n_events": pc.cast(b["sum(n_events)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def ab_value_drift(
+    events: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Split-half distribution-drift audit: per source, compare the
+    signed power-of-two value histogram of even epoch-days against odd
+    epoch-days and report the per-bucket L1 contribution — the
+    stability screen ("did this feed's value distribution move between
+    interleaved halves?") run before trusting a tier for training.
+
+    The A/B split is the deterministic even/odd epoch-day parity (pure
+    int arithmetic, no calendar), buckets the exact frexp bit-length
+    of cents (:func:`hour_value_heatmap`'s recipe).  Pure per-block
+    (source × bucket)-cell partials with two count columns, one
+    domain-sized exchange; all counts → hash-exact.
+
+    Output: (source, bucket, n_even_days, n_odd_days, l1_contrib).
+    """
+    from ray.data.aggregate import Sum
+
+    DAY = np.int64(86_400 * US)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ts_np = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        par = (ts_np // DAY) % np.int64(2)
+        c = _cents(b).to_numpy(zero_copy_only=False)
+        mag = np.abs(c)
+        _, expo = np.frexp(mag.astype(np.float64))
+        bucket = np.sign(c) * expo.astype(np.int64)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "bucket": pa.array(bucket),
+                "n_even_days": pa.array((1 - par).astype(np.int64)),
+                "n_odd_days": pa.array(par.astype(np.int64)),
+            }
+        )
+        g = t.group_by(["source", "bucket"]).aggregate(
+            [("n_even_days", "sum"), ("n_odd_days", "sum")]
+        )
+        return g.rename_columns(["source", "bucket", "n_even_days", "n_odd_days"])
+
+    agg = (
+        events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "bucket"])
+        .aggregate(Sum("n_even_days"), Sum("n_odd_days"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        ne = pc.cast(b["sum(n_even_days)"], pa.int64()).to_numpy(zero_copy_only=False)
+        no = pc.cast(b["sum(n_odd_days)"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket": pc.cast(b["bucket"], pa.int64()),
+                "n_even_days": pa.array(ne),
+                "n_odd_days": pa.array(no),
+                "l1_contrib": pa.array(np.abs(ne - no)),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
