@@ -153,3 +153,53 @@ def test_returned_revenue_topn_ties_and_names(ray_session):
     assert list(out["c_custkey"]) == [3, 1, 2, 4]
     assert list(out["revenue_units"]) == [370000, 300000, 300000, 300000]
     assert list(out["c_name"]) == ["Cust#3", "Cust#1", "Cust#2", "Cust#4"]
+
+
+def test_range_frame_multi_run_partition_vs_brute(ray_session):
+    # num_partitions=1 forces ALL source runs into ONE sweep group —
+    # the case where a plain global searchsorted over the piecewise-
+    # sorted ts array goes wrong; sources get disjoint ts ranges so a
+    # mis-routed bisect probe cannot land correct by coincidence.
+    rng = np.random.default_rng(97)
+    base = 1_700_000_000 * US
+    parts = []
+    for s in range(6):  # disjoint, source-offset time ranges
+        n = 300
+        ts = base + s * 40 * DAY + rng.integers(0, 3 * HOUR, n)
+        parts.append(
+            pa.table(
+                {
+                    "event_id": pa.array(
+                        np.arange(n, dtype=np.int64) + 10_000 * s
+                    ),
+                    "user_id": pa.array(rng.integers(0, 9, n).astype(np.int64)),
+                    "ts": pa.array(ts.astype(np.int64), pa.timestamp("us")),
+                    "event_type": pa.array([f"src_{s}"] * n, pa.string()),
+                    "value": pa.array(
+                        np.round(rng.normal(0, 40, n), 2), pa.float64()
+                    ),
+                }
+            )
+        )
+    tbl = pa.concat_tables(parts)
+    out = (
+        range_frame_sum_1h(
+            ray.data.from_arrow(tbl).repartition(4), num_partitions=1
+        )
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    df = tbl.to_pandas()
+    df["c"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+    df["tsu"] = tbl["ts"].cast(pa.int64()).to_numpy()
+    assert len(out) == len(df)
+    for src, g in df.groupby("event_type"):
+        tsu = g["tsu"].to_numpy()
+        c = g["c"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        for i in range(len(g)):
+            m = (tsu >= tsu[i] - HOUR) & (tsu <= tsu[i])
+            row = out.loc[ids[i]]
+            assert row["n_in_frame"] == int(m.sum()), (src, ids[i])
+            assert row["sum_cents_frame"] == int(c[m].sum()), (src, ids[i])

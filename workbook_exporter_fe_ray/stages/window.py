@@ -4957,14 +4957,21 @@ def range_frame_sum_1h(
         # probes must stay inside each row's own run
         run_of = np.repeat(np.arange(len(starts), dtype=np.int64),
                            np.diff(bounds))
-        lo_run = bounds[run_of]
-        hi_run = bounds[run_of + 1]
-        # global searchsorted is valid per-run because ts is sorted
-        # within a run; clamp probe results into the run's bounds
-        lo = np.searchsorted(ts, ts - F, side="left")
-        hi = np.searchsorted(ts, ts, side="right")
-        lo = np.maximum(lo, lo_run)
-        hi = np.minimum(hi, hi_run)
+        # ts is only piecewise-sorted (per source run), so probes go
+        # through the composite (run · 2^span) + rel encoding, which IS
+        # globally sorted and confines each probe to its own run
+        # (same idiom as nearest_event_join, same loud overflow guard)
+        base = ts.min()
+        rel = ts - base
+        span = np.int64(1) << np.int64(max(int(rel.max()).bit_length() + 1, 1))
+        if len(starts) * int(span) >= (1 << 62):
+            raise ValueError(
+                "range_frame_sum_1h: source-runs × ts-span exceeds int64 "
+                "composite headroom — raise num_partitions"
+            )
+        comp = run_of * span + rel
+        lo = np.searchsorted(comp, run_of * span + np.maximum(rel - F, 0), "left")
+        hi = np.searchsorted(comp, comp, side="right")
         return pa.table(
             {
                 "event_id": g["event_id"],
