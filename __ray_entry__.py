@@ -2101,6 +2101,64 @@ def _q_table_profile_events(sf_dir: str):
     return table_profile_events(_events(sf_dir))
 
 
+def _q_rolling_distinct_users_1h(sf_dir: str):
+    """Sliding COUNT(DISTINCT user) over a trailing-1h RANGE frame."""
+    from workbook_exporter_fe_ray.stages.window import rolling_distinct_users_1h
+
+    return rolling_distinct_users_1h(_events(sf_dir))
+
+
+def _q_large_volume_orders(sf_dir: str):
+    """TPC-H Q18-shaped HAVING filter: whale orders + customer names."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import large_volume_orders
+
+    return large_volume_orders(
+        read_table(f"{sf_dir}/lineitem.parquet",
+                   columns=["l_orderkey", "l_quantity"]),
+        read_table(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"]),
+        read_table(f"{sf_dir}/customer.parquet",
+                   columns=["c_custkey", "c_name"]),
+    )
+
+
+def _q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14-shaped promotion revenue share (single pinned division)."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import promo_revenue_share
+
+    return promo_revenue_share(
+        read_table(f"{sf_dir}/lineitem.parquet",
+                   columns=["l_partkey", "l_extendedprice", "l_discount"]),
+        pq.read_table(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_type"]),
+    )
+
+
+def _q_late_order_priority(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS→max collapse: late orders per priority."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import late_order_priority
+
+    return late_order_priority(
+        read_table(f"{sf_dir}/lineitem.parquet",
+                   columns=["l_orderkey", "l_shipdate"]),
+        read_table(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"]),
+    )
+
+
+def _q_embedding_gram_matrix(sf_dir: str):
+    """Distributed XᵀX over the embedding column (quantized exact)."""
+    from workbook_exporter_fe_ray.stages.similarity import embedding_gram_matrix
+
+    return embedding_gram_matrix(_embeddings(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -2199,6 +2257,11 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "ab_value_drift": _q_ab_value_drift,  # split-half drift audit (r4f)
         "ref_integrity_audit": _q_ref_integrity_audit,  # FK audit (r4f)
         "table_profile_events": _q_table_profile_events,  # column profile (r4f)
+        "rolling_distinct_users_1h": _q_rolling_distinct_users_1h,  # (r4g)
+        "large_volume_orders": _q_large_volume_orders,    # Q18 HAVING (r4g)
+        "promo_revenue_share": _q_promo_revenue_share,    # Q14 ratio (r4g)
+        "late_order_priority": _q_late_order_priority,    # Q4 EXISTS (r4g)
+        "embedding_gram_matrix": _q_embedding_gram_matrix,  # XtX (r4g)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2419,6 +2482,11 @@ _NEW_R4 = (
     "ab_value_drift",
     "ref_integrity_audit",
     "table_profile_events",
+    "rolling_distinct_users_1h",
+    "large_volume_orders",
+    "promo_revenue_share",
+    "late_order_priority",
+    "embedding_gram_matrix",
 )
 
 _ROWS_ONLY_R3 = (
@@ -3636,6 +3704,58 @@ UNION ALL SELECT 'value', 'n_nan', CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0
 UNION ALL SELECT 'value', 'n_inf', CAST(sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'min_cents', CAST(min(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'max_cents', CAST(max(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
+""",
+        "rolling_distinct_users_1h": """
+SELECT event_id, event_type AS source, ts,
+       CAST(count(DISTINCT user_id) OVER w AS BIGINT) AS n_distinct_users
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "large_volume_orders": """
+WITH q AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) >= 280)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       q.sum_qty
+FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        "promo_revenue_share": """
+WITH u AS (
+  SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS units,
+         p.p_type = 'PROMO' AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+SELECT CAST(sum(CASE WHEN is_promo THEN units ELSE 0 END) AS BIGINT)
+         AS promo_units,
+       CAST(sum(units) AS BIGINT) AS total_units,
+       CAST(sum(CASE WHEN is_promo THEN units ELSE 0 END) AS DOUBLE)
+         / CAST(sum(units) AS DOUBLE) AS promo_share
+FROM u
+""",
+        "late_order_priority": """
+WITH m AS (SELECT l_orderkey, max(l_shipdate) AS ms FROM lineitem GROUP BY 1)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o JOIN m ON o.o_orderkey = m.l_orderkey
+WHERE m.ms > o.o_orderdate + INTERVAL 30 DAY
+GROUP BY 1
+""",
+        "embedding_gram_matrix": """
+WITH f AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding) AS x
+  FROM embeddings)
+SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j,
+       CAST(sum(CAST(floor(CAST(a.x AS DOUBLE) * 1000000.0) AS BIGINT)
+              * CAST(floor(CAST(b.x AS DOUBLE) * 1000000.0) AS BIGINT))
+            AS BIGINT) AS gram_units
+FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
 """,
         "nearest_event_join": """
 WITH L AS (

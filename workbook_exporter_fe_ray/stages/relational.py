@@ -3075,3 +3075,304 @@ def table_profile_events(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def large_volume_orders(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    min_qty: int = 280,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """TPC-H Q18-shaped HAVING filter: orders whose TOTAL line-item
+    quantity reaches ``min_qty``, enriched with customer name — the
+    "find the whales" audit.  The shape Q10/top-k can't cover: the
+    predicate is on a POST-aggregation value, so no per-block filter
+    can prune it; what keeps it scale-safe is that the aggregate input
+    shrinks to slim (orderkey, qty) partials per block before the ONE
+    keyed exchange, and everything after the HAVING is
+    qualifying-set-sized.
+
+    1. lineitem streams → per-block (l_orderkey, qty) int64 partials;
+    2. ONE groupby-sum over the orderkey domain → HAVING filter inside
+       the finishing map (still distributed);
+    3. qualifying orders (few — ``min_qty`` governs; Q18's is chosen
+       so the result is human-review-sized) join orders via
+       :func:`hash_bucket_join` (fact-fact safe), then the qualifying
+       custkeys are collected (bounded by the qualifying set) and
+       broadcast to filter the streaming customer table for names —
+       never a customer-table collect.
+
+    Quantities are integral-valued doubles → exact int64.  Output:
+    pa.Table (c_custkey, c_name, o_orderkey, o_orderdate, total_cents,
+    sum_qty) sorted by sum_qty desc, o_orderkey asc.
+    """
+    from ray.data.aggregate import Sum
+
+    def _li_partial(b: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        t = pa.table(
+            {"l_orderkey": pc.cast(b["l_orderkey"], pa.int64()), "q": qty}
+        )
+        g = t.group_by("l_orderkey").aggregate([("q", "sum")])
+        return g.rename_columns(["l_orderkey", "q"])
+
+    sums = (
+        lineitem.map_batches(_li_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("q"))
+    )
+
+    TH = int(min_qty)
+
+    def _having(b: pa.Table) -> pa.Table:
+        q = pc.cast(b["sum(q)"], pa.int64())
+        t = pa.table({"l_orderkey": b["l_orderkey"], "sum_qty": q})
+        return t.filter(pc.greater_equal(t["sum_qty"], TH))
+
+    qual = sums.map_batches(_having, batch_format="pyarrow")
+
+    joined = hash_bucket_join(
+        qual,
+        orders.map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                    "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                    "o_orderdate": b["o_orderdate"],
+                    "total_cents": pc.cast(
+                        pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "l_orderkey",
+        ("sum_qty",),
+        ("o_custkey", "o_orderdate", "total_cents"),
+        n_buckets=n_buckets,
+    )
+
+    q_tbl = pa.concat_tables(
+        ray.get([ref for ref in joined.to_arrow_refs()])
+    ).combine_chunks()
+    if len(q_tbl) == 0:
+        return pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "total_cents": pa.array([], pa.int64()),
+                "sum_qty": pa.array([], pa.int64()),
+            }
+        )
+    want = np.unique(q_tbl["o_custkey"].to_numpy(zero_copy_only=False))
+    want_ref = ray.put(want)
+
+    class _NameFilter:
+        def __init__(self, ref):
+            self.want = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = pc.cast(b["c_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.searchsorted(self.want, ck)
+            posc = np.minimum(pos, max(len(self.want) - 1, 0))
+            hit = (
+                (self.want[posc] == ck)
+                if len(self.want)
+                else np.zeros(len(ck), bool)
+            )
+            t = b.filter(pa.array(hit))
+            return pa.table(
+                {
+                    "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                    "c_name": t["c_name"],
+                }
+            )
+
+    names = pa.concat_tables(
+        ray.get(
+            customer.map_batches(
+                _NameFilter(want_ref),
+                batch_format="pyarrow",
+                concurrency=2,
+            ).to_arrow_refs()
+        )
+    ).combine_chunks()
+
+    nk = names["c_custkey"].to_numpy(zero_copy_only=False)
+    order_n = np.argsort(nk, kind="stable")
+    nk = nk[order_n]
+    ck = q_tbl["o_custkey"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(nk, ck)
+    name_col = names["c_name"].take(pa.array(order_n[pos]))
+
+    out = pa.table(
+        {
+            "c_custkey": q_tbl["o_custkey"],
+            "c_name": name_col,
+            "o_orderkey": q_tbl["l_orderkey"],
+            "o_orderdate": q_tbl["o_orderdate"],
+            "total_cents": q_tbl["total_cents"],
+            "sum_qty": q_tbl["sum_qty"],
+        }
+    )
+    idx = pc.sort_indices(
+        out,
+        sort_keys=[("sum_qty", "descending"), ("o_orderkey", "ascending")],
+    )
+    return out.take(idx)
+
+
+def promo_revenue_share(
+    lineitem: ray.data.Dataset,
+    part: pa.Table,
+) -> pa.Table:
+    """TPC-H Q14-shaped promotion-effect ratio: the share of total
+    revenue earned by parts of type ``'PROMO'`` — one scalar audit row.
+
+    part → (partkey, is_promo) broadcast (``ray.put`` once; 9 bytes a
+    key — at a 100 TB part table switch to :func:`hash_bucket_join`,
+    the ratio arithmetic is unchanged); lineitem streams through with
+    per-block int64 partials (promo_units, total_units) in the exact
+    cents × (100 − disc) units used by every revenue query here; ONE
+    1-row exchange; the share is a SINGLE pinned int/int double
+    division, bit-identical to the SQL's.
+
+    Output: pa.Table (promo_units, total_units, promo_share) — 1 row.
+    """
+    from ray.data.aggregate import Sum
+
+    li = broadcast_dim_join(
+        lineitem, part, "l_partkey", "p_partkey", ("p_type",)
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        disc = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        units = cents * (np.int64(100) - disc)
+        promo = pc.equal(b["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "promo_units": pa.array(
+                    [int(units[promo].sum())], pa.int64()
+                ),
+                "total_units": pa.array([int(units.sum())], pa.int64()),
+            }
+        )
+
+    agg = li.map_batches(_partial, batch_format="pyarrow").sum(
+        ["promo_units", "total_units"]
+    )
+    promo_u = int(agg["sum(promo_units)"])
+    total_u = int(agg["sum(total_units)"])
+    return pa.table(
+        {
+            "promo_units": pa.array([promo_u], pa.int64()),
+            "total_units": pa.array([total_u], pa.int64()),
+            "promo_share": pa.array(
+                [promo_u / total_u if total_u else 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+def late_order_priority(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    late_days: int = 30,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H Q4-shaped EXISTS count: how many orders per priority
+    class have at least one line item shipped more than ``late_days``
+    after the order date — the fulfilment-SLA report.
+
+    The EXISTS collapses to an aggregate: ``∃ line late ⟺
+    max(l_shipdate) > o_orderdate + late_days``, so lineitem shrinks
+    to per-block (orderkey, max_ship) partials → ONE groupby-max over
+    the orderkey domain → :func:`hash_bucket_join` to orders (both
+    sides fact-sized) → priority-domain count.  All timestamps compared
+    as exact int64 µs.
+
+    Output: (o_orderpriority, n_late_orders).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def _li_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "ms": pc.cast(b["l_shipdate"], pa.int64()),
+            }
+        )
+        g = t.group_by("l_orderkey").aggregate([("ms", "max")])
+        return g.rename_columns(["l_orderkey", "ms"])
+
+    mx = (
+        lineitem.map_batches(_li_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Max("ms"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "ms": pc.cast(b["max(ms)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    joined = hash_bucket_join(
+        mx,
+        orders.map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                    "od": pc.cast(b["o_orderdate"], pa.int64()),
+                    "o_orderpriority": b["o_orderpriority"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "l_orderkey",
+        ("ms",),
+        ("od", "o_orderpriority"),
+        n_buckets=n_buckets,
+    )
+
+    LATE = np.int64(late_days) * np.int64(86_400 * 1_000_000)
+
+    def _late_partial(b: pa.Table) -> pa.Table:
+        ms = b["ms"].to_numpy(zero_copy_only=False)
+        od = b["od"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {"o_orderpriority": b["o_orderpriority"]}
+        ).filter(pa.array(ms > od + LATE))
+        g = t.group_by("o_orderpriority").aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "n"])
+
+    agg = (
+        joined.map_batches(_late_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_late_orders": pc.cast(b["sum(n)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

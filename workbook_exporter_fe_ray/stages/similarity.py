@@ -676,3 +676,83 @@ def emb_argmax_hist(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def embedding_gram_matrix(
+    embs: ray.data.Dataset,
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+) -> ray.data.Dataset:
+    """Distributed Gram matrix XᵀX over the embedding column — the
+    one-pass building block for PCA / covariance / whitening over a
+    100 TB embedding corpus (d×d fits anywhere; the DATA never needs
+    to be co-located, only the d² partials move).
+
+    Components quantized ``floor(f8(x) · scale)`` (exact on IEEE
+    doubles — :func:`embedding_quant_stats`'s parity-safe idiom) →
+    per-block int64 matmul QᵀQ (d×d, tiny) → upper-triangle (i, j,
+    partial) rows → ONE d²-sized groupby-sum exchange. Hash-exact vs
+    the unnest-ordinality self-join SQL.
+
+    Headroom: per block, ``rows × max|q|² < 2⁶³`` is guarded loudly;
+    for the full corpus the combine stays exact while ``n_total ×
+    max|q|² < 2⁶³`` — at larger corpora lower ``scale`` (the oracle
+    scales with it).
+
+    Output: (i, j, gram_units) int64, i ≤ j, d(d+1)/2 rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        arr = b[vec_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        if len(lens) == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "gram_units": pa.array([], pa.int64()),
+                }
+            )
+        d = int(lens[0])
+        if not (lens == d).all():
+            raise ValueError("embedding_gram_matrix: ragged embedding column")
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        # rebase: flatten()/values of a sliced ListArray (offsets[0]!=0)
+        X = flat[offs[0] : offs[0] + len(lens) * d].astype(np.float64)
+        Q = np.floor(X * np.float64(scale)).astype(np.int64).reshape(-1, d)
+        mq = int(np.abs(Q).max(initial=0))
+        if mq and len(Q) * mq * mq >= (1 << 63):
+            raise ValueError(
+                "embedding_gram_matrix: block rows × max|q|² exceeds int64 "
+                "headroom — lower the scale"
+            )
+        G = Q.T @ Q
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "gram_units": pa.array(G[iu, ju]),
+            }
+        )
+
+    agg = (
+        embs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["i", "j"])
+        .aggregate(Sum("gram_units"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "i": pc.cast(b["i"], pa.int64()),
+                "j": pc.cast(b["j"], pa.int64()),
+                "gram_units": pc.cast(b["sum(gram_units)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

@@ -5101,3 +5101,122 @@ def ab_value_drift(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def rolling_distinct_users_1h(
+    events: ray.data.Dataset,
+    frame_us: int = 3_600 * US,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Sliding DISTINCT count — for EVERY event, the number of
+    DISTINCT users seen on its source in the trailing interval
+    ``[ts − frame, ts]`` (RANGE frame, equal-ts peers included):
+    SQL's ``COUNT(DISTINCT user_id) OVER (PARTITION BY source ORDER
+    BY ts RANGE …)``, the live-audience gauge no plain prefix-sum
+    window can express (DISTINCT is not subtractable).
+
+    The trick that keeps it one vectorized pass (no per-row set
+    maintenance): a user is distinct-counted in a frame exactly once —
+    at its FIRST occurrence inside the frame — so
+
+        distinct(i) = |frame(i)| − #{j ∈ frame(i): prev(j) ∈ frame(i)}
+
+    where ``prev(j)`` is j's previous same-(source,user) event.  The
+    second term is a pure interval-stabbing sum: event j is a
+    "duplicate" in exactly the frames i with ``ts[j] ≤ ts[i] ≤
+    prev_ts[j] + frame`` — a contiguous index range once rows sit in
+    composite (run · 2^span)+rel order — so ONE ``np.add.at`` diff
+    array + cumsum yields every frame's duplicate count at once.
+    All int64 → hash-exact vs the DuckDB DISTINCT window.
+
+    ONE exchange on hash(source) % P; inside a partition: one sort,
+    one lexsort (prev pointers), four searchsorted, one cumsum.
+
+    Output: one row per event (event_id, source, ts, n_distinct_users).
+    """
+    from .sweep import run_starts_table, with_part
+
+    F = np.int64(frame_us)
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "ts": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"],
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+            }
+        )
+        return with_part(t, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "n_distinct_users": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        n = len(g)
+        starts = run_starts_table(g, ["source"])
+        bounds = np.r_[starts, n]
+        run_of = np.repeat(
+            np.arange(len(starts), dtype=np.int64), np.diff(bounds)
+        )
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        base = ts.min()
+        rel = ts - base
+        span = np.int64(1) << np.int64(max(int(rel.max()).bit_length() + 1, 1))
+        if len(starts) * int(span) >= (1 << 62):
+            raise ValueError(
+                "rolling_distinct_users_1h: source-runs × ts-span exceeds "
+                "int64 composite headroom — raise num_partitions"
+            )
+        comp = run_of * span + rel
+        # frame extents (identical to range_frame_sum_1h)
+        lo = np.searchsorted(comp, run_of * span + np.maximum(rel - F, 0), "left")
+        hi = np.searchsorted(comp, comp, side="right")
+        # prev same-(run,user) event's rel ts; −(F+1) where none, which
+        # makes that row's stabbing interval empty below
+        order2 = np.lexsort((np.arange(n), uid, run_of))
+        same = (run_of[order2][1:] == run_of[order2][:-1]) & (
+            uid[order2][1:] == uid[order2][:-1]
+        )
+        prevrel = np.full(n, -(F + np.int64(1)), np.int64)
+        prevrel[order2[1:][same]] = rel[order2[:-1][same]]
+        # event j duplicates frames i with ts[j] <= ts[i] <= prevrel[j]+F
+        # (prev also inside) — in composite order that is the index
+        # range [l(j), r(j)); span/2 > rel.max() so the clamped probe
+        # stays inside j's run band
+        probe_hi = run_of * span + np.minimum(prevrel + F, span - np.int64(1))
+        l_j = np.searchsorted(comp, comp, side="left")
+        r_j = np.searchsorted(comp, probe_hi, side="right")
+        d = np.zeros(n + 1, np.int64)
+        keep = r_j > l_j
+        np.add.at(d, l_j[keep], 1)
+        np.add.at(d, r_j[keep], -1)
+        dup = np.cumsum(d[:-1])
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "source": g["source"],
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "n_distinct_users": pa.array((hi - lo) - dup),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
