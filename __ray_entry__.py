@@ -2159,6 +2159,85 @@ def _q_embedding_gram_matrix(sf_dir: str):
     return embedding_gram_matrix(_embeddings(sf_dir))
 
 
+def _q_typo_dedup_pairs(sf_dir: str):
+    """FastSS deletion-neighborhood ed≤1 prefix near-dup pairs."""
+    from workbook_exporter_fe_ray.stages.dedup import typo_dedup_pairs
+
+    return typo_dedup_pairs(_documents(sf_dir))
+
+
+def _q_id_gap_audit(sf_dir: str):
+    """Sequence-integrity audit: missing ids / gap runs in one feed."""
+    from workbook_exporter_fe_ray.stages.relational import id_gap_audit
+
+    return id_gap_audit(_events(sf_dir))
+
+
+def _q_regex_match_stats(sf_dir: str):
+    """Per-source RE2 match/occurrence profile (PII-screen shape)."""
+    from workbook_exporter_fe_ray.stages.text import regex_match_stats
+
+    return regex_match_stats(_documents(sf_dir))
+
+
+_IPC_FIXTURE = "/tmp/wfer_metrics.arrow"
+
+
+def _q_ipc_ingest_stats(sf_dir: str):
+    """Arrow-IPC ingest (S1 source breadth): per-shard exact profile."""
+    from workbook_exporter_fe_ray.sources.formats import (
+        read_auto,
+        synth_metrics_ipc,
+    )
+
+    synth_metrics_ipc(_IPC_FIXTURE)
+    ds = read_auto(_IPC_FIXTURE)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "shard": b["shard"],
+                "n_rows": pa.array(np.ones(len(b), np.int64)),
+                "sum_units": pc.cast(b["value_units"], pa.int64()),
+                "min_units": pc.cast(b["value_units"], pa.int64()),
+                "max_units": pc.cast(b["value_units"], pa.int64()),
+            }
+        )
+        g = t.group_by("shard").aggregate(
+            [
+                ("n_rows", "sum"),
+                ("sum_units", "sum"),
+                ("min_units", "min"),
+                ("max_units", "max"),
+            ]
+        )
+        return g.rename_columns(
+            ["shard", "n_rows", "sum_units", "min_units", "max_units"]
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .aggregate(
+            Sum("n_rows"), Sum("sum_units"), Min("min_units"), Max("max_units")
+        )
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "shard": b["shard"],
+                "n_rows": pc.cast(b["sum(n_rows)"], pa.int64()),
+                "sum_units": pc.cast(b["sum(sum_units)"], pa.int64()),
+                "min_units": pc.cast(b["min(min_units)"], pa.int64()),
+                "max_units": pc.cast(b["max(max_units)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -2262,6 +2341,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": _q_promo_revenue_share,    # Q14 ratio (r4g)
         "late_order_priority": _q_late_order_priority,    # Q4 EXISTS (r4g)
         "embedding_gram_matrix": _q_embedding_gram_matrix,  # XtX (r4g)
+        "typo_dedup_pairs": _q_typo_dedup_pairs,          # FastSS ed<=1 (r4g)
+        "id_gap_audit": _q_id_gap_audit,                  # gap audit (r4g)
+        "regex_match_stats": _q_regex_match_stats,        # RE2 profile (r4g)
+        "ipc_ingest_stats": _q_ipc_ingest_stats,          # Arrow IPC (r4g)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2487,6 +2570,10 @@ _NEW_R4 = (
     "promo_revenue_share",
     "late_order_priority",
     "embedding_gram_matrix",
+    "typo_dedup_pairs",
+    "id_gap_audit",
+    "regex_match_stats",
+    "ipc_ingest_stats",
 )
 
 _ROWS_ONLY_R3 = (
@@ -3704,6 +3791,44 @@ UNION ALL SELECT 'value', 'n_nan', CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0
 UNION ALL SELECT 'value', 'n_inf', CAST(sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'min_cents', CAST(min(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'max_cents', CAST(max(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
+""",
+        "typo_dedup_pairs": """
+WITH p AS (SELECT doc_id, substr(text, 1, 24) AS pre FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE abs(length(a.pre) - length(b.pre)) <= 1
+  AND levenshtein(a.pre, b.pre) <= 1
+""",
+        "id_gap_audit": """
+WITH ids AS (
+  SELECT DISTINCT event_id AS id FROM events WHERE event_type = 'click'),
+g AS (SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids)
+SELECT CAST(count(*) AS BIGINT) AS n_present,
+       CAST(min(id) AS BIGINT) AS id_min,
+       CAST(max(id) AS BIGINT) AS id_max,
+       CAST(coalesce(sum(CASE WHEN nxt > id + 1 THEN nxt - id - 1 END), 0)
+            AS BIGINT) AS n_missing,
+       CAST(coalesce(sum(CASE WHEN nxt > id + 1 THEN 1 END), 0) AS BIGINT)
+         AS n_gap_runs,
+       CAST(coalesce(max(CASE WHEN nxt > id + 1 THEN nxt - id - 1 END), 0)
+            AS BIGINT) AS max_gap
+FROM g
+""",
+        "regex_match_stats": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN regexp_matches(text, '(fast|slow) (scan|merge)')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_matching_docs,
+       CAST(sum(length(regexp_extract_all(text, '\\b(value|table)\\b')))
+            AS BIGINT) AS n_occurrences
+FROM documents GROUP BY 1
+""",
+        "ipc_ingest_stats": f"""
+SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(value_units) AS BIGINT) AS sum_units,
+       CAST(min(value_units) AS BIGINT) AS min_units,
+       CAST(max(value_units) AS BIGINT) AS max_units
+FROM read_parquet('{os.path.splitext(_IPC_FIXTURE)[0] + ".parquet"}')
+GROUP BY 1
 """,
         "rolling_distinct_users_1h": """
 SELECT event_id, event_type AS source, ts,

@@ -91,6 +91,23 @@ def read_auto(
         tbl = read_xls_table(path, sheet_name=sheet_name, skip_rows=skip_rows)
         ds = ray.data.from_arrow(tbl)
         return ds.select_columns(columns) if columns else ds
+    if ext in (".arrow", ".feather", ".ipc"):
+        # Arrow IPC / Feather-v2 file — the zero-parse interchange
+        # format; each record batch becomes its own block (ray.put per
+        # batch → from_arrow_refs), so a many-batch file parallelizes
+        # without re-chunking. The batch loop is per-BATCH driver work
+        # (metadata + one buffer hand-off each), not per-row.
+        import ray as _ray
+        from pyarrow import ipc as paipc
+
+        with pa.memory_map(path) as mm:
+            reader = paipc.open_file(mm)
+            refs = [
+                _ray.put(pa.Table.from_batches([reader.get_batch(i)]))
+                for i in range(reader.num_record_batches)
+            ]
+        ds = ray.data.from_arrow_refs(refs)
+        return ds.select_columns(columns) if columns else ds
     if ext == ".docx":
         # the reference ALLOWS .docx uploads but never parses them
         # (workbook_exporter-fe.py:1928 ALLOWED_EXTENSIONS; no reader
@@ -218,3 +235,49 @@ def synth_hive_events(root: str, n_sources: int = 8, seed: int = 139) -> str:
     with open(done, "w") as f:
         f.write("ok")
     return root
+
+
+def synth_metrics_ipc(path: str, n: int = 5000, seed: int = 211) -> str:
+    """Deterministic Arrow-IPC ingest fixture (multi-record-batch, so
+    the reader's one-block-per-batch path is actually exercised) with a
+    Parquet sibling holding IDENTICAL data for the DuckDB oracle —
+    pure ints, exact on both readers.  Atomic like the other fixtures.
+
+    Schema: metric_id (int64), shard (string), value_units (int64).
+    """
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import ipc as paipc
+
+    sibling = os.path.splitext(path)[0] + ".parquet"
+    if os.path.isfile(path) and os.path.isfile(sibling):
+        return path
+    rng = np.random.default_rng(seed)
+    tbl = pa.table(
+        {
+            "metric_id": pa.array(np.arange(n, dtype=np.int64)),
+            "shard": pa.array(
+                [f"shard{i:02d}" for i in rng.integers(0, 16, n)], pa.string()
+            ),
+            "value_units": pa.array(
+                rng.integers(-(10**6), 10**6, n).astype(np.int64)
+            ),
+        }
+    )
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".arrow")
+    with os.fdopen(fd, "wb") as f:
+        with paipc.new_file(f, tbl.schema) as w:
+            for i in range(0, n, 1000):
+                w.write_table(tbl.slice(i, 1000))
+    fd2, tmp2 = tempfile.mkstemp(dir=d, suffix=".parquet")
+    os.close(fd2)
+    pq.write_table(tbl, tmp2)
+    os.replace(tmp2, sibling)
+    os.replace(tmp, path)
+    return path

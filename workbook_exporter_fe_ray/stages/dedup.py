@@ -1009,3 +1009,206 @@ def dup_graph_degree_hist(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def typo_dedup_pairs(
+    docs: ray.data.Dataset,
+    prefix_len: int = 24,
+    num_partitions: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """EXACT edit-distance-≤1 near-dup pairs on document prefixes —
+    the deletion-neighborhood (FastSS / SymSpell) miner: every pair of
+    docs whose first ``prefix_len`` characters are within Levenshtein
+    distance 1 (doc_a < doc_b), with NO quadratic pass and NO
+    approximation.
+
+    Why it scales: ed(a,b) ≤ 1 ⟹ a and b share a 1-deletion variant
+    (a substitution deletes the edited position from both; an
+    insertion/deletion pair shares the shorter string itself), so
+    emitting each doc under ≤ ``prefix_len + 1`` keys (its prefix +
+    every single-deletion variant, all zero-padded into one fixed
+    ``prefix_len``-byte key space) routes every true pair into at
+    least one shared bucket — a ≤25× fan-out of slim keys vs the
+    all-pairs join the SQL oracle runs.  A bucket collision CAN be ed 2
+    (deletions at different positions), so every candidate pair is
+    verified vectorized on fixed-width byte matrices: equal length →
+    Hamming ≤ 1; length ± 1 → common-prefix + common-suffix ≥ shorter
+    length.  Variant generation is ``prefix_len`` numpy column-slices
+    per block — never a per-row loop; the only data-dependent loop is
+    over buckets that actually collide (output-sized, like the pairs
+    themselves — an all-identical corpus is quadratic in the SQL too).
+
+    Byte-level semantics (documented): prefixes compare as UTF-8 code
+    units — exact for ASCII corpora (this one); a multi-byte corpus
+    needs codepoint-level keys on both sides of the gate.
+
+    Two exchanges, both slim: (key → candidate buckets), then
+    (pair → global dedupe, since one pair can collide in several
+    buckets that live in different partitions).
+
+    Output: (doc_a, doc_b) int64, one row per verified pair.
+    """
+    from .sweep import run_starts_table, with_part
+
+    PL = int(prefix_len)
+
+    def _mats(buf: pa.BinaryArray, lens: np.ndarray):
+        """(left-aligned, end-aligned) zero-padded byte matrices."""
+        n = len(lens)
+        total = int(lens.sum())
+        if total == 0:
+            return np.zeros((n, PL), np.uint8), np.zeros((n, PL), np.uint8)
+        # BinaryArray keeps offsets in buffers()[1] (int32; int64 for
+        # large_binary) — slice by buf.offset for sliced arrays
+        odt = np.int64 if pa.types.is_large_binary(buf.type) else np.int32
+        off_all = np.frombuffer(buf.buffers()[1], odt)
+        offs = off_all[buf.offset : buf.offset + n + 1].astype(np.int64)
+        values = np.frombuffer(buf.buffers()[2], np.uint8)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        col_of = np.arange(total, dtype=np.int64) - np.repeat(
+            np.r_[np.int64(0), np.cumsum(lens)[:-1]], lens
+        )
+        src = np.repeat(offs[:-1].astype(np.int64), lens) + col_of
+        M = np.zeros((n, PL), np.uint8)
+        M[row_of, col_of] = values[src]
+        E = np.zeros((n, PL), np.uint8)
+        E[row_of, col_of + np.repeat(PL - lens, lens)] = values[src]
+        return M, E
+
+    def _route(b: pa.Table) -> pa.Table:
+        pre = pc.utf8_slice_codeunits(b[text_col], 0, PL)
+        if isinstance(pre, pa.ChunkedArray):
+            pre = pre.combine_chunks()
+        buf = pre.cast(pa.binary())
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        lens = pc.binary_length(buf).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        M, _ = _mats(buf, lens)
+        key_blocks = [M]
+        id_blocks = [ids]
+        len_blocks = [lens]
+        pre_blocks = [M]
+        for d in range(PL):
+            alive = lens > d
+            if not alive.any():
+                break
+            V = np.zeros((int(alive.sum()), PL), np.uint8)
+            V[:, :d] = M[alive, :d]
+            V[:, d : PL - 1] = M[alive, d + 1 :]
+            key_blocks.append(V)
+            id_blocks.append(ids[alive])
+            len_blocks.append(lens[alive])
+            pre_blocks.append(M[alive])
+        K = np.ascontiguousarray(np.vstack(key_blocks))
+        keys = K.reshape(-1).view(f"S{PL}")
+        t = pa.table(
+            {
+                "key": pa.array(keys),
+                "doc_id": pa.array(np.concatenate(id_blocks)),
+                "len": pa.array(np.concatenate(len_blocks).astype(np.int64)),
+                "pre": pa.array(
+                    np.ascontiguousarray(np.vstack(pre_blocks))
+                    .reshape(-1)
+                    .view(f"S{PL}")
+                ),
+            }
+        )
+        return with_part(t, ["key"], num_partitions)
+
+    def _bucket_sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[("key", "ascending"), ("doc_id", "ascending")]
+        )
+        g = g.take(idx)
+        n = len(g)
+        starts = run_starts_table(g, ["key"])
+        bounds = np.r_[starts, n]
+        sizes = np.diff(bounds)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        lens = g["len"].to_numpy(zero_copy_only=False)
+        # Arrow stripped the numpy-'S' padding to logical bytes on the
+        # way in — rebuild the fixed-width matrix by scatter
+        pre = g["pre"]
+        if isinstance(pre, pa.ChunkedArray):
+            pre = pre.combine_chunks()
+        Mat, _ = _mats(pre, lens)
+        ai_list, bi_list = [], []
+        for r in np.flatnonzero(sizes >= 2):
+            lo, hi = bounds[r], bounds[r + 1]
+            seg_ids = ids[lo:hi]
+            uniq, upos = np.unique(seg_ids, return_index=True)
+            if len(uniq) < 2:
+                continue
+            m = len(uniq)
+            iu, ju = np.triu_indices(m, k=1)
+            ai_list.append(lo + upos[iu])
+            bi_list.append(lo + upos[ju])
+        if not ai_list:
+            return empty
+        ai = np.concatenate(ai_list)
+        bi = np.concatenate(bi_list)
+        A, B = Mat[ai], Mat[bi]
+        la, lb = lens[ai], lens[bi]
+        eq = A == B
+        ham = PL - eq.sum(axis=1)
+        ok_eq = (la == lb) & (ham <= 1)
+        # indel: common prefix + common suffix covers the shorter
+        any_neq = ~eq
+        p = np.where(any_neq.any(axis=1), np.argmax(any_neq, axis=1), PL)
+        # end-aligned comparison via per-pair roll realignment
+        EA = np.zeros_like(A)
+        EB = np.zeros_like(B)
+        cols = np.arange(PL)
+        shift_a = (PL - la)[:, None]
+        shift_b = (PL - lb)[:, None]
+        maska = cols[None, :] >= shift_a
+        maskb = cols[None, :] >= shift_b
+        srca = np.clip(cols[None, :] - shift_a, 0, PL - 1)
+        srcb = np.clip(cols[None, :] - shift_b, 0, PL - 1)
+        EA[maska] = np.take_along_axis(A, srca, axis=1)[maska]
+        EB[maskb] = np.take_along_axis(B, srcb, axis=1)[maskb]
+        eqe = (EA == EB)[:, ::-1]
+        any_neqe = ~eqe
+        s = np.where(any_neqe.any(axis=1), np.argmax(any_neqe, axis=1), PL)
+        ok_indel = (np.abs(la - lb) == 1) & (p + s >= np.minimum(la, lb))
+        ok = ok_eq | ok_indel
+        a_ok, b_ok = ids[ai[ok]], ids[bi[ok]]
+        lo_id = np.minimum(a_ok, b_ok)
+        hi_id = np.maximum(a_ok, b_ok)
+        return pa.table({"doc_a": pa.array(lo_id), "doc_b": pa.array(hi_id)})
+
+    cand = (
+        docs.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_bucket_sweep, batch_format="pyarrow")
+    )
+
+    def _pair_route(b: pa.Table) -> pa.Table:
+        return with_part(b, ["doc_a", "doc_b"], num_partitions)
+
+    def _pair_unique(g: pa.Table) -> pa.Table:
+        a = g["doc_a"].to_numpy(zero_copy_only=False)
+        bb = g["doc_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bb, a))
+        a, bb = a[order], bb[order]
+        keep = np.ones(len(a), bool)
+        keep[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
+        return pa.table(
+            {"doc_a": pa.array(a[keep]), "doc_b": pa.array(bb[keep])}
+        )
+
+    return (
+        cand.map_batches(_pair_route, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_pair_unique, batch_format="pyarrow")
+    )

@@ -3376,3 +3376,130 @@ def late_order_priority(
         ),
         batch_format="pyarrow",
     )
+
+
+def id_gap_audit(
+    events: ray.data.Dataset,
+    event_type: str = "click",
+    bucket_shift: int = 14,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Sequence-integrity audit of an id feed: how much of the id range
+    ``[min, max]`` observed for one event type is MISSING, in how many
+    contiguous gap runs, and how long the worst run is — the "did the
+    resumable ingest drop a shard?" check.  Gap detection needs every
+    id's successor, which no per-block pass can see, so the shape is:
+
+    1. ids bucket by ``id >> bucket_shift`` (RANGE partition — gaps are
+       an order property, hash would scatter neighbors) and dedupe /
+       sort / count internal gap runs per bucket in vectorized sweeps;
+    2. per-BUCKET summaries (48 B each: min, max, n, runs, missing,
+       max_gap) stitch in one final task — boundary gaps fall out of
+       ``next bucket's min − this bucket's max − 1``, and entirely
+       absent buckets are covered by the same subtraction.  A gap run
+       never spans a summary boundary ambiguously because runs exist
+       only BETWEEN present ids, so internal and boundary runs are
+       disjoint by construction.
+
+    At a 10¹² id domain raise ``bucket_shift`` so the summary stream
+    stays one-task-sized (2²⁰ ids/bucket → ≤10⁶ summaries ≈ 50 MB).
+
+    Output: 1 row (n_present, id_min, id_max, n_missing, n_gap_runs,
+    max_gap) — all int64, hash-exact vs the lead() window SQL.
+    """
+    ET = event_type
+    SHIFT = np.int64(bucket_shift)
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], ET))
+        ids = np.unique(
+            pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "__part": pa.array(
+                    np.mod(ids >> SHIFT, num_partitions).astype(np.int32)
+                ),
+                "bucket": pa.array(ids >> SHIFT),
+            }
+        )
+
+    def _bucket_sweep(g: pa.Table) -> pa.Table:
+        ids = np.unique(g["id"].to_numpy(zero_copy_only=False))
+        bks = ids >> SHIFT
+        starts = np.flatnonzero(np.r_[True, bks[1:] != bks[:-1]])
+        bounds = np.r_[starts, len(ids)]
+        out = {
+            "bucket": [],
+            "id_min": [],
+            "id_max": [],
+            "n_present": [],
+            "n_runs": [],
+            "n_missing": [],
+            "max_gap": [],
+        }
+        d = np.diff(ids) - 1
+        for k in range(len(starts)):
+            lo, hi = bounds[k], bounds[k + 1]
+            seg_d = d[lo : hi - 1]
+            gaps = seg_d[seg_d > 0]
+            out["bucket"].append(int(bks[lo]))
+            out["id_min"].append(int(ids[lo]))
+            out["id_max"].append(int(ids[hi - 1]))
+            out["n_present"].append(int(hi - lo))
+            out["n_runs"].append(int(len(gaps)))
+            out["n_missing"].append(int(gaps.sum()))
+            out["max_gap"].append(int(gaps.max()) if len(gaps) else 0)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    def _stitch(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("bucket", "ascending")])
+        g = g.take(idx)
+        mn = g["id_min"].to_numpy(zero_copy_only=False)
+        mx = g["id_max"].to_numpy(zero_copy_only=False)
+        npres = g["n_present"].to_numpy(zero_copy_only=False)
+        nruns = g["n_runs"].to_numpy(zero_copy_only=False)
+        nmiss = g["n_missing"].to_numpy(zero_copy_only=False)
+        mgap = g["max_gap"].to_numpy(zero_copy_only=False)
+        bgap = mn[1:] - mx[:-1] - 1
+        bgap = bgap[bgap > 0]
+        return pa.table(
+            {
+                "n_present": pa.array([int(npres.sum())], pa.int64()),
+                "id_min": pa.array([int(mn[0])], pa.int64()),
+                "id_max": pa.array([int(mx[-1])], pa.int64()),
+                "n_missing": pa.array(
+                    [int(nmiss.sum() + bgap.sum())], pa.int64()
+                ),
+                "n_gap_runs": pa.array(
+                    [int(nruns.sum() + len(bgap))], pa.int64()
+                ),
+                "max_gap": pa.array(
+                    [
+                        int(
+                            max(
+                                mgap.max(initial=0),
+                                bgap.max(initial=0),
+                            )
+                        )
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    summaries = (
+        events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_bucket_sweep, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column(
+                "__one", pa.array(np.zeros(len(b), np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return summaries.groupby("__one").map_groups(
+        lambda g: _stitch(g.drop_columns(["__one"])), batch_format="pyarrow"
+    )

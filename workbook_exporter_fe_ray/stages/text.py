@@ -1783,3 +1783,68 @@ def vocab_novelty_blocks(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def regex_match_stats(
+    docs: ray.data.Dataset,
+    match_pattern: str = r"(fast|slow) (scan|merge)",
+    count_pattern: str = r"\b(value|table)\b",
+) -> ray.data.Dataset:
+    """Per-source regex profile — the PII / boilerplate screen shape
+    every crawl pipeline runs (here over the synthetic vocabulary):
+    how many docs MATCH one pattern, and how many total OCCURRENCES of
+    another appear.
+
+    Both kernels are Arrow's RE2 (``match_substring_regex`` /
+    ``count_substring_regex``) — vectorized C++ over the whole batch,
+    and semantically aligned with DuckDB's RE2 ``regexp_matches`` /
+    ``regexp_extract_all`` so the gate is exact (both engines compile
+    the SAME regex dialect; a PCRE-only construct would be refused by
+    both rather than silently diverge).  Patterns compile once per
+    process inside Arrow, not per batch.  Per-block (source × 3)-cell
+    partials → one domain-sized exchange.
+
+    Output: (source, n_docs, n_matching_docs, n_occurrences).
+    """
+    from ray.data.aggregate import Sum
+
+    MP, CP = match_pattern, count_pattern
+
+    def _partial(b: pa.Table) -> pa.Table:
+        m = pc.match_substring_regex(b["text"], MP)
+        cnt = pc.count_substring_regex(b["text"], CP)
+        t = pa.table(
+            {
+                "source": b["source"],
+                "n_docs": pa.array(np.ones(len(b), np.int64)),
+                "n_matching_docs": pc.cast(m, pa.int64()),
+                "n_occurrences": pc.cast(cnt, pa.int64()),
+            }
+        )
+        g = t.group_by("source").aggregate(
+            [("n_docs", "sum"), ("n_matching_docs", "sum"),
+             ("n_occurrences", "sum")]
+        )
+        return g.rename_columns(
+            ["source", "n_docs", "n_matching_docs", "n_occurrences"]
+        )
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs"), Sum("n_matching_docs"), Sum("n_occurrences"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_docs": pc.cast(b["sum(n_docs)"], pa.int64()),
+                "n_matching_docs": pc.cast(
+                    b["sum(n_matching_docs)"], pa.int64()
+                ),
+                "n_occurrences": pc.cast(b["sum(n_occurrences)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
