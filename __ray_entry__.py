@@ -2238,6 +2238,27 @@ def _q_ipc_ingest_stats(sf_dir: str):
     )
 
 
+def _q_conversion_latency_hist(sf_dir: str):
+    """View→purchase attribution latency, power-of-two buckets."""
+    from workbook_exporter_fe_ray.stages.window import conversion_latency_hist
+
+    return conversion_latency_hist(_events(sf_dir))
+
+
+def _q_winsorized_stats(sf_dir: str):
+    """Per-source p5/p95 winsorization audit (exact fences + clamp)."""
+    from workbook_exporter_fe_ray.stages.sketch import winsorized_stats
+
+    return winsorized_stats(_events(sf_dir))
+
+
+def _q_posting_pairs_top_tokens(sf_dir: str):
+    """Inverted-index posting pairs for the top-10 DF tokens."""
+    from workbook_exporter_fe_ray.stages.text import posting_pairs_top_tokens
+
+    return posting_pairs_top_tokens(_documents(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -2345,6 +2366,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "id_gap_audit": _q_id_gap_audit,                  # gap audit (r4g)
         "regex_match_stats": _q_regex_match_stats,        # RE2 profile (r4g)
         "ipc_ingest_stats": _q_ipc_ingest_stats,          # Arrow IPC (r4g)
+        "conversion_latency_hist": _q_conversion_latency_hist,  # funnel (r4i)
+        "winsorized_stats": _q_winsorized_stats,          # clamp audit (r4i)
+        "posting_pairs_top_tokens": _q_posting_pairs_top_tokens,  # index (r4i)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2574,6 +2598,9 @@ _NEW_R4 = (
     "id_gap_audit",
     "regex_match_stats",
     "ipc_ingest_stats",
+    "conversion_latency_hist",
+    "winsorized_stats",
+    "posting_pairs_top_tokens",
 )
 
 _ROWS_ONLY_R3 = (
@@ -3791,6 +3818,46 @@ UNION ALL SELECT 'value', 'n_nan', CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0
 UNION ALL SELECT 'value', 'n_inf', CAST(sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'min_cents', CAST(min(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'max_cents', CAST(max(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
+""",
+        "conversion_latency_hist": """
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT (epoch_us(p.ts) - epoch_us(v.vts)) // 1000000 AS d
+  FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.vts <= p.ts)
+SELECT CAST(CASE WHEN d = 0 THEN 0 ELSE length(printf('%b', d)) END
+            AS BIGINT) AS latency_bucket,
+       CAST(count(*) AS BIGINT) AS n_conversions
+FROM j GROUP BY 1
+""",
+        "winsorized_stats": f"""
+WITH c AS (SELECT event_type AS source, {_CENTS} AS c FROM events),
+f AS (SELECT source, quantile_disc(c, 0.05) AS lo, quantile_disc(c, 0.95) AS hi
+      FROM c GROUP BY 1)
+SELECT c.source,
+       CAST(f.lo AS BIGINT) AS p_lo_cents,
+       CAST(f.hi AS BIGINT) AS p_hi_cents,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN c.c < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_lo,
+       CAST(sum(CASE WHEN c.c > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_hi,
+       CAST(sum(CASE WHEN c.c < f.lo THEN f.lo
+                     WHEN c.c > f.hi THEN f.hi ELSE c.c END) AS BIGINT)
+         AS sum_winsorized_cents
+FROM c JOIN f USING (source)
+GROUP BY 1, 2, 3
+""",
+        "posting_pairs_top_tokens": """
+WITH f AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+df AS (SELECT token, count(*) AS df FROM f GROUP BY 1),
+w AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY df DESC, token) AS rn FROM df)
+  WHERE rn <= 10)
+SELECT f.token, f.doc_id FROM f JOIN w USING (token)
 """,
         "typo_dedup_pairs": """
 WITH p AS (SELECT doc_id, substr(text, 1, 24) AS pre FROM documents)

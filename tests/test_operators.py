@@ -237,8 +237,10 @@ def test_read_auto_dispatch_errors(ray_session):
 
     with pytest.raises(FileNotFoundError):
         read_auto("/tmp/whatever.xls")  # .xls now parses (sources/xls.py)
+    with pytest.raises(FileNotFoundError):
+        read_auto("/tmp/whatever.yaml")  # .yaml now parses (eyaml readback)
     with pytest.raises(ValueError):
-        read_auto("/tmp/whatever.yaml")
+        read_auto("/tmp/whatever.zzz")  # genuinely unsupported extension
 
 
 def test_hash_bucket_join_invariance(ray_session):

@@ -794,3 +794,120 @@ def mad_per_group(
         .groupby("__part")
         .map_groups(_sweep, batch_format="pyarrow")
     )
+
+
+def winsorized_stats(
+    events: ray.data.Dataset,
+    p_lo: int = 5,
+    p_hi: int = 95,
+) -> pa.Table:
+    """Winsorization audit — the feature-engineering clamp: per source,
+    the exact p_lo/p_hi cents fences (``quantile_disc`` convention via
+    :func:`grouped_quantiles` — value-cardinality-bounded exchange, not
+    row-bounded), how many events each fence clips, and the clamped
+    int64 sum.  Two streaming passes over events (fences, then clamp) —
+    recomputing the cents beats materializing them, and the fence table
+    is source-domain-sized so it broadcasts via ``ray.put`` once.
+
+    Output: (source, p_lo_cents, p_hi_cents, n_events, n_clamped_lo,
+    n_clamped_hi, sum_winsorized_cents) — all int64, hash-exact.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def _cents_tbl(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["event_type"],
+                "c": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+            }
+        )
+
+    cents = events.map_batches(
+        _cents_tbl, batch_format="pyarrow", zero_copy_batch=True
+    )
+    fences = grouped_quantiles(
+        cents, key="source", value_col="c", percents=(p_lo, p_hi)
+    ).to_pandas()
+    fmap = {
+        s: (int(lo), int(hi))
+        for s, lo, hi in zip(
+            fences["source"], fences[f"p{p_lo}"], fences[f"p{p_hi}"]
+        )
+    }
+    fref = ray.put(fmap)
+
+    class _Clamp:
+        def __init__(self, ref):
+            fm = ray.get(ref)
+            self.keys = sorted(fm)
+            self.lo = np.array([fm[k][0] for k in self.keys], np.int64)
+            self.hi = np.array([fm[k][1] for k in self.keys], np.int64)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            t = _cents_tbl(b)
+            src = t["source"].to_numpy(zero_copy_only=False)
+            c = t["c"].to_numpy(zero_copy_only=False)
+            ki = np.searchsorted(np.array(self.keys), src)
+            lo, hi = self.lo[ki], self.hi[ki]
+            part = pa.table(
+                {
+                    "source": t["source"],
+                    "n_events": pa.array(np.ones(len(c), np.int64)),
+                    "n_clamped_lo": pa.array((c < lo).astype(np.int64)),
+                    "n_clamped_hi": pa.array((c > hi).astype(np.int64)),
+                    "sum_winsorized_cents": pa.array(np.clip(c, lo, hi)),
+                }
+            )
+            g = part.group_by("source").aggregate(
+                [
+                    ("n_events", "sum"),
+                    ("n_clamped_lo", "sum"),
+                    ("n_clamped_hi", "sum"),
+                    ("sum_winsorized_cents", "sum"),
+                ]
+            )
+            return g.rename_columns(
+                [
+                    "source",
+                    "n_events",
+                    "n_clamped_lo",
+                    "n_clamped_hi",
+                    "sum_winsorized_cents",
+                ]
+            )
+
+    agg = (
+        events.map_batches(_Clamp(fref), batch_format="pyarrow", concurrency=4)
+        .groupby("source")
+        .aggregate(
+            Sum("n_events"),
+            Sum("n_clamped_lo"),
+            Sum("n_clamped_hi"),
+            Sum("sum_winsorized_cents"),
+        )
+        .to_pandas()
+        .sort_values("source")
+    )
+    los = [fmap[s][0] for s in agg["source"]]
+    his = [fmap[s][1] for s in agg["source"]]
+    return pa.table(
+        {
+            "source": pa.array(list(agg["source"]), pa.string()),
+            "p_lo_cents": pa.array(los, pa.int64()),
+            "p_hi_cents": pa.array(his, pa.int64()),
+            "n_events": pa.array(
+                agg["sum(n_events)"].to_numpy(np.int64)
+            ),
+            "n_clamped_lo": pa.array(
+                agg["sum(n_clamped_lo)"].to_numpy(np.int64)
+            ),
+            "n_clamped_hi": pa.array(
+                agg["sum(n_clamped_hi)"].to_numpy(np.int64)
+            ),
+            "sum_winsorized_cents": pa.array(
+                agg["sum(sum_winsorized_cents)"].to_numpy(np.int64)
+            ),
+        }
+    )

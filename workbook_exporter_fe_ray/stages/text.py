@@ -1848,3 +1848,83 @@ def regex_match_stats(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def posting_pairs_top_tokens(
+    docs: ray.data.Dataset,
+    k: int = 10,
+) -> ray.data.Dataset:
+    """Inverted-index build for the k highest-document-frequency
+    tokens: the (token, doc_id) posting pairs a search / contamination
+    index starts from, restricted to the head of the DF distribution.
+
+    Phase 1 — DF: per-block DISTINCT (token, doc) pairs (an Arrow
+    group_by inside the block, so each doc contributes a token once)
+    → ONE token-keyed groupby-sum (vocab-domain-sized exchange) →
+    winners picked driver-side with the pinned total order (df DESC,
+    token ASC) — the collect is vocab-sized, same envelope as
+    ``vocab_coverage_topk``.  Phase 2 — the k winner tokens broadcast
+    (``ray.put`` once) and documents STREAM AGAIN, emitting only winner
+    pairs: recomputing one split beats materializing the full posting
+    set, and the output is k·DF-bounded.
+
+    Output: (token, doc_id) — one row per posting.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def _pairs(b: pa.Table):
+        toks = pc.split_pattern(b["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        ids = np.repeat(
+            pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False),
+            lens,
+        )
+        return pa.table({"token": flat, "doc_id": pa.array(ids)})
+
+    def _df_partial(b: pa.Table) -> pa.Table:
+        p = _pairs(b)
+        d = p.group_by(["token", "doc_id"]).aggregate([([], "count_all")])
+        t = pa.table(
+            {
+                "token": d["token"],
+                "df": pa.array(np.ones(len(d), np.int64)),
+            }
+        )
+        g = t.group_by("token").aggregate([("df", "sum")])
+        return g.rename_columns(["token", "df"])
+
+    df = (
+        docs.map_batches(_df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("df"))
+        .to_pandas()
+    )
+    df = df.rename(columns={"sum(df)": "df"})
+    df = df.sort_values(["df", "token"], ascending=[False, True], kind="stable")
+    winners = set(df["token"].head(k))
+    wref = ray.put(np.array(sorted(winners)))
+
+    class _Emit:
+        def __init__(self, ref):
+            self.w = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            p = _pairs(b)
+            tok = p["token"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.w, tok)
+            posc = np.minimum(pos, max(len(self.w) - 1, 0))
+            hit = (
+                (self.w[posc] == tok)
+                if len(self.w)
+                else np.zeros(len(tok), bool)
+            )
+            p = p.filter(pa.array(hit))
+            d = p.group_by(["token", "doc_id"]).aggregate([([], "count_all")])
+            return pa.table({"token": d["token"], "doc_id": d["doc_id"]})
+
+    return docs.map_batches(_Emit(wref), batch_format="pyarrow", concurrency=4)

@@ -5220,3 +5220,118 @@ def rolling_distinct_users_1h(
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def conversion_latency_hist(
+    events: ray.data.Dataset,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Conversion-latency histogram — for every ``to_type`` event, the
+    time since the SAME user's most recent ``from_type`` event at or
+    before it (the attribution funnel's "how long from view to
+    purchase"), bucketed into power-of-two seconds.  Conversions with
+    no prior touch are dropped (inner ASOF semantics, matching the
+    DuckDB ``ASOF JOIN`` oracle).
+
+    ONE hash(user) exchange carrying only (user, ts, kind); per
+    partition the match is a single composite searchsorted of purchase
+    rows against the view rows' (user-run · 2^span)+rel axis — tie-safe
+    at equal timestamps by construction (probe side 'right' ⟺ the SQL's
+    ``v.ts <= p.ts``).  Bucket = bit_length(whole seconds), exact via
+    the ``np.frexp`` exponent (int64 < 2⁵³) — no float-log parity trap.
+
+    Output: (latency_bucket, n_conversions) — bucket 0 is sub-second.
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        kind = pc.if_else(
+            pc.equal(b["event_type"], from_type),
+            pa.scalar(1, pa.int8()),
+            pc.if_else(
+                pc.equal(b["event_type"], to_type),
+                pa.scalar(2, pa.int8()),
+                pa.scalar(0, pa.int8()),
+            ),
+        )
+        t = pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "ts": pc.cast(b["ts"], pa.int64()),
+                "kind": kind,
+            }
+        ).filter(pc.not_equal(kind, 0))
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "latency_bucket": pa.array([], pa.int64()),
+                "n_conversions": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]
+        )
+        g = g.take(idx)
+        n = len(g)
+        starts = run_starts_table(g, ["user_id"])
+        run_of = (
+            np.searchsorted(starts, np.arange(n, dtype=np.int64), side="right")
+            - 1
+        )
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        base = ts.min()
+        rel = ts - base
+        span = np.int64(1) << np.int64(max(int(rel.max()).bit_length() + 1, 1))
+        if len(starts) * int(span) >= (1 << 62):
+            raise ValueError(
+                "conversion_latency_hist: user-runs × ts-span exceeds int64 "
+                "composite headroom — raise num_partitions"
+            )
+        comp = run_of * span + rel
+        isV = kind == 1
+        isP = kind == 2
+        vcomp = comp[isV]
+        vrun = run_of[isV]
+        vts = ts[isV]
+        if not isP.any() or len(vcomp) == 0:
+            return empty
+        pos = np.searchsorted(vcomp, comp[isP], side="right") - 1
+        posc = np.maximum(pos, 0)
+        hit = (pos >= 0) & (vrun[posc] == run_of[isP])
+        d_us = ts[isP][hit] - vts[posc[hit]]
+        d_s = d_us // np.int64(1_000_000)
+        _, expo = np.frexp(d_s.astype(np.float64))
+        bucket = np.where(d_s == 0, 0, expo).astype(np.int64)
+        vals, cnts = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {
+                "latency_bucket": pa.array(vals),
+                "n_conversions": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (
+        routed.groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby("latency_bucket")
+        .aggregate(Sum("n_conversions"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "latency_bucket": pc.cast(b["latency_bucket"], pa.int64()),
+                "n_conversions": pc.cast(b["sum(n_conversions)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
