@@ -2259,6 +2259,27 @@ def _q_posting_pairs_top_tokens(sf_dir: str):
     return posting_pairs_top_tokens(_documents(sf_dir))
 
 
+def _q_kmeans_assign_exact(sf_dir: str):
+    """One exact k-means E-step: quantized-int L2 assignment + inertia."""
+    from workbook_exporter_fe_ray.stages.similarity import kmeans_assign_exact
+
+    return kmeans_assign_exact(_embeddings(sf_dir))
+
+
+def _q_type_affinity_matrix(sf_dir: str):
+    """Event-type co-engagement matrix Σ_user outer(counts, counts)."""
+    from workbook_exporter_fe_ray.stages.window import type_affinity_matrix
+
+    return type_affinity_matrix(_events(sf_dir))
+
+
+def _q_pca_top_components(sf_dir: str):
+    """Exact-gram PCA spectrum (driver eigensolve on the d×d reduce)."""
+    from workbook_exporter_fe_ray.stages.similarity import pca_top_components
+
+    return pca_top_components(_embeddings(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -2369,6 +2390,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "conversion_latency_hist": _q_conversion_latency_hist,  # funnel (r4i)
         "winsorized_stats": _q_winsorized_stats,          # clamp audit (r4i)
         "posting_pairs_top_tokens": _q_posting_pairs_top_tokens,  # index (r4i)
+        "kmeans_assign_exact": _q_kmeans_assign_exact,    # Lloyd E-step (r4i)
+        "type_affinity_matrix": _q_type_affinity_matrix,  # co-engagement (r4i)
+        "pca_top_components": _q_pca_top_components,      # gram PCA (r4i)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2601,6 +2625,9 @@ _NEW_R4 = (
     "conversion_latency_hist",
     "winsorized_stats",
     "posting_pairs_top_tokens",
+    "kmeans_assign_exact",
+    "type_affinity_matrix",
+    "pca_top_components",
 )
 
 _ROWS_ONLY_R3 = (
@@ -3818,6 +3845,34 @@ UNION ALL SELECT 'value', 'n_nan', CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0
 UNION ALL SELECT 'value', 'n_inf', CAST(sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'min_cents', CAST(min(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'max_cents', CAST(max(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
+""",
+        "kmeans_assign_exact": """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS qv
+  FROM embeddings),
+c AS (SELECT vec_id AS cid, i, qv AS cv FROM q WHERE vec_id < 8),
+d AS (
+  SELECT q.vec_id, c.cid,
+         CAST(sum((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2
+  FROM q JOIN c ON q.i = c.i GROUP BY 1, 2),
+a AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d)
+SELECT cid AS centroid_id,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(sum(d2) AS BIGINT) AS inertia_units
+FROM a WHERE rn = 1 GROUP BY 1
+""",
+        "type_affinity_matrix": """
+WITH c AS (
+  SELECT user_id, event_type AS t, count(*) AS n FROM events GROUP BY 1, 2)
+SELECT a.t AS type_a, b.t AS type_b,
+       CAST(sum(a.n * b.n) AS BIGINT) AS affinity_units
+FROM c a JOIN c b ON a.user_id = b.user_id AND a.t <= b.t
+GROUP BY 1, 2
 """,
         "conversion_latency_hist": """
 WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),

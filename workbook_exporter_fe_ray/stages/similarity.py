@@ -756,3 +756,144 @@ def embedding_gram_matrix(
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def kmeans_assign_exact(
+    embs: ray.data.Dataset,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1_000_000.0,
+) -> ray.data.Dataset:
+    """One EXACT k-means E-step (Lloyd assignment) over the embedding
+    corpus: every vector assigns to its nearest of the k seed
+    centroids (the vectors with ``id < k`` — deterministic seeding) by
+    quantized-int64 squared L2, ties to the smaller centroid id — so
+    counts AND inertia are bit-reproducible and SQL-mirrorable, which
+    float distance never is.
+
+    Centroids are a k×d int64 matrix fetched by a streaming filter
+    (k rows collected, never the corpus) and broadcast via ``ray.put``
+    once; each block computes the full distance matrix as THREE int64
+    matmuls (‖q‖² + ‖c‖² − 2 Q·Cᵀ — exact: |q| ≤ scale·‖x‖∞ keeps the
+    products < 2⁶³ for any realistic scale), argmins row-wise, and
+    emits a k-cell (centroid, n, inertia) partial.  ONE k-sized
+    exchange.  The M-step (centroid update) is
+    :func:`label_centroid_sums` over these assignments — together one
+    full distributed Lloyd iteration.
+
+    Output: (centroid_id, n_assigned, inertia_units) — int64.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def _quant(arr: pa.Array) -> np.ndarray:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        if len(lens) == 0:
+            return np.zeros((0, 0), np.int64)
+        d = int(lens[0])
+        if not (lens == d).all():
+            raise ValueError("kmeans_assign_exact: ragged embedding column")
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        X = flat[offs[0] : offs[0] + len(lens) * d].astype(np.float64)
+        return np.floor(X * np.float64(scale)).astype(np.int64).reshape(-1, d)
+
+    seeds = embs.map_batches(
+        lambda b: b.filter(pc.less(b[id_col], k)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    seed_tbl = pa.concat_tables(ray.get(seeds.to_arrow_refs())).combine_chunks()
+    order = pc.sort_indices(seed_tbl[id_col])
+    seed_tbl = seed_tbl.take(order)
+    C = _quant(seed_tbl[vec_col])
+    c2 = (C * C).sum(axis=1)
+    cref = ray.put((C, c2))
+
+    class _Assign:
+        def __init__(self, ref):
+            self.C, self.c2 = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            Q = _quant(b[vec_col])
+            if Q.shape[0] == 0:
+                return pa.table(
+                    {
+                        "centroid_id": pa.array([], pa.int64()),
+                        "n_assigned": pa.array([], pa.int64()),
+                        "inertia_units": pa.array([], pa.int64()),
+                    }
+                )
+            q2 = (Q * Q).sum(axis=1)
+            D = q2[:, None] + self.c2[None, :] - 2 * (Q @ self.C.T)
+            best = np.argmin(D, axis=1)  # first min -> smaller cid on tie
+            d2 = D[np.arange(len(best)), best]
+            t = pa.table(
+                {
+                    "centroid_id": pa.array(best.astype(np.int64)),
+                    "n_assigned": pa.array(np.ones(len(best), np.int64)),
+                    "inertia_units": pa.array(d2),
+                }
+            )
+            g = t.group_by("centroid_id").aggregate(
+                [("n_assigned", "sum"), ("inertia_units", "sum")]
+            )
+            return g.rename_columns(
+                ["centroid_id", "n_assigned", "inertia_units"]
+            )
+
+    agg = (
+        embs.map_batches(_Assign(cref), batch_format="pyarrow", concurrency=4)
+        .groupby("centroid_id")
+        .aggregate(Sum("n_assigned"), Sum("inertia_units"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "centroid_id": pc.cast(b["centroid_id"], pa.int64()),
+                "n_assigned": pc.cast(b["sum(n_assigned)"], pa.int64()),
+                "inertia_units": pc.cast(b["sum(inertia_units)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def pca_top_components(
+    embs: ray.data.Dataset,
+    n_components: int = 4,
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+) -> pa.Table:
+    """Exact-gram PCA: eigendecompose the d×d matrix assembled from the
+    DISTRIBUTED :func:`embedding_gram_matrix` partials (the corpus
+    never co-locates; only d² int64 cells do) and report the top
+    spectrum.  The eigensolve itself is a driver-side LAPACK call on a
+    d×d matrix — microscopic next to the one-pass gram — so this stage
+    is rows-only at the driver gate (float spectrum), with the exact
+    int64 gram itself already hash-gated separately.
+
+    Output: (component, eigenvalue, explained_share) — n_components
+    rows, eigenvalue in descending order.
+    """
+    gram = embedding_gram_matrix(embs, vec_col=vec_col, scale=scale).to_pandas()
+    d = int(gram["j"].max()) + 1
+    G = np.zeros((d, d), np.float64)
+    G[gram["i"], gram["j"]] = gram["gram_units"].to_numpy(np.float64)
+    G = G + np.triu(G, 1).T
+    w = np.linalg.eigvalsh(G)[::-1]
+    tot = float(w.sum())
+    kk = min(int(n_components), d)
+    return pa.table(
+        {
+            "component": pa.array(np.arange(kk, dtype=np.int64)),
+            "eigenvalue": pa.array(w[:kk] / (scale * scale), pa.float64()),
+            "explained_share": pa.array(
+                (w[:kk] / tot) if tot else np.zeros(kk), pa.float64()
+            ),
+        }
+    )

@@ -5335,3 +5335,99 @@ def conversion_latency_hist(
         ),
         batch_format="pyarrow",
     )
+
+
+def type_affinity_matrix(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Event-type co-engagement (bipartite-projection) matrix — the
+    collaborative-filtering building block: for every type pair
+    (a ≤ b), ``Σ_user count_u(a) · count_u(b)`` over exact int64
+    per-user counts.  "Users who do a lot of X also do Y."
+
+    Shape: per-block (user, type, n) partials → ONE hash(user)
+    exchange (slim: one row per user-type per block) → per-partition
+    sweep merges duplicates and computes the WHOLE partition's
+    contribution as a single int64 matmul UᵀU over a dense
+    (local users × local types) count matrix — per-user outer products
+    never materialize one at a time — → type-pair-domain groupby-sum
+    (|types|² cells).  Headroom: Σ_u n_a·n_b < 2⁶³ holds while
+    users × (per-user count)² stays below ~9·10¹⁸ — at hotter scales
+    shard users (the partials are already per-partition) or pre-scale.
+
+    Output: (type_a, type_b, affinity_units), type_a ≤ type_b.
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["event_type"],
+            }
+        )
+        g = t.group_by(["user_id", "t"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["user_id", "t", "n"])
+        return with_part(g, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "affinity_units": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("t", "ascending")]
+        )
+        g = g.take(idx)
+        # merge duplicate (user, type) partials from different blocks
+        pair_starts = run_starts_table(g, ["user_id", "t"])
+        n = np.add.reduceat(
+            g["n"].to_numpy(zero_copy_only=False).astype(np.int64), pair_starts
+        )
+        sub = g.take(pa.array(pair_starts))
+        types = sub["t"].to_numpy(zero_copy_only=False)
+        tl, tcode = np.unique(types, return_inverse=True)
+        ustarts = run_starts_table(sub, ["user_id"])
+        urow = (
+            np.searchsorted(
+                ustarts, np.arange(len(sub), dtype=np.int64), side="right"
+            )
+            - 1
+        )
+        U = np.zeros((len(ustarts), len(tl)), np.int64)
+        U[urow, tcode] = n
+        G = U.T @ U
+        iu, ju = np.triu_indices(len(tl))
+        return pa.table(
+            {
+                "type_a": pa.array(tl[iu]),
+                "type_b": pa.array(tl[ju]),
+                "affinity_units": pa.array(G[iu, ju]),
+            }
+        )
+
+    agg = (
+        events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("affinity_units"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "type_a": b["type_a"],
+                "type_b": b["type_b"],
+                "affinity_units": pc.cast(b["sum(affinity_units)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
