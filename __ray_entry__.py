@@ -2280,6 +2280,34 @@ def _q_pca_top_components(sf_dir: str):
     return pca_top_components(_embeddings(sf_dir))
 
 
+def _q_type_trigram_counts(sf_dir: str):
+    """Sequential pattern mining: per-user event-type trigrams."""
+    from workbook_exporter_fe_ray.stages.window import type_trigram_counts
+
+    return type_trigram_counts(_events(sf_dir))
+
+
+def _q_near_duplicate_events(sf_dir: str):
+    """Stream-dedup audit: double-fires within 1h per source."""
+    from workbook_exporter_fe_ray.stages.window import near_duplicate_events
+
+    return near_duplicate_events(_events(sf_dir))
+
+
+def _q_session_path_counts(sf_dir: str):
+    """Clickstream journey-start paths (first 3 types per session)."""
+    from workbook_exporter_fe_ray.stages.window import session_path_counts
+
+    return session_path_counts(_events(sf_dir))
+
+
+def _q_kmeans_update_exact(sf_dir: str):
+    """k-means M-step: exact per-(centroid, dim) count + coord sums."""
+    from workbook_exporter_fe_ray.stages.similarity import kmeans_update_exact
+
+    return kmeans_update_exact(_embeddings(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -2393,6 +2421,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign_exact": _q_kmeans_assign_exact,    # Lloyd E-step (r4i)
         "type_affinity_matrix": _q_type_affinity_matrix,  # co-engagement (r4i)
         "pca_top_components": _q_pca_top_components,      # gram PCA (r4i)
+        "type_trigram_counts": _q_type_trigram_counts,    # seq mining (r4j)
+        "near_duplicate_events": _q_near_duplicate_events,  # stream dedup (r4j)
+        "session_path_counts": _q_session_path_counts,    # journey paths (r4j)
+        "kmeans_update_exact": _q_kmeans_update_exact,    # Lloyd M-step (r4j)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2628,6 +2660,10 @@ _NEW_R4 = (
     "kmeans_assign_exact",
     "type_affinity_matrix",
     "pca_top_components",
+    "type_trigram_counts",
+    "near_duplicate_events",
+    "session_path_counts",
+    "kmeans_update_exact",
 )
 
 _ROWS_ONLY_R3 = (
@@ -3845,6 +3881,69 @@ UNION ALL SELECT 'value', 'n_nan', CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0
 UNION ALL SELECT 'value', 'n_inf', CAST(sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'min_cents', CAST(min(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'max_cents', CAST(max(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
+""",
+        "type_trigram_counts": """
+WITH s AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_trigrams
+FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+""",
+        "near_duplicate_events": f"""
+WITH s AS (
+  SELECT event_type AS source,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type, {_CENTS}
+           ORDER BY ts, event_id) AS d
+  FROM events)
+SELECT source, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN d IS NOT NULL AND d <= 3600000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups
+FROM s GROUP BY 1
+""",
+        "session_path_counts": """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM e),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY ts, event_id) AS rn
+  FROM g),
+p AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM r WHERE rn <= 3 GROUP BY 1, 2)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY 1
+""",
+        "kmeans_update_exact": """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS qv
+  FROM embeddings),
+c AS (SELECT vec_id AS cid, i, qv AS cv FROM q WHERE vec_id < 8),
+d AS (
+  SELECT q.vec_id, c.cid,
+         CAST(sum((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2
+  FROM q JOIN c ON q.i = c.i GROUP BY 1, 2),
+a AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d),
+v AS (SELECT vec_id, cid FROM a WHERE rn = 1)
+SELECT v.cid AS centroid_id, CAST(q.i - 1 AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(q.qv) AS BIGINT) AS sum_q
+FROM v JOIN q ON v.vec_id = q.vec_id GROUP BY 1, 2
 """,
         "kmeans_assign_exact": """
 WITH q AS (

@@ -897,3 +897,103 @@ def pca_top_components(
             ),
         }
     )
+
+
+def _quant_matrix(arr, scale: float, op: str) -> np.ndarray:
+    """floor-quantized int64 (n, d) matrix from a list<float> column."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    if len(lens) == 0:
+        return np.zeros((0, 0), np.int64)
+    d = int(lens[0])
+    if not (lens == d).all():
+        raise ValueError(f"{op}: ragged embedding column")
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    X = flat[offs[0] : offs[0] + len(lens) * d].astype(np.float64)
+    return np.floor(X * np.float64(scale)).astype(np.int64).reshape(-1, d)
+
+
+def kmeans_update_exact(
+    embs: ray.data.Dataset,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1_000_000.0,
+) -> ray.data.Dataset:
+    """The M-step completing :func:`kmeans_assign_exact`'s E-step into
+    one full distributed Lloyd iteration: per (centroid, dimension),
+    the exact int64 count and quantized coordinate sum of all vectors
+    assigned to that centroid — divide sum_q/n driver-side for the new
+    centroid; shipping the exact ints keeps the gate deterministic.
+
+    Same execution shape as the E-step (seed broadcast, three int64
+    matmuls per block) plus a k×d-cell partial per block — the
+    exchange is centroid·dim-bounded regardless of corpus size.
+
+    Output: (centroid_id, dim, n_vecs, sum_q) — int64, k·d rows.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    seeds = embs.map_batches(
+        lambda b: b.filter(pc.less(b[id_col], k)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    seed_tbl = pa.concat_tables(ray.get(seeds.to_arrow_refs())).combine_chunks()
+    seed_tbl = seed_tbl.take(pc.sort_indices(seed_tbl[id_col]))
+    C = _quant_matrix(seed_tbl[vec_col], scale, "kmeans_update_exact")
+    c2 = (C * C).sum(axis=1)
+    cref = ray.put((C, c2))
+
+    class _AssignSum:
+        def __init__(self, ref):
+            self.C, self.c2 = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            Q = _quant_matrix(b[vec_col], scale, "kmeans_update_exact")
+            kk, d = self.C.shape
+            if Q.shape[0] == 0:
+                return pa.table(
+                    {
+                        "centroid_id": pa.array([], pa.int64()),
+                        "dim": pa.array([], pa.int64()),
+                        "n_vecs": pa.array([], pa.int64()),
+                        "sum_q": pa.array([], pa.int64()),
+                    }
+                )
+            q2 = (Q * Q).sum(axis=1)
+            D = q2[:, None] + self.c2[None, :] - 2 * (Q @ self.C.T)
+            best = np.argmin(D, axis=1)
+            S = np.zeros((kk, d), np.int64)
+            np.add.at(S, best, Q)
+            cnt = np.bincount(best, minlength=kk).astype(np.int64)
+            cid = np.repeat(np.arange(kk, dtype=np.int64), d)
+            return pa.table(
+                {
+                    "centroid_id": pa.array(cid),
+                    "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), kk)),
+                    "n_vecs": pa.array(np.repeat(cnt, d)),
+                    "sum_q": pa.array(S.reshape(-1)),
+                }
+            )
+
+    agg = (
+        embs.map_batches(_AssignSum(cref), batch_format="pyarrow", concurrency=4)
+        .groupby(["centroid_id", "dim"])
+        .aggregate(Sum("n_vecs"), Sum("sum_q"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "centroid_id": pc.cast(b["centroid_id"], pa.int64()),
+                "dim": pc.cast(b["dim"], pa.int64()),
+                "n_vecs": pc.cast(b["sum(n_vecs)"], pa.int64()),
+                "sum_q": pc.cast(b["sum(sum_q)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

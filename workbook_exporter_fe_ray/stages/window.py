@@ -5431,3 +5431,281 @@ def type_affinity_matrix(
         ),
         batch_format="pyarrow",
     )
+
+
+def type_trigram_counts(
+    events: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Event-type TRIGRAM counts within each user's (ts, event_id)
+    order — the sequential-pattern step past :func:`transition_counts`'
+    Markov bigrams ("view→view→purchase" style funnels).
+
+    Same shape as the bigram op: ONE hash(user) exchange, per-partition
+    sweep emits shifted-triple partial counts with run boundaries
+    masked (a triple never spans two users), pair-domain final groupby.
+
+    Output: (t1, t2, t3, n_trigrams).
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+            }
+        )
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        g, starts, _lens = _sorted_runs(g)
+        n = len(g)
+        empty = pa.table(
+            {
+                "t1": pa.array([], pa.string()),
+                "t2": pa.array([], pa.string()),
+                "t3": pa.array([], pa.string()),
+                "n_trigrams": pa.array([], pa.int64()),
+            }
+        )
+        if n < 3:
+            return empty
+        types = g["event_type"]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        # triple (i, i+1, i+2) valid iff no run boundary in (i, i+2]
+        keep = np.ones(n - 2, dtype=bool)
+        for s in starts[starts > 0]:
+            keep[max(s - 2, 0) : s] = False
+        triples = pa.table(
+            {
+                "t1": types.slice(0, n - 2).filter(pa.array(keep)),
+                "t2": types.slice(1, n - 2).filter(pa.array(keep)),
+                "t3": types.slice(2).filter(pa.array(keep)),
+            }
+        )
+        if len(triples) == 0:
+            return empty
+        agg = triples.group_by(["t1", "t2", "t3"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["t1", "t2", "t3", "n_trigrams"])
+
+    agg = (
+        events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("n_trigrams"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "t1": b["t1"],
+                "t2": b["t2"],
+                "t3": b["t3"],
+                "n_trigrams": pc.cast(b["sum(n_trigrams)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def near_duplicate_events(
+    events: ray.data.Dataset,
+    window_us: int = 3_600 * US,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Stream-dedup audit — per source, how many events are NEAR
+    DUPLICATES: same (user, type, exact cents) as an earlier event
+    within the trailing window (the double-fire / retry detector every
+    ingest pipeline wants before storing).
+
+    ONE exchange keyed on the FULL dedup key hash(user, type, cents) —
+    neighbors in the dedup sense are co-located by construction, so
+    the sweep is one sort + one shifted diff per partition; an event is
+    a near-dup iff its predecessor IN ITS KEY RUN is ≤ window away
+    (equal-ts double-fires give Δ = 0, counted, event_id disambiguates
+    the order exactly as the SQL's lag).
+
+    Output: (source, n_events, n_near_dups).
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    F = np.int64(window_us)
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "source": b["event_type"],
+                "c": _cents(b),
+                "ts": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"],
+            }
+        )
+        return with_part(t, ["user_id", "source", "c"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_near_dups": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("source", "ascending"),
+                ("c", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        n = len(g)
+        starts = run_starts_table(g, ["user_id", "source", "c"])
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        isdup = np.zeros(n, bool)
+        isdup[1:] = (ts[1:] - ts[:-1]) <= F
+        isdup[starts] = False
+        t = pa.table(
+            {
+                "source": g["source"],
+                "n_events": pa.array(np.ones(n, np.int64)),
+                "n_near_dups": pa.array(isdup.astype(np.int64)),
+            }
+        )
+        agg = t.group_by("source").aggregate(
+            [("n_events", "sum"), ("n_near_dups", "sum")]
+        )
+        return agg.rename_columns(["source", "n_events", "n_near_dups"])
+
+    agg = (
+        events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_events"), Sum("n_near_dups"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "n_events": pc.cast(b["sum(n_events)"], pa.int64()),
+                "n_near_dups": pc.cast(b["sum(n_near_dups)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def session_path_counts(
+    events: ray.data.Dataset,
+    gap_us: int = 1_800 * US,
+    path_len: int = 3,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Clickstream path mining: sessions (same 30-min-gap rule as
+    :func:`session_duration_hist`) labeled by their first ``path_len``
+    event types joined with ``>``, counted per path — "how do journeys
+    start".
+
+    ONE hash(user) exchange; inside a partition sessions are cumsum
+    run labels, the first-k rows per session a vectorized rank mask,
+    and the path STRING is assembled only once per DISTINCT composite
+    code (type-vocab³-bounded loop, not per session).
+
+    Output: (path, n_sessions).
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import with_part
+
+    G = np.int64(gap_us)
+    K = int(path_len)
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+            }
+        )
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "path": pa.array([], pa.string()),
+                "n_sessions": pa.array([], pa.int64()),
+            }
+        )
+        g, starts, _lens = _sorted_runs(g)
+        n = len(g)
+        if n == 0:
+            return empty
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        brk = np.zeros(n, bool)
+        brk[0] = True
+        brk[1:] = (ts[1:] - ts[:-1]) > G
+        brk[starts] = True
+        sid = np.cumsum(brk) - 1  # global session index in this partition
+        # rank within session
+        sess_starts = np.flatnonzero(brk)
+        rank = np.arange(n, dtype=np.int64) - np.repeat(
+            sess_starts, np.diff(np.r_[sess_starts, n])
+        )
+        types = g["event_type"].to_numpy(zero_copy_only=False)
+        tl, tcode = np.unique(types, return_inverse=True)
+        V = len(tl) + 1  # 0 reserved for "absent"
+        if V**K >= (1 << 62):
+            raise ValueError(
+                "session_path_counts: type-vocab**path_len exceeds the "
+                "int64 composite — shorten path_len or pre-bucket types"
+            )
+        comp = np.zeros(len(sess_starts), np.int64)
+        for r in range(K):
+            m = rank == r
+            comp[sid[m]] += (tcode[m] + 1) * (V ** (K - 1 - r))
+        ucomp, cnts = np.unique(comp, return_counts=True)
+        paths = []
+        for code in ucomp:  # distinct-path loop: vocab**K bounded
+            toks = []
+            for r in range(K):
+                d = (code // (V ** (K - 1 - r))) % V
+                if d > 0:
+                    toks.append(tl[d - 1])
+            paths.append(">".join(toks))
+        return pa.table(
+            {
+                "path": pa.array(paths, pa.string()),
+                "n_sessions": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n_sessions"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "path": b["path"],
+                "n_sessions": pc.cast(b["sum(n_sessions)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
