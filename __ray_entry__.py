@@ -2308,6 +2308,67 @@ def _q_kmeans_update_exact(sf_dir: str):
     return kmeans_update_exact(_embeddings(sf_dir))
 
 
+def _q_range_frame_extrema_1h(sf_dir: str):
+    """RANGE-frame sliding max/min via vectorized sparse-table RMQ."""
+    from workbook_exporter_fe_ray.stages.window import range_frame_extrema_1h
+
+    return range_frame_extrema_1h(_events(sf_dir))
+
+
+def _q_day_over_day_change(sf_dir: str):
+    """Join-free day-over-day volume delta per source."""
+    from workbook_exporter_fe_ray.stages.window import day_over_day_change
+
+    return day_over_day_change(_events(sf_dir))
+
+
+_CSVGZ_FIXTURE = "/tmp/wfer_logs.csv.gz"
+
+
+def _q_csv_gz_ingest_stats(sf_dir: str):
+    """Gzipped-CSV ingest (S1 source breadth): per-level exact profile."""
+    from workbook_exporter_fe_ray.sources.formats import (
+        read_auto,
+        synth_logs_csv_gz,
+    )
+
+    synth_logs_csv_gz(_CSVGZ_FIXTURE)
+    ds = read_auto(_CSVGZ_FIXTURE)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "level": b["level"],
+                "n_lines": pa.array(np.ones(len(b), np.int64)),
+                "sum_bytes": pc.cast(b["n_bytes"], pa.int64()),
+                "max_bytes": pc.cast(b["n_bytes"], pa.int64()),
+            }
+        )
+        g = t.group_by("level").aggregate(
+            [("n_lines", "sum"), ("sum_bytes", "sum"), ("max_bytes", "max")]
+        )
+        return g.rename_columns(["level", "n_lines", "sum_bytes", "max_bytes"])
+
+    from ray.data.aggregate import Max, Sum
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("level")
+        .aggregate(Sum("n_lines"), Sum("sum_bytes"), Max("max_bytes"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "level": b["level"],
+                "n_lines": pc.cast(b["sum(n_lines)"], pa.int64()),
+                "sum_bytes": pc.cast(b["sum(sum_bytes)"], pa.int64()),
+                "max_bytes": pc.cast(b["max(max_bytes)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -2425,6 +2486,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "near_duplicate_events": _q_near_duplicate_events,  # stream dedup (r4j)
         "session_path_counts": _q_session_path_counts,    # journey paths (r4j)
         "kmeans_update_exact": _q_kmeans_update_exact,    # Lloyd M-step (r4j)
+        "range_frame_extrema_1h": _q_range_frame_extrema_1h,  # RMQ frame (r4k)
+        "day_over_day_change": _q_day_over_day_change,    # join-free DoD (r4k)
+        "csv_gz_ingest_stats": _q_csv_gz_ingest_stats,    # gz source (r4k)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2664,6 +2728,9 @@ _NEW_R4 = (
     "near_duplicate_events",
     "session_path_counts",
     "kmeans_update_exact",
+    "range_frame_extrema_1h",
+    "day_over_day_change",
+    "csv_gz_ingest_stats",
 )
 
 _ROWS_ONLY_R3 = (
@@ -3881,6 +3948,32 @@ UNION ALL SELECT 'value', 'n_nan', CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0
 UNION ALL SELECT 'value', 'n_inf', CAST(sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'min_cents', CAST(min(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'max_cents', CAST(max(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
+""",
+        "range_frame_extrema_1h": f"""
+SELECT event_id, event_type AS source, ts,
+       CAST(max({_CENTS}) OVER w AS BIGINT) AS max_cents_frame,
+       CAST(min({_CENTS}) OVER w AS BIGINT) AS min_cents_frame
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "day_over_day_change": """
+WITH d AS (
+  SELECT event_type AS source, epoch_us(ts) // 86400000000 AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT a.source, CAST(a.day AS BIGINT) AS day,
+       CAST(a.n AS BIGINT) AS n_events,
+       CAST(coalesce(b.n, 0) AS BIGINT) AS n_prev,
+       CAST(a.n - coalesce(b.n, 0) AS BIGINT) AS delta
+FROM d a LEFT JOIN d b ON a.source = b.source AND b.day = a.day - 1
+""",
+        "csv_gz_ingest_stats": f"""
+SELECT level, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+       CAST(max(n_bytes) AS BIGINT) AS max_bytes
+FROM read_parquet('{"/tmp/wfer_logs.parquet"}')
+GROUP BY 1
 """,
         "type_trigram_counts": """
 WITH s AS (

@@ -37,6 +37,23 @@ def read_auto(
     (``/root/reference/workbook_exporter-fe.py:1708-1711``; visible in
     ``dummy_data/dummy_data.csv:1-7``). Applies to CSV and Excel."""
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".gz":
+        # compressed text feeds (.csv.gz / .jsonl.gz — the shape crawl
+        # drops arrive in): dispatch on the INNER extension and let
+        # Arrow's native stream decompressor handle the codec — the
+        # file is NOT inflated driver-side
+        inner = os.path.splitext(os.path.splitext(path)[0])[1].lower()
+        if inner == ".csv":
+            ds = ray.data.read_csv(
+                path, arrow_open_stream_args={"compression": "gzip"}
+            )
+            return ds.select_columns(columns) if columns else ds
+        if inner in (".json", ".jsonl"):
+            ds = ray.data.read_json(
+                path, arrow_open_stream_args={"compression": "gzip"}
+            )
+            return ds.select_columns(columns) if columns else ds
+        raise ValueError(f"unsupported compressed input {path!r}")
     if ext in (".parquet", ".pq"):
         return read_table(path, columns=columns)
     if ext == ".csv":
@@ -275,6 +292,52 @@ def synth_metrics_ipc(path: str, n: int = 5000, seed: int = 211) -> str:
         with paipc.new_file(f, tbl.schema) as w:
             for i in range(0, n, 1000):
                 w.write_table(tbl.slice(i, 1000))
+    fd2, tmp2 = tempfile.mkstemp(dir=d, suffix=".parquet")
+    os.close(fd2)
+    pq.write_table(tbl, tmp2)
+    os.replace(tmp2, sibling)
+    os.replace(tmp, path)
+    return path
+
+
+def synth_logs_csv_gz(path: str, n: int = 4000, seed: int = 307) -> str:
+    """Deterministic gzipped-CSV ingest fixture with a Parquet sibling
+    holding IDENTICAL data for the DuckDB oracle — pure ints/strings,
+    exact on both readers; atomic like the other fixtures.
+
+    Schema: line_id (int64), level (string), n_bytes (int64).
+    """
+    import gzip
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sibling = path[: -len(".csv.gz")] + ".parquet"
+    if os.path.isfile(path) and os.path.isfile(sibling):
+        return path
+    rng = np.random.default_rng(seed)
+    levels = np.array(["debug", "info", "warn", "error"])
+    li = rng.integers(0, 4, n)
+    nb = rng.integers(0, 65536, n).astype(np.int64)
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".csv.gz")
+    with os.fdopen(fd, "wb") as raw, gzip.GzipFile(
+        fileobj=raw, mode="wb", mtime=0
+    ) as f:
+        f.write(b"line_id,level,n_bytes\n")
+        for i in range(n):
+            f.write(f"{i},{levels[li[i]]},{nb[i]}\n".encode())
+    tbl = pa.table(
+        {
+            "line_id": pa.array(np.arange(n, dtype=np.int64)),
+            "level": pa.array(levels[li], pa.string()),
+            "n_bytes": pa.array(nb),
+        }
+    )
     fd2, tmp2 = tempfile.mkstemp(dir=d, suffix=".parquet")
     os.close(fd2)
     pq.write_table(tbl, tmp2)

@@ -5709,3 +5709,191 @@ def session_path_counts(
         ),
         batch_format="pyarrow",
     )
+
+
+def range_frame_extrema_1h(
+    events: ray.data.Dataset,
+    frame_us: int = 3_600 * US,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """RANGE-frame sliding EXTREMA: per event, the max AND min cents
+    over its source's trailing interval ``[ts − frame, ts]`` (equal-ts
+    peers included) — ``MAX/MIN(c) OVER (… RANGE …)``.  Unlike the
+    count/sum frames (:func:`range_frame_sum_1h`), extrema are not
+    prefix-subtractable and the textbook monotonic deque is a
+    sequential per-row loop — so the sweep builds a SPARSE TABLE
+    (doubling RMQ): log₂n precomputed max/min layers, then EVERY row's
+    frame answers in O(1) as two overlapping-block lookups, all layers
+    and all queries pure numpy array ops.  O(n log n) ints per
+    partition, zero Python-per-row.
+
+    Frame bounds come from the same composite (run · 2^span)+rel
+    encoding as the other RANGE ops (probes can't leak across source
+    runs; loud overflow guard).
+
+    Output: (event_id, source, ts, max_cents_frame, min_cents_frame).
+    """
+    from .sweep import run_starts_table, with_part
+
+    F = np.int64(frame_us)
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "ts": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "max_cents_frame": pa.array([], pa.int64()),
+                    "min_cents_frame": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        n = len(g)
+        starts = run_starts_table(g, ["source"])
+        bounds = np.r_[starts, n]
+        run_of = np.repeat(
+            np.arange(len(starts), dtype=np.int64), np.diff(bounds)
+        )
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        base = ts.min()
+        rel = ts - base
+        span = np.int64(1) << np.int64(max(int(rel.max()).bit_length() + 1, 1))
+        if len(starts) * int(span) >= (1 << 62):
+            raise ValueError(
+                "range_frame_extrema_1h: source-runs × ts-span exceeds "
+                "int64 composite headroom — raise num_partitions"
+            )
+        comp = run_of * span + rel
+        lo = np.searchsorted(comp, run_of * span + np.maximum(rel - F, 0), "left")
+        hi = np.searchsorted(comp, comp, side="right") - 1  # inclusive end
+        # sparse table: layer j answers any 2^j-block; frames never
+        # cross runs because lo/hi were derived per-run above
+        L = max(int(n).bit_length(), 1)
+        stmax = [cv]
+        stmin = [cv]
+        for j in range(1, L):
+            h = 1 << (j - 1)
+            prev_mx, prev_mn = stmax[-1], stmin[-1]
+            if len(prev_mx) <= h:
+                break
+            stmax.append(np.maximum(prev_mx[:-h], prev_mx[h:]))
+            stmin.append(np.minimum(prev_mn[:-h], prev_mn[h:]))
+        width = hi - lo + 1
+        k = np.zeros(n, np.int64)
+        nz = width > 0
+        k[nz] = np.array(
+            [int(w).bit_length() - 1 for w in np.unique(width[nz])]
+        )[np.searchsorted(np.unique(width[nz]), width[nz])]
+        mx = np.empty(n, np.int64)
+        mn = np.empty(n, np.int64)
+        for j in range(len(stmax)):  # ≤ log2(n) vectorized passes
+            m = k == j
+            if not m.any():
+                continue
+            a = lo[m]
+            b2 = hi[m] - (1 << j) + 1
+            mx[m] = np.maximum(stmax[j][a], stmax[j][b2])
+            mn[m] = np.minimum(stmin[j][a], stmin[j][b2])
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "source": g["source"],
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "max_cents_frame": pa.array(mx),
+                "min_cents_frame": pa.array(mn),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def day_over_day_change(
+    events: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Day-over-day volume delta per source — the trend-monitor join
+    (``n_today vs n_yesterday``) WITHOUT a join: each per-block
+    (source, day) partial count is emitted TWICE, once tagged "mine"
+    and once shifted onto day+1 tagged "prev", so ONE (source ×
+    days)-domain groupby-sum lands every day next to its
+    predecessor's count (the calendar self-join dissolved into the
+    exchange).  Days with traffic today but none yesterday get
+    n_prev = 0; yesterday-only carrier rows (n_events = 0) are
+    filtered at the finish — exactly the SQL's
+    ``LEFT JOIN … ON b.day = a.day − 1`` with ``coalesce(b.n, 0)``.
+
+    Output: (source, day, n_events, n_prev, delta) — day = epoch days,
+    all int64 exact.
+    """
+    from ray.data.aggregate import Sum
+
+    DAY = np.int64(86_400 * US)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False) // DAY
+        src = b["event_type"]
+        t = pa.table({"source": src, "day": pa.array(day)})
+        g = t.group_by(["source", "day"]).aggregate([([], "count_all")])
+        cnt = pc.cast(g["count_all"], pa.int64())
+        mine = pa.table(
+            {
+                "source": g["source"],
+                "day": g["day"],
+                "n_events": cnt,
+                "n_prev": pa.nulls(len(g), pa.int64()).fill_null(0),
+            }
+        )
+        prev = pa.table(
+            {
+                "source": g["source"],
+                "day": pc.add(g["day"], 1),
+                "n_events": pa.nulls(len(g), pa.int64()).fill_null(0),
+                "n_prev": cnt,
+            }
+        )
+        return pa.concat_tables([mine, prev])
+
+    agg = (
+        events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "day"])
+        .aggregate(Sum("n_events"), Sum("n_prev"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["sum(n_events)"], pa.int64())
+        p = pc.cast(b["sum(n_prev)"], pa.int64())
+        t = pa.table(
+            {
+                "source": b["source"],
+                "day": pc.cast(b["day"], pa.int64()),
+                "n_events": n,
+                "n_prev": p,
+                "delta": pc.subtract(n, p),
+            }
+        )
+        # a (source, day+1) row with zero real traffic exists only to
+        # carry n_prev — the SQL has no such row
+        return t.filter(pc.greater(t["n_events"], 0))
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
