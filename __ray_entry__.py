@@ -2369,6 +2369,20 @@ def _q_csv_gz_ingest_stats(sf_dir: str):
     )
 
 
+def _q_rolling_zscore_outliers(sf_dir: str):
+    """Exact-integer trailing-frame z-score anomaly counts."""
+    from workbook_exporter_fe_ray.stages.window import rolling_zscore_outliers
+
+    return rolling_zscore_outliers(_events(sf_dir))
+
+
+def _q_embedding_norm_hist(sf_dir: str):
+    """Power-of-two histogram of exact quantized squared norms."""
+    from workbook_exporter_fe_ray.stages.similarity import embedding_norm_hist
+
+    return embedding_norm_hist(_embeddings(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -2489,6 +2503,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "range_frame_extrema_1h": _q_range_frame_extrema_1h,  # RMQ frame (r4k)
         "day_over_day_change": _q_day_over_day_change,    # join-free DoD (r4k)
         "csv_gz_ingest_stats": _q_csv_gz_ingest_stats,    # gz source (r4k)
+        "rolling_zscore_outliers": _q_rolling_zscore_outliers,  # int z (r4l)
+        "embedding_norm_hist": _q_embedding_norm_hist,    # norm screen (r4l)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2731,6 +2747,8 @@ _NEW_R4 = (
     "range_frame_extrema_1h",
     "day_over_day_change",
     "csv_gz_ingest_stats",
+    "rolling_zscore_outliers",
+    "embedding_norm_hist",
 )
 
 _ROWS_ONLY_R3 = (
@@ -3948,6 +3966,32 @@ UNION ALL SELECT 'value', 'n_nan', CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0
 UNION ALL SELECT 'value', 'n_inf', CAST(sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'min_cents', CAST(min(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'max_cents', CAST(max(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
+""",
+        "rolling_zscore_outliers": f"""
+WITH w AS (
+  SELECT event_type AS source, {_CENTS} AS c,
+         count(*) OVER win AS n,
+         sum({_CENTS}) OVER win AS s,
+         sum({_CENTS} * {_CENTS}) OVER win AS q
+  FROM events
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
+SELECT source, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN (c * n - s) * (c * n - s) > 9 * (n * q - s * s)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM w GROUP BY 1
+""",
+        "embedding_norm_hist": """
+WITH q AS (
+  SELECT vec_id,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS qv
+  FROM embeddings),
+n AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS n2 FROM q GROUP BY 1)
+SELECT CAST(CASE WHEN n2 = 0 THEN 0 ELSE length(printf('%b', n2)) END
+            AS BIGINT) AS norm2_bucket,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM n GROUP BY 1
 """,
         "range_frame_extrema_1h": f"""
 SELECT event_id, event_type AS source, ts,

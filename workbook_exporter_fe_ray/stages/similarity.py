@@ -997,3 +997,55 @@ def kmeans_update_exact(
         ),
         batch_format="pyarrow",
     )
+
+
+def embedding_norm_hist(
+    embs: ray.data.Dataset,
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+) -> ray.data.Dataset:
+    """Embedding-magnitude histogram — the norm-distribution screen run
+    before cosine pipelines (zero/huge-norm vectors break them):
+    power-of-two buckets of the EXACT quantized squared norm Σq²
+    (int64; bucket = bit_length, frexp-free via pure int arithmetic in
+    SQL and numpy alike).  Per-block bincount partials, domain-sized
+    exchange.
+
+    Output: (norm2_bucket, n_vecs) — bucket 0 is the all-zero vector.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        Q = _quant_matrix(b[vec_col], scale, "embedding_norm_hist")
+        if Q.shape[0] == 0:
+            return pa.table(
+                {
+                    "norm2_bucket": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                }
+            )
+        n2 = (Q * Q).sum(axis=1)
+        _, expo = np.frexp(n2.astype(np.float64))
+        bucket = np.where(n2 == 0, 0, expo).astype(np.int64)
+        vals, cnts = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {
+                "norm2_bucket": pa.array(vals),
+                "n_vecs": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        embs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("norm2_bucket")
+        .aggregate(Sum("n_vecs"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "norm2_bucket": pc.cast(b["norm2_bucket"], pa.int64()),
+                "n_vecs": pc.cast(b["sum(n_vecs)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -5897,3 +5897,134 @@ def day_over_day_change(
         return t.filter(pc.greater(t["n_events"], 0))
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def rolling_zscore_outliers(
+    events: ray.data.Dataset,
+    frame_us: int = 3_600 * US,
+    z: int = 3,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Trailing-window anomaly screen with EXACT integer arithmetic:
+    per source, how many events sit more than ``z`` sample standard
+    deviations from their own trailing-1h-frame mean.  The z-test
+    ``(c − μ)² > z²·σ²`` is cleared of divisions into pure int64:
+
+        (c·n − s)² > z² · (n·q − s²)        [n = frame count,
+                                             s = Σc, q = Σc²]
+
+    so the flag — normally a float-parity minefield — is bit-exact and
+    SQL-mirrorable.  Frames with zero variance never flag (their only
+    value IS the mean).  Same ONE-exchange composite-searchsorted
+    machinery as :func:`range_frame_sum_1h`, with a THIRD prefix sum
+    (Σc²) riding along; a loud guard bounds ``n·q`` and the squared
+    left side against int64.
+
+    Output: (source, n_events, n_outliers).
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    F = np.int64(frame_us)
+    Z2 = np.int64(z * z)
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "ts": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+                "n_outliers": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        n = len(g)
+        starts = run_starts_table(g, ["source"])
+        bounds = np.r_[starts, n]
+        run_of = np.repeat(
+            np.arange(len(starts), dtype=np.int64), np.diff(bounds)
+        )
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        base = ts.min()
+        rel = ts - base
+        span = np.int64(1) << np.int64(max(int(rel.max()).bit_length() + 1, 1))
+        if len(starts) * int(span) >= (1 << 62):
+            raise ValueError(
+                "rolling_zscore_outliers: source-runs × ts-span exceeds "
+                "int64 composite headroom — raise num_partitions"
+            )
+        comp = run_of * span + rel
+        lo = np.searchsorted(comp, run_of * span + np.maximum(rel - F, 0), "left")
+        hi = np.searchsorted(comp, comp, side="right")
+        pref_s = np.zeros(n + 1, np.int64)
+        np.cumsum(cv, out=pref_s[1:])
+        pref_q = np.zeros(n + 1, np.int64)
+        np.cumsum(cv * cv, out=pref_q[1:])
+        nf = hi - lo
+        s = pref_s[hi] - pref_s[lo]
+        q = pref_q[hi] - pref_q[lo]
+        cmax = int(np.abs(cv).max(initial=0))
+        nmax = int(nf.max(initial=1))
+        # lhs ≤ (2·cmax·n)², rhs ≤ z²·n·q — both must fit int64
+        if (2 * cmax * nmax) ** 2 >= (1 << 63) or int(Z2) * nmax * max(
+            int(q.max(initial=0)), 1
+        ) >= (1 << 63):
+            raise ValueError(
+                "rolling_zscore_outliers: |cents|·frame width exceeds the "
+                "int64 cleared-division headroom — shrink the frame or "
+                "rescale the units"
+            )
+        lhs = (cv * nf - s) ** 2
+        rhs = Z2 * (nf * q - s * s)
+        out = lhs > rhs  # zero-variance frames: lhs == rhs == 0 → False
+        t = pa.table(
+            {
+                "source": g["source"],
+                "n_events": pa.array(np.ones(n, np.int64)),
+                "n_outliers": pa.array(out.astype(np.int64)),
+            }
+        )
+        agg = t.group_by("source").aggregate(
+            [("n_events", "sum"), ("n_outliers", "sum")]
+        )
+        return agg.rename_columns(["source", "n_events", "n_outliers"])
+
+    agg = (
+        events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_events"), Sum("n_outliers"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "n_events": pc.cast(b["sum(n_events)"], pa.int64()),
+                "n_outliers": pc.cast(b["sum(n_outliers)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
