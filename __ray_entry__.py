@@ -2383,6 +2383,20 @@ def _q_embedding_norm_hist(sf_dir: str):
     return embedding_norm_hist(_embeddings(sf_dir))
 
 
+def _q_user_growth_curve(sf_dir: str):
+    """Audience growth: first-seen users per day + running total."""
+    from workbook_exporter_fe_ray.stages.window import user_growth_curve
+
+    return user_growth_curve(_events(sf_dir))
+
+
+def _q_corpus_curation_full(sf_dir: str):
+    """End-to-end curation: filter → exact dedup → per-lang profile."""
+    from workbook_exporter_fe_ray.stages.text import corpus_curation_full
+
+    return corpus_curation_full(_documents(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -2505,6 +2519,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "csv_gz_ingest_stats": _q_csv_gz_ingest_stats,    # gz source (r4k)
         "rolling_zscore_outliers": _q_rolling_zscore_outliers,  # int z (r4l)
         "embedding_norm_hist": _q_embedding_norm_hist,    # norm screen (r4l)
+        "user_growth_curve": _q_user_growth_curve,        # growth curve (r4l)
+        "corpus_curation_full": _q_corpus_curation_full,  # e2e curation (r4l)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2749,6 +2765,8 @@ _NEW_R4 = (
     "csv_gz_ingest_stats",
     "rolling_zscore_outliers",
     "embedding_norm_hist",
+    "user_growth_curve",
+    "corpus_curation_full",
 )
 
 _ROWS_ONLY_R3 = (
@@ -3966,6 +3984,26 @@ UNION ALL SELECT 'value', 'n_nan', CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0
 UNION ALL SELECT 'value', 'n_inf', CAST(sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'min_cents', CAST(min(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'max_cents', CAST(max(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
+""",
+        "user_growth_curve": """
+WITH f AS (
+  SELECT user_id, min(epoch_us(ts) // 86400000000) AS d
+  FROM events GROUP BY 1),
+n AS (SELECT d, count(*) AS n_new FROM f GROUP BY 1)
+SELECT CAST(d AS BIGINT) AS day,
+       CAST(n_new AS BIGINT) AS n_new_users,
+       CAST(sum(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM n
+""",
+        "corpus_curation_full": """
+WITH s AS (SELECT * FROM documents WHERE n_chars >= 200),
+d AS (SELECT text, min(doc_id) AS keep FROM s GROUP BY 1),
+k AS (SELECT s.* FROM s JOIN d ON s.doc_id = d.keep)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM k GROUP BY 1
 """,
         "rolling_zscore_outliers": f"""
 WITH w AS (

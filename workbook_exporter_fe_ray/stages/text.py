@@ -1928,3 +1928,77 @@ def posting_pairs_top_tokens(
             return pa.table({"token": d["token"], "doc_id": d["doc_id"]})
 
     return docs.map_batches(_Emit(wref), batch_format="pyarrow", concurrency=4)
+
+
+def corpus_curation_full(
+    docs: ray.data.Dataset,
+    min_chars: int = 200,
+) -> ray.data.Dataset:
+    """END-TO-END curation pipeline — the composed shape a training-data
+    run actually executes, as ONE streaming dataflow: length filter →
+    exact content dedup (md5 of text, min doc_id wins — the shuffle
+    moves 16-byte hashes + slim carries, never documents twice) →
+    per-language survivor profile (docs, whitespace tokens, chars).
+
+    Stages reuse the audited primitives (:func:`~workbook_exporter_fe_ray.
+    stages.dedup.exact_dedup` coarse-partition first-pick), so this
+    query gates the COMPOSITION, not new kernels.
+
+    Output: (lang, n_docs, sum_tokens, sum_chars).
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import exact_dedup
+
+    def _prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["n_chars"], min_chars))
+        toks = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        hashes = [
+            hashlib.md5(x.encode("utf-8")).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "content_hash": pa.array(hashes, pa.string()),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "lang": t["lang"],
+                "n_tokens": pc.cast(toks, pa.int64()),
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+
+    slim = docs.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    kept = exact_dedup(slim, keys=["content_hash"], tie_col="doc_id")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": b["lang"],
+                "n_docs": pa.array(np.ones(len(b), np.int64)),
+                "sum_tokens": b["n_tokens"],
+                "sum_chars": b["n_chars"],
+            }
+        )
+        g = t.group_by("lang").aggregate(
+            [("n_docs", "sum"), ("sum_tokens", "sum"), ("sum_chars", "sum")]
+        )
+        return g.rename_columns(["lang", "n_docs", "sum_tokens", "sum_chars"])
+
+    agg = (
+        kept.map_batches(_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs"), Sum("sum_tokens"), Sum("sum_chars"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "lang": b["lang"],
+                "n_docs": pc.cast(b["sum(n_docs)"], pa.int64()),
+                "sum_tokens": pc.cast(b["sum(sum_tokens)"], pa.int64()),
+                "sum_chars": pc.cast(b["sum(sum_chars)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -6028,3 +6028,69 @@ def rolling_zscore_outliers(
         ),
         batch_format="pyarrow",
     )
+
+
+def user_growth_curve(
+    events: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Audience growth curve: per day, how many users appear for the
+    FIRST time ever, and the running total — the north-star product
+    metric computed without ever materializing the user set: per-block
+    (user, min day) partials → ONE user-domain groupby-min → day-domain
+    bincount → the cumulative sum runs in a single day-domain-sized
+    final task (same bounded-stitch envelope as ``id_gap_audit``).
+
+    Output: (day, n_new_users, cum_users) — epoch days, int64.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    DAY = np.int64(86_400 * US)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False) // DAY
+        t = pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "d": pa.array(day),
+            }
+        )
+        g = t.group_by("user_id").aggregate([("d", "min")])
+        return g.rename_columns(["user_id", "d"])
+
+    first = (
+        events.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min("d"))
+    )
+
+    def _day_partial(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["min(d)"], pa.int64()).to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(vals),
+                "n_new_users": pa.array(cnts.astype(np.int64)),
+                "__one": pa.array(np.zeros(len(vals), np.int32)),
+            }
+        )
+
+    def _cum(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("day", "ascending")])
+        g = g.take(idx)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        # duplicate days across blocks merge here (day-domain-sized task)
+        ud, inv = np.unique(day, return_inverse=True)
+        n = np.zeros(len(ud), np.int64)
+        np.add.at(n, inv, g["n_new_users"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "day": pa.array(ud),
+                "n_new_users": pa.array(n),
+                "cum_users": pa.array(np.cumsum(n)),
+            }
+        )
+
+    days = first.map_batches(_day_partial, batch_format="pyarrow")
+    return days.groupby("__one").map_groups(
+        lambda g: _cum(g.drop_columns(["__one"])), batch_format="pyarrow"
+    )
