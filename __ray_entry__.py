@@ -2397,6 +2397,22 @@ def _q_corpus_curation_full(sf_dir: str):
     return corpus_curation_full(_documents(sf_dir))
 
 
+def _q_skipgram_topk(sf_dir: str):
+    """Top-20 token skipgrams (ordered pairs within distance 3)."""
+    from workbook_exporter_fe_ray.stages.text import skipgram_topk
+
+    return skipgram_topk(_documents(sf_dir))
+
+
+def _q_reactivated_users_per_day(sf_dir: str):
+    """Win-back metric: returns after ≥6h dormancy, per day."""
+    from workbook_exporter_fe_ray.stages.window import (
+        reactivated_users_per_day,
+    )
+
+    return reactivated_users_per_day(_events(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -2521,6 +2537,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_hist": _q_embedding_norm_hist,    # norm screen (r4l)
         "user_growth_curve": _q_user_growth_curve,        # growth curve (r4l)
         "corpus_curation_full": _q_corpus_curation_full,  # e2e curation (r4l)
+        "skipgram_topk": _q_skipgram_topk,                # skipgrams (r4m)
+        "reactivated_users_per_day": _q_reactivated_users_per_day,  # (r4m)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2767,6 +2785,8 @@ _NEW_R4 = (
     "embedding_norm_hist",
     "user_growth_curve",
     "corpus_curation_full",
+    "skipgram_topk",
+    "reactivated_users_per_day",
 )
 
 _ROWS_ONLY_R3 = (
@@ -3984,6 +4004,33 @@ UNION ALL SELECT 'value', 'n_nan', CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0
 UNION ALL SELECT 'value', 'n_inf', CAST(sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'min_cents', CAST(min(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'max_cents', CAST(max(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
+""",
+        "skipgram_topk": """
+WITH f AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents),
+p AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS n
+  FROM f a JOIN f b ON a.doc_id = b.doc_id
+                   AND b.pos - a.pos BETWEEN 1 AND 3
+  GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (ORDER BY n DESC, w1, w2) AS rn FROM p)
+SELECT w1, w2, CAST(n AS BIGINT) AS n_pairs FROM r WHERE rn <= 20
+""",
+        "reactivated_users_per_day": """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pt
+  FROM events),
+r AS (
+  SELECT DISTINCT user_id, t // 86400000000 AS day
+  FROM s WHERE pt IS NOT NULL AND t - pt >= 21600000000)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_reactivated
+FROM r GROUP BY 1
 """,
         "user_growth_curve": """
 WITH f AS (

@@ -2002,3 +2002,80 @@ def corpus_curation_full(
         ),
         batch_format="pyarrow",
     )
+
+
+def skipgram_topk(
+    docs: ray.data.Dataset,
+    max_dist: int = 3,
+    k: int = 20,
+) -> pa.Table:
+    """Top-k token SKIPGRAMS — ordered (w1, w2) pairs co-occurring
+    within ``max_dist`` positions in a doc (the word2vec-style context
+    statistic; :func:`top_bigrams` is the ``max_dist = 1`` adjacent
+    slice of this).  Per block the pair stream is ``max_dist`` shifted
+    zero-copy slices of the token flatten — no per-row loop — with
+    cross-doc pairs masked via the repeated doc index; per-block
+    partial counts shrink the exchange to the distinct-pair domain.
+    A per-block top-k cut would be WRONG here (a globally heavy pair
+    can be light in every block), so the cut takes the full pair-domain
+    aggregate — vocab²-bounded — and sorts driver-side with the pinned
+    (count DESC, w1, w2) order, the ``vocab_coverage_topk`` envelope.
+
+    Output: (w1, w2, n_pairs) — k rows, pinned order.
+    """
+    from ray.data.aggregate import Sum
+
+    MD = int(max_dist)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        n = len(flat)
+        offs = np.r_[np.int64(0), np.cumsum(lens)]
+        # doc id per flat token (block-local)
+        drow = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        parts = []
+        for d in range(1, MD + 1):
+            if n <= d:
+                break
+            keep = drow[d:] == drow[:-d]
+            parts.append(
+                pa.table(
+                    {
+                        "w1": flat.slice(0, n - d).filter(pa.array(keep)),
+                        "w2": flat.slice(d).filter(pa.array(keep)),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        pairs = pa.concat_tables(parts)
+        g = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "n_pairs"])
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n_pairs"))
+        .to_pandas()
+    )
+    agg = agg.rename(columns={"sum(n_pairs)": "n_pairs"})
+    agg = agg.sort_values(
+        ["n_pairs", "w1", "w2"], ascending=[False, True, True], kind="stable"
+    ).head(k)
+    return pa.table(
+        {
+            "w1": pa.array(list(agg["w1"]), pa.string()),
+            "w2": pa.array(list(agg["w2"]), pa.string()),
+            "n_pairs": pa.array(agg["n_pairs"].to_numpy(np.int64)),
+        }
+    )

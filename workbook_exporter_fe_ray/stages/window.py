@@ -6094,3 +6094,104 @@ def user_growth_curve(
     return days.groupby("__one").map_groups(
         lambda g: _cum(g.drop_columns(["__one"])), batch_format="pyarrow"
     )
+
+
+def reactivated_users_per_day(
+    events: ray.data.Dataset,
+    dormant_us: int = 6 * 3_600 * US,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Win-back metric: per day, how many users RETURN after at least
+    ``dormant_us`` of silence (their previous event is that much
+    older) — the re-engagement counterpart of
+    :func:`user_growth_curve`'s first-touch counts.  A user can
+    reactivate multiple times; each qualifying return event's day
+    counts once per user per day (a burst of events on the return day
+    is ONE reactivation).
+
+    ONE hash(user) exchange; per partition one sort + one shifted diff
+    marks qualifying returns, then (user, day) dedupe inside the sweep
+    keeps the exchange day-domain-sized.
+
+    Output: (day, n_reactivated) — epoch days, int64.
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+    D = np.int64(dormant_us)
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "ts": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"],
+            }
+        )
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "n_reactivated": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        n = len(g)
+        starts = run_starts_table(g, ["user_id"])
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ok = np.zeros(n, bool)
+        ok[1:] = (ts[1:] - ts[:-1]) >= D
+        ok[starts] = False
+        if not ok.any():
+            return empty
+        day = ts[ok] // DAY
+        u = uid[ok]
+        # one reactivation per (user, day): epoch days < 2^20 (≈ year
+        # 4840), so (user · 2^20 + day) is a collision-free composite
+        if int(day.max(initial=0)) >= (1 << 20) or int(
+            u.max(initial=0)
+        ) >= (1 << 43):
+            raise ValueError(
+                "reactivated_users_per_day: user/day exceeds the int64 "
+                "composite — widen the encoding"
+            )
+        first = np.unique(u * np.int64(1 << 20) + day, return_index=True)[1]
+        vals, cnts = np.unique(day[first], return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(vals),
+                "n_reactivated": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_reactivated"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "day": pc.cast(b["day"], pa.int64()),
+                "n_reactivated": pc.cast(b["sum(n_reactivated)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
