@@ -2413,6 +2413,81 @@ def _q_reactivated_users_per_day(sf_dir: str):
     return reactivated_users_per_day(_events(sf_dir))
 
 
+def _q_csv_sink_roundtrip(sf_dir: str):
+    """CSV SINK gate: 1m rollup (int columns) → distributed per-block
+    ``write_csv`` into a fresh dir → read the directory back → re-profile
+    per source.  The hash gate proves the WRITE path (quoting, dtypes,
+    multi-file layout) round-trips losslessly — the read-side fixtures
+    only ever gated external files.  Int columns only by construction
+    (float formatting has no cross-engine pin)."""
+    import os
+    import shutil
+
+    from workbook_exporter_fe_ray.pipelines.events import rollup_events
+
+    out_dir = "/tmp/wfer_csv_sink"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    ro = rollup_events(sf_dir, 60)
+
+    def _ints_only(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": pc.cast(b["bucket_ts"], pa.int64()),
+                "n_points": pc.cast(b["n_points"], pa.int64()),
+                "sum_cents": pc.cast(b["sum_cents"], pa.int64()),
+            }
+        )
+
+    ro.map_batches(_ints_only, batch_format="pyarrow").write_csv(out_dir)
+    back = ray.data.read_csv(out_dir)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["source"],
+                "n_buckets": pa.array(np.ones(len(b), np.int64)),
+                "sum_points": pc.cast(b["n_points"], pa.int64()),
+                "sum_cents": pc.cast(b["sum_cents"], pa.int64()),
+            }
+        )
+        g = t.group_by("source").aggregate(
+            [("n_buckets", "sum"), ("sum_points", "sum"), ("sum_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["source", "n_buckets", "sum_points", "sum_cents"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        back.map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_buckets"), Sum("sum_points"), Sum("sum_cents"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "n_buckets": pc.cast(b["sum(n_buckets)"], pa.int64()),
+                "sum_points": pc.cast(b["sum(sum_points)"], pa.int64()),
+                "sum_cents": pc.cast(b["sum(sum_cents)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_boolean_and_search(sf_dir: str):
+    """Boolean AND retrieval: docs containing ALL query tokens, counted
+    per source — the index-probe shape over the token-set column."""
+    from workbook_exporter_fe_ray.stages.text import boolean_and_search
+
+    return boolean_and_search(_documents(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -2539,6 +2614,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "corpus_curation_full": _q_corpus_curation_full,  # e2e curation (r4l)
         "skipgram_topk": _q_skipgram_topk,                # skipgrams (r4m)
         "reactivated_users_per_day": _q_reactivated_users_per_day,  # (r4m)
+        "csv_sink_roundtrip": _q_csv_sink_roundtrip,      # CSV sink gate (r4m)
+        "boolean_and_search": _q_boolean_and_search,      # AND retrieval (r4m)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2787,6 +2864,8 @@ _NEW_R4 = (
     "corpus_curation_full",
     "skipgram_topk",
     "reactivated_users_per_day",
+    "csv_sink_roundtrip",
+    "boolean_and_search",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4004,6 +4083,31 @@ UNION ALL SELECT 'value', 'n_nan', CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0
 UNION ALL SELECT 'value', 'n_inf', CAST(sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'min_cents', CAST(min(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'max_cents', CAST(max(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
+""",
+        "csv_sink_roundtrip": f"""
+WITH r AS (
+  SELECT event_type AS source, epoch_us(ts) // 60000000 AS b,
+         count(*) AS n, CAST(sum({_CENTS}) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(n) AS BIGINT) AS sum_points,
+       CAST(sum(s) AS BIGINT) AS sum_cents
+FROM r GROUP BY 1
+""",
+        "boolean_and_search": """
+WITH f AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+m AS (
+  SELECT doc_id, source,
+         max(CASE WHEN w = 'spark' THEN 1 ELSE 0 END) AS h1,
+         max(CASE WHEN w = 'vector' THEN 1 ELSE 0 END) AS h2,
+         max(CASE WHEN w = 'merge' THEN 1 ELSE 0 END) AS h3
+  FROM f GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN h1 = 1 AND h2 = 1 AND h3 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matching
+FROM m GROUP BY 1
 """,
         "skipgram_topk": """
 WITH f AS (

@@ -2079,3 +2079,64 @@ def skipgram_topk(
             "n_pairs": pa.array(agg["n_pairs"].to_numpy(np.int64)),
         }
     )
+
+
+def boolean_and_search(
+    docs: ray.data.Dataset,
+    query_tokens: tuple[str, ...] = ("spark", "vector", "merge"),
+) -> ray.data.Dataset:
+    """Boolean AND retrieval: per source, how many docs contain EVERY
+    query token (exact whitespace-token membership, not substring — so
+    "vectorize" does not match "vector").  Per block: one token split,
+    K vectorized ``is_in``-over-list membership tests via the flatten +
+    segment-any trick (a token list contains w iff any flattened slot
+    in the doc's segment equals w), no per-row loop; (source × 2)-cell
+    partials.
+
+    Output: (source, n_docs, n_matching).
+    """
+    from ray.data.aggregate import Sum
+
+    QT = tuple(query_tokens)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        n = len(b)
+        drow = np.repeat(np.arange(n, dtype=np.int64), lens)
+        ok = np.ones(n, bool)
+        for w in QT:
+            hit = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+            has = np.zeros(n, bool)
+            has[drow[hit]] = True
+            ok &= has
+        t = pa.table(
+            {
+                "source": b["source"],
+                "n_docs": pa.array(np.ones(n, np.int64)),
+                "n_matching": pa.array(ok.astype(np.int64)),
+            }
+        )
+        g = t.group_by("source").aggregate(
+            [("n_docs", "sum"), ("n_matching", "sum")]
+        )
+        return g.rename_columns(["source", "n_docs", "n_matching"])
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs"), Sum("n_matching"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "n_docs": pc.cast(b["sum(n_docs)"], pa.int64()),
+                "n_matching": pc.cast(b["sum(n_matching)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
