@@ -2488,6 +2488,20 @@ def _q_boolean_and_search(sf_dir: str):
     return boolean_and_search(_documents(sf_dir))
 
 
+def _q_audience_overlap_dod(sf_dir: str):
+    """Day-over-day audience Jaccard via dual-tagged set partials."""
+    from workbook_exporter_fe_ray.stages.window import audience_overlap_dod
+
+    return audience_overlap_dod(_events(sf_dir))
+
+
+def _q_bounce_rate_daily(sf_dir: str):
+    """Daily bounce profile: single-event vs engaged sessions."""
+    from workbook_exporter_fe_ray.stages.window import bounce_rate_daily
+
+    return bounce_rate_daily(_events(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -2616,6 +2630,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "reactivated_users_per_day": _q_reactivated_users_per_day,  # (r4m)
         "csv_sink_roundtrip": _q_csv_sink_roundtrip,      # CSV sink gate (r4m)
         "boolean_and_search": _q_boolean_and_search,      # AND retrieval (r4m)
+        "audience_overlap_dod": _q_audience_overlap_dod,  # set Jaccard (r4n)
+        "bounce_rate_daily": _q_bounce_rate_daily,        # bounce audit (r4n)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2866,6 +2882,8 @@ _NEW_R4 = (
     "reactivated_users_per_day",
     "csv_sink_roundtrip",
     "boolean_and_search",
+    "audience_overlap_dod",
+    "bounce_rate_daily",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4083,6 +4101,47 @@ UNION ALL SELECT 'value', 'n_nan', CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0
 UNION ALL SELECT 'value', 'n_inf', CAST(sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'min_cents', CAST(min(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'max_cents', CAST(max(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
+""",
+        "audience_overlap_dod": """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+c AS (SELECT day, count(*) AS n_cur FROM du GROUP BY 1),
+p AS (
+  SELECT a.day, count(*) AS n_prev
+  FROM (SELECT DISTINCT day FROM du) a JOIN du b ON b.day = a.day - 1
+  GROUP BY 1),
+bo AS (
+  SELECT a.day, count(*) AS n_both
+  FROM du a JOIN du b ON b.user_id = a.user_id AND b.day = a.day - 1
+  GROUP BY 1)
+SELECT CAST(c.day AS BIGINT) AS day,
+       CAST(coalesce(p.n_prev, 0) AS BIGINT) AS n_prev,
+       CAST(c.n_cur AS BIGINT) AS n_cur,
+       CAST(coalesce(bo.n_both, 0) AS BIGINT) AS n_both,
+       CAST(coalesce(bo.n_both, 0) AS DOUBLE)
+         / CAST(coalesce(p.n_prev, 0) + c.n_cur - coalesce(bo.n_both, 0)
+                AS DOUBLE) AS jaccard
+FROM c LEFT JOIN p ON p.day = c.day LEFT JOIN bo ON bo.day = c.day
+""",
+        "bounce_rate_daily": """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM e),
+s AS (
+  SELECT user_id, sid, min(epoch_us(ts)) // 86400000000 AS day,
+         count(*) AS n
+  FROM g GROUP BY 1, 2)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+FROM s GROUP BY 1
 """,
         "csv_sink_roundtrip": f"""
 WITH r AS (

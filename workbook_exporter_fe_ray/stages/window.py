@@ -6195,3 +6195,214 @@ def reactivated_users_per_day(
         ),
         batch_format="pyarrow",
     )
+
+
+def audience_overlap_dod(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Day-over-day audience overlap: for every day with traffic, the
+    EXACT |yesterday ∩ today| / |∪| of the user sets — retention's
+    set-theoretic cousin, and a shape where "pre-aggregate then join"
+    fails (set intersection is not a sum).  The trick is the dual-tag
+    exchange from :func:`day_over_day_change` lifted to SETS: each
+    distinct (day, user) pair (deduped per block first) is emitted to
+    its own day tagged CUR and to day+1 tagged PREV, keyed on
+    hash(day, user) % P — so every (user, day-pair) meets in one
+    partition and the intersection reduces to counting keys seen with
+    BOTH tags, never materializing a set anywhere.
+
+    Output: (day, n_prev, n_cur, n_both, jaccard) — counts int64,
+    jaccard ONE pinned int/int division (n_both / (n_prev + n_cur −
+    n_both)); days whose previous day had no traffic report n_prev=0,
+    jaccard 0.0 when the union is empty... which cannot happen (the
+    day itself has traffic), so jaccard is always well-defined.
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+
+    def _route(b: pa.Table) -> pa.Table:
+        day = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False) // DAY
+        uid = pc.cast(b["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        if int(day.max(initial=0)) >= (1 << 20) or int(
+            uid.max(initial=0)
+        ) >= (1 << 43):
+            raise ValueError(
+                "audience_overlap_dod: day/user exceeds the int64 "
+                "composite — widen the encoding"
+            )
+        comp = np.unique(day * np.int64(1 << 43) + uid)  # block-level dedupe
+        d = comp >> np.int64(43)
+        u = comp & np.int64((1 << 43) - 1)
+        t = pa.table(
+            {
+                "day": pa.array(np.r_[d + 1, d]),
+                "user_id": pa.array(np.r_[u, u]),
+                "tag": pa.array(
+                    np.r_[
+                        np.zeros(len(d), np.int8), np.ones(len(d), np.int8)
+                    ]
+                ),  # 0 = PREV carrier, 1 = CUR
+            }
+        )
+        return with_part(t, ["day", "user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "n_prev": pa.array([], pa.int64()),
+                "n_cur": pa.array([], pa.int64()),
+                "n_both": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[("day", "ascending"), ("user_id", "ascending")]
+        )
+        g = g.take(idx)
+        starts = run_starts_table(g, ["day", "user_id"])
+        bounds = np.r_[starts, len(g)]
+        tag = g["tag"].to_numpy(zero_copy_only=False)
+        # per (day,user) key: tags present (dedup across blocks via max)
+        has_cur = np.zeros(len(starts), bool)
+        has_prev = np.zeros(len(starts), bool)
+        key_of = np.repeat(
+            np.arange(len(starts), dtype=np.int64), np.diff(bounds)
+        )
+        np.logical_or.at(has_cur, key_of, tag == 1)
+        np.logical_or.at(has_prev, key_of, tag == 0)
+        day = g["day"].to_numpy(zero_copy_only=False)[starts]
+        t = pa.table(
+            {
+                "day": pa.array(day),
+                "n_prev": pa.array(has_prev.astype(np.int64)),
+                "n_cur": pa.array(has_cur.astype(np.int64)),
+                "n_both": pa.array((has_cur & has_prev).astype(np.int64)),
+            }
+        )
+        agg = t.group_by("day").aggregate(
+            [("n_prev", "sum"), ("n_cur", "sum"), ("n_both", "sum")]
+        )
+        return agg.rename_columns(["day", "n_prev", "n_cur", "n_both"])
+
+    agg = (
+        events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_prev"), Sum("n_cur"), Sum("n_both"))
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        npv = pc.cast(b["sum(n_prev)"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ncu = pc.cast(b["sum(n_cur)"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nbo = pc.cast(b["sum(n_both)"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "day": pc.cast(b["day"], pa.int64()),
+                "n_prev": pa.array(npv),
+                "n_cur": pa.array(ncu),
+                "n_both": pa.array(nbo),
+                "jaccard": pa.array(nbo / (npv + ncu - nbo)),
+            }
+        )
+        # drop the pure-carrier day after the last real day (n_cur = 0)
+        return t.filter(pc.greater(t["n_cur"], 0))
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def bounce_rate_daily(
+    events: ray.data.Dataset,
+    gap_us: int = 1_800 * US,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Daily bounce profile: sessions (the 30-min-gap rule shared with
+    :func:`session_duration_hist` / :func:`session_path_counts`)
+    attributed to the day they START, split into single-event bounces
+    vs engaged sessions — ints only, the rate stays a downstream
+    division so the gate is exact.
+
+    ONE hash(user) exchange; session labels are the usual cumsum
+    breaks, per-session (start day, n_events) via ``reduceat``-free
+    run arithmetic, then a day-domain exchange of 2-cell partials.
+
+    Output: (day, n_sessions, n_bounces).
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import with_part
+
+    G = np.int64(gap_us)
+    DAY = np.int64(86_400 * US)
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+            }
+        )
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "n_bounces": pa.array([], pa.int64()),
+            }
+        )
+        g, starts, _lens = _sorted_runs(g)
+        n = len(g)
+        if n == 0:
+            return empty
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        brk = np.zeros(n, bool)
+        brk[0] = True
+        brk[1:] = (ts[1:] - ts[:-1]) > G
+        brk[starts] = True
+        sess_starts = np.flatnonzero(brk)
+        sizes = np.diff(np.r_[sess_starts, n])
+        day = ts[sess_starts] // DAY
+        t = pa.table(
+            {
+                "day": pa.array(day),
+                "n_sessions": pa.array(np.ones(len(day), np.int64)),
+                "n_bounces": pa.array((sizes == 1).astype(np.int64)),
+            }
+        )
+        agg = t.group_by("day").aggregate(
+            [("n_sessions", "sum"), ("n_bounces", "sum")]
+        )
+        return agg.rename_columns(["day", "n_sessions", "n_bounces"])
+
+    agg = (
+        events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_sessions"), Sum("n_bounces"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "day": pc.cast(b["day"], pa.int64()),
+                "n_sessions": pc.cast(b["sum(n_sessions)"], pa.int64()),
+                "n_bounces": pc.cast(b["sum(n_bounces)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
