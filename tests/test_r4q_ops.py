@@ -79,3 +79,24 @@ def test_bounce_rate_vs_brute(ray_session):
     for d in exp_s:
         assert out.loc[d, "n_bounces"] == exp_b.get(d, 0)
     assert out["n_bounces"].sum() > 0
+
+
+def test_parquet_rowgroup_audit_multigroup(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources.parquet import parquet_rowgroup_audit
+
+    n = 10_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "x": pa.array(np.arange(n, dtype=np.int64) * 3),
+        }
+    )
+    p = str(tmp_path / "multi.parquet")
+    pq.write_table(tbl, p, row_group_size=1000)
+    out = parquet_rowgroup_audit(p).to_pandas()
+    assert len(out) == 10
+    assert list(out["n_rows"]) == [1000] * 10
+    assert list(out["min_val"]) == [k * 1000 for k in range(10)]
+    assert list(out["max_val"]) == [k * 1000 + 999 for k in range(10)]

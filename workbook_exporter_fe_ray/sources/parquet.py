@@ -134,3 +134,37 @@ def normalize_schema(
 def read_tier(tier_dir: str) -> ray.data.Dataset:
     """Read a previously-materialized tier (cascade input / resume)."""
     return ray.data.read_parquet(tier_dir)
+
+
+def parquet_rowgroup_audit(path: str, column: str = "event_id"):
+    """Footer-only introspection of a Parquet file: per row group, the
+    row count and the ``column``'s min/max statistics — the exact
+    numbers the reader's predicate/row-group pruning consults, surfaced
+    as a queryable audit ("can a ts/id range scan skip this group?").
+    Reads ONLY the footer (metadata-sized — no data pages touched), so
+    driver-side is the correct execution site at any corpus size; a
+    directory of files maps this per file.
+
+    Output: pa.Table (row_group_id, n_rows, min_val, max_val) int64.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[column]
+    gids, rows, mins, maxs = [], [], [], []
+    for g in range(md.num_row_groups):
+        col = md.row_group(g).column(idx)
+        st = col.statistics
+        gids.append(g)
+        rows.append(md.row_group(g).num_rows)
+        mins.append(int(st.min))
+        maxs.append(int(st.max))
+    return pa.table(
+        {
+            "row_group_id": pa.array(gids, pa.int64()),
+            "n_rows": pa.array(rows, pa.int64()),
+            "min_val": pa.array(mins, pa.int64()),
+            "max_val": pa.array(maxs, pa.int64()),
+        }
+    )
