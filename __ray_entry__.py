@@ -2509,6 +2509,20 @@ def _q_parquet_rowgroup_audit(sf_dir: str):
     return parquet_rowgroup_audit(f"{sf_dir}/events.parquet")
 
 
+def _q_dau_mau_stickiness(sf_dir: str):
+    """DAU/MAU/stickiness via per-user interval-union MAU curve."""
+    from workbook_exporter_fe_ray.stages.window import dau_mau_stickiness
+
+    return dau_mau_stickiness(_events(sf_dir))
+
+
+def _q_token_split_drift(sf_dir: str):
+    """Trending-terms shape: top-k token imbalance across doc halves."""
+    from workbook_exporter_fe_ray.stages.text import token_split_drift
+
+    return token_split_drift(_documents(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -2640,6 +2654,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "audience_overlap_dod": _q_audience_overlap_dod,  # set Jaccard (r4n)
         "bounce_rate_daily": _q_bounce_rate_daily,        # bounce audit (r4n)
         "parquet_rowgroup_audit": _q_parquet_rowgroup_audit,  # footer (r4n)
+        "dau_mau_stickiness": _q_dau_mau_stickiness,      # DAU/MAU (r4n)
+        "token_split_drift": _q_token_split_drift,        # trending (r4n)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2893,6 +2909,8 @@ _NEW_R4 = (
     "audience_overlap_dod",
     "bounce_rate_daily",
     "parquet_rowgroup_audit",
+    "dau_mau_stickiness",
+    "token_split_drift",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4110,6 +4128,39 @@ UNION ALL SELECT 'value', 'n_nan', CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0
 UNION ALL SELECT 'value', 'n_inf', CAST(sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'min_cents', CAST(min(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
 UNION ALL SELECT 'value', 'max_cents', CAST(max(CASE WHEN isfinite(value) THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM events
+""",
+        "dau_mau_stickiness": """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+m AS (
+  SELECT day,
+         count(DISTINCT user_id) OVER (
+           ORDER BY day RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS mau
+  FROM du),
+mx AS (SELECT day, max(mau) AS mau FROM m GROUP BY 1),
+d AS (SELECT day, count(*) AS dau FROM du GROUP BY 1)
+SELECT CAST(d.day AS BIGINT) AS day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(mx.mau AS BIGINT) AS mau,
+       CAST(d.dau AS DOUBLE) / CAST(mx.mau AS DOUBLE) AS stickiness
+FROM d JOIN mx ON d.day = mx.day
+""",
+        "token_split_drift": """
+WITH f AS (
+  SELECT doc_id % 2 AS par, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+c AS (
+  SELECT token,
+         sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS n_even,
+         sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS n_odd
+  FROM f GROUP BY 1),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY abs(n_even - n_odd) DESC, token)
+         AS rn
+  FROM c)
+SELECT token, CAST(n_even AS BIGINT) AS n_even,
+       CAST(n_odd AS BIGINT) AS n_odd
+FROM r WHERE rn <= 20
 """,
         # path pinned to the driver's grading scale (sf0.01) — the SQL
         # string cannot take the sf_dir parameter the query gets

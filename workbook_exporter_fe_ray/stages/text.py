@@ -2140,3 +2140,61 @@ def boolean_and_search(
         ),
         batch_format="pyarrow",
     )
+
+
+def token_split_drift(
+    docs: ray.data.Dataset,
+    k: int = 20,
+) -> pa.Table:
+    """Split-half token drift — the "trending terms" shape: token
+    occurrence counts in even- vs odd-``doc_id`` halves, top-k by
+    absolute imbalance (a deterministic A/B axis on a table with no
+    time column; swap in any boolean split).  Per-block (token, 2)
+    partials → token-domain exchange → pinned driver cut
+    (|Δ| DESC, token ASC), the full-domain-then-sort envelope —
+    a per-block cut would miss globally-imbalanced-but-locally-flat
+    tokens, same argument as ``skipgram_topk``.
+
+    Output: (token, n_even, n_odd) — k rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        par = np.repeat(
+            pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+            % 2,
+            lens,
+        )
+        t = pa.table(
+            {
+                "token": flat,
+                "n_even": pa.array((par == 0).astype(np.int64)),
+                "n_odd": pa.array((par == 1).astype(np.int64)),
+            }
+        )
+        g = t.group_by("token").aggregate([("n_even", "sum"), ("n_odd", "sum")])
+        return g.rename_columns(["token", "n_even", "n_odd"])
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n_even"), Sum("n_odd"))
+        .to_pandas()
+    )
+    agg = agg.rename(columns={"sum(n_even)": "n_even", "sum(n_odd)": "n_odd"})
+    agg["imb"] = (agg["n_even"] - agg["n_odd"]).abs()
+    agg = agg.sort_values(
+        ["imb", "token"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return pa.table(
+        {
+            "token": pa.array(list(agg["token"]), pa.string()),
+            "n_even": pa.array(agg["n_even"].to_numpy(np.int64)),
+            "n_odd": pa.array(agg["n_odd"].to_numpy(np.int64)),
+        }
+    )

@@ -6406,3 +6406,147 @@ def bounce_rate_daily(
         ),
         batch_format="pyarrow",
     )
+
+
+def dau_mau_stickiness(
+    events: ray.data.Dataset,
+    window_days: int = 30,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """DAU / MAU / stickiness — the engagement ratio every product
+    review opens with, exact: per day with traffic, the count of
+    distinct users that day (DAU) and in the trailing ``window_days``
+    (MAU).  MAU is a sliding DISTINCT over days — not subtractable —
+    solved per USER, not per day: a user counts toward MAU(d) for d in
+    the union of [day, day + W−1] over their activity days, and that
+    union is a handful of merged intervals (new interval only when the
+    gap between consecutive activity days exceeds W−1).  Each interval
+    is ±1 in a day-domain diff array (``np.add.at``), so the whole MAU
+    curve costs one cumsum — no per-day sets, no O(days × window) work.
+
+    ONE hash(user) exchange of distinct (user, day) pairs; per-user
+    interval merging is one sort + one shifted diff; the day-domain
+    partial curves sum in a bounded stitch task (same envelope as
+    ``user_growth_curve``).  stickiness = ONE pinned DAU/MAU division.
+
+    Output: (day, dau, mau, stickiness) for days with traffic.
+    """
+    from .sweep import run_starts_table, with_part
+
+    DAY = np.int64(86_400 * US)
+    W = np.int64(window_days)
+
+    def _route(b: pa.Table) -> pa.Table:
+        day = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False) // DAY
+        uid = pc.cast(b["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        if int(day.max(initial=0)) >= (1 << 20) or int(
+            uid.max(initial=0)
+        ) >= (1 << 43):
+            raise ValueError(
+                "dau_mau_stickiness: user/day exceeds the int64 composite"
+            )
+        comp = np.unique(uid * np.int64(1 << 20) + day)
+        t = pa.table(
+            {
+                "user_id": pa.array(comp >> np.int64(20)),
+                "day": pa.array(comp & np.int64((1 << 20) - 1)),
+            }
+        )
+        return with_part(t, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "dau": pa.array([], pa.int64()),
+                "mau_diff": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("day", "ascending")]
+        )
+        g = g.take(idx)
+        n = len(g)
+        ustarts = run_starts_table(g, ["user_id"])
+        uid_change = np.zeros(n, bool)
+        uid_change[ustarts] = True
+        day = g["day"].to_numpy(zero_copy_only=False)
+        # dedupe (user, day) across blocks
+        dup = np.zeros(n, bool)
+        dup[1:] = (day[1:] == day[:-1]) & ~uid_change[1:]
+        day = day[~dup]
+        uid_change = uid_change[~dup]
+        # per-user activity-day runs → merged [day, day+W-1] intervals:
+        # a NEW interval starts at a user's first day or when the gap
+        # to the previous activity day exceeds W-1
+        new_iv = uid_change.copy()
+        new_iv[1:] |= (day[1:] - day[:-1]) > (W - 1)
+        # interval end candidate: each activity day extends its
+        # interval to day + W - 1; the interval's end is the LAST
+        # member's day + W - 1 (members are consecutive rows until the
+        # next new_iv)
+        iv_start_idx = np.flatnonzero(new_iv)
+        iv_end_idx = np.r_[iv_start_idx[1:] - 1, len(day) - 1]
+        lo_d = day[iv_start_idx]
+        hi_d = day[iv_end_idx] + W  # exclusive end
+        # day-domain diff partials (emitted sparse, merged downstream)
+        dmin = int(lo_d.min())
+        dmax = int(hi_d.max())
+        diff = np.zeros(dmax - dmin + 1, np.int64)
+        np.add.at(diff, lo_d - dmin, 1)
+        np.add.at(diff, hi_d - dmin, -1)
+        nzd = np.flatnonzero(diff)
+        # DAU partials: count per day in this partition (users disjoint
+        # across partitions, so plain sums combine exactly)
+        dvals, dcnts = np.unique(day, return_counts=True)
+        days_all = np.union1d(dvals, nzd + dmin)
+        dau = np.zeros(len(days_all), np.int64)
+        dau[np.searchsorted(days_all, dvals)] = dcnts
+        md = np.zeros(len(days_all), np.int64)
+        md[np.searchsorted(days_all, nzd + dmin)] = diff[nzd]
+        return pa.table(
+            {
+                "day": pa.array(days_all),
+                "dau": pa.array(dau),
+                "mau_diff": pa.array(md),
+            }
+        )
+
+    def _stitch(g: pa.Table) -> pa.Table:
+        day = g["day"].to_numpy(zero_copy_only=False)
+        dau = g["dau"].to_numpy(zero_copy_only=False)
+        md = g["mau_diff"].to_numpy(zero_copy_only=False)
+        ud = np.unique(day)
+        # dense day grid so the diff-array cumsum is exact across holes
+        grid = np.arange(ud.min(), ud.max() + 1, dtype=np.int64)
+        dd = np.zeros(len(grid), np.int64)
+        np.add.at(dd, day - grid[0], dau)
+        mm = np.zeros(len(grid), np.int64)
+        np.add.at(mm, day - grid[0], md)
+        mau = np.cumsum(mm)
+        keep = dd > 0  # only days with traffic
+        return pa.table(
+            {
+                "day": pa.array(grid[keep]),
+                "dau": pa.array(dd[keep]),
+                "mau": pa.array(mau[keep]),
+                "stickiness": pa.array(dd[keep] / mau[keep]),
+            }
+        )
+
+    parts = (
+        events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column(
+                "__one", pa.array(np.zeros(len(b), np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return parts.groupby("__one").map_groups(
+        lambda g: _stitch(g.drop_columns(["__one"])), batch_format="pyarrow"
+    )
