@@ -2523,6 +2523,13 @@ def _q_token_split_drift(sf_dir: str):
     return token_split_drift(_documents(sf_dir))
 
 
+def _q_range_frame_quantiles_1h(sf_dir: str):
+    """RANGE-frame sliding median/p90 via wavelet-matrix batch k-th."""
+    from workbook_exporter_fe_ray.stages.window import range_frame_quantiles_1h
+
+    return range_frame_quantiles_1h(_events(sf_dir))
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -2656,6 +2663,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "parquet_rowgroup_audit": _q_parquet_rowgroup_audit,  # footer (r4n)
         "dau_mau_stickiness": _q_dau_mau_stickiness,      # DAU/MAU (r4n)
         "token_split_drift": _q_token_split_drift,        # trending (r4n)
+        "range_frame_quantiles_1h": _q_range_frame_quantiles_1h,  # wavelet (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2911,6 +2919,7 @@ _NEW_R4 = (
     "parquet_rowgroup_audit",
     "dau_mau_stickiness",
     "token_split_drift",
+    "range_frame_quantiles_1h",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4059,6 +4068,15 @@ SELECT c_custkey, c_name, revenue_units FROM t WHERE rn <= 20
 SELECT event_id, event_type AS source, ts,
        CAST(count(*) OVER w AS BIGINT) AS n_in_frame,
        CAST(sum({_CENTS}) OVER w AS BIGINT) AS sum_cents_frame
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "range_frame_quantiles_1h": f"""
+SELECT event_id, event_type AS source, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_frame,
+       CAST(quantile_disc({_CENTS}, 0.5) OVER w AS BIGINT) AS median_cents,
+       CAST(quantile_disc({_CENTS}, 0.9) OVER w AS BIGINT) AS p90_cents
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)

@@ -6550,3 +6550,148 @@ def dau_mau_stickiness(
     return parts.groupby("__one").map_groups(
         lambda g: _stitch(g.drop_columns(["__one"])), batch_format="pyarrow"
     )
+
+
+def range_frame_quantiles_1h(
+    events: ray.data.Dataset,
+    frame_us: int = 3_600 * US,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """RANGE-frame sliding ORDER STATISTICS: per event, the exact
+    discrete median and p90 of cents over its source's trailing
+    interval ``[ts − frame, ts]`` (equal-ts peers included) —
+    ``QUANTILE_DISC(c, q) OVER (… RANGE …)``.
+
+    The hard one of the frame family: count/sum are prefix-subtractable
+    (:func:`range_frame_sum_1h`), extrema decompose over doubling
+    blocks (:func:`range_frame_extrema_1h`), but a moving QUANTILE
+    decomposes over neither, and the textbook order-statistic-tree /
+    two-heap sweeps are sequential per-row loops.  So the sweep builds
+    a **wavelet matrix** over the partition's rank-compressed values:
+    ``log₂|V|`` levels, each a stable partition of the sequence by one
+    rank bit plus a zeros-prefix-count array, then EVERY row's
+    k-th-smallest-in-frame query descends all levels **in one
+    vectorized batch** (numpy gather/where per level — never a
+    per-row loop).  Build O(n log |V|), all queries O(rows · log |V|).
+
+    Quantile convention is DuckDB ``quantile_disc``: 0-indexed element
+    ``ceil(q·n) − 1`` of the sorted frame, computed in exact integer
+    arithmetic (``(n+1)//2 − 1`` and ``(9n+9)//10 − 1``).  Frame
+    bounds ride the same composite (run · 2^span)+rel encoding as the
+    other RANGE ops (probes can't leak across source runs; loud
+    overflow guard).  All int64 → hash-exact vs the SQL window oracle.
+
+    Scale shape: ONE exchange on hash(source) % P; per-partition extra
+    memory is the wavelet matrix, (n+1)·log₂|V| int64 — size
+    ``num_partitions`` so a partition fits a worker heap (same
+    contract as every keyed sweep in this module).
+
+    Output: (event_id, source, ts, n_in_frame, median_cents,
+    p90_cents) — one row per event.
+    """
+    from .sweep import run_starts_table, with_part
+
+    F = np.int64(frame_us)
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "ts": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "n_in_frame": pa.array([], pa.int64()),
+                    "median_cents": pa.array([], pa.int64()),
+                    "p90_cents": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        n = len(g)
+        starts = run_starts_table(g, ["source"])
+        bounds = np.r_[starts, n]
+        run_of = np.repeat(
+            np.arange(len(starts), dtype=np.int64), np.diff(bounds)
+        )
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        base = ts.min()
+        rel = ts - base
+        span = np.int64(1) << np.int64(max(int(rel.max()).bit_length() + 1, 1))
+        if len(starts) * int(span) >= (1 << 62):
+            raise ValueError(
+                "range_frame_quantiles_1h: source-runs × ts-span exceeds "
+                "int64 composite headroom — raise num_partitions"
+            )
+        comp = run_of * span + rel
+        lo = np.searchsorted(comp, run_of * span + np.maximum(rel - F, 0), "left")
+        hi = np.searchsorted(comp, comp, side="right")  # exclusive, peers in
+        n_fr = hi - lo
+
+        # ---- wavelet matrix over rank-compressed cents ----
+        vals = np.unique(cv)  # sorted distinct cents in this partition
+        ranks = np.searchsorted(vals, cv).astype(np.int64)
+        nbits = max(int(len(vals) - 1).bit_length(), 1)
+        zprefs: list[np.ndarray] = []
+        ztot: list[int] = []
+        seq = ranks
+        for b_ in range(nbits - 1, -1, -1):
+            bit0 = ((seq >> b_) & 1) == 0
+            zp = np.zeros(n + 1, np.int64)
+            np.cumsum(bit0, out=zp[1:])
+            zprefs.append(zp)
+            ztot.append(int(zp[-1]))
+            # stable partition: zero-bit elements first (order kept)
+            seq = np.concatenate([seq[bit0], seq[~bit0]])
+
+        def _kth(l0: np.ndarray, h0: np.ndarray, k0: np.ndarray) -> np.ndarray:
+            """Batch k-th smallest (0-indexed) rank in [l, h) — all
+            queries descend the matrix together, one numpy pass/level."""
+            l, h, k = l0.copy(), h0.copy(), k0.copy()
+            out = np.zeros(len(l), np.int64)
+            for lev in range(nbits):
+                zp, z = zprefs[lev], ztot[lev]
+                zl, zh = zp[l], zp[h]
+                c0 = zh - zl
+                right = k >= c0
+                out = (out << 1) | right
+                l = np.where(right, z + (l - zl), zl)
+                h = np.where(right, z + (h - zh), zh)
+                k = np.where(right, k - c0, k)
+            return out
+
+        k_med = (n_fr + 1) // 2 - 1          # ceil(0.5·n) − 1, exact ints
+        k_p90 = (9 * n_fr + 9) // 10 - 1     # ceil(0.9·n) − 1
+        med = vals[_kth(lo, hi, k_med)]
+        p90 = vals[_kth(lo, hi, k_p90)]
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "source": g["source"],
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "n_in_frame": pa.array(n_fr.astype(np.int64)),
+                "median_cents": pa.array(med),
+                "p90_cents": pa.array(p90),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
