@@ -2530,6 +2530,108 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_top_revenue_suppliers(sf_dir: str):
+    """TPC-H Q15 shape: supplier(s) at the GLOBAL max revenue, ties kept."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import (
+        top_revenue_suppliers,
+    )
+
+    return top_revenue_suppliers(
+        read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"],
+        ),
+        pq.read_table(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_name"]),
+        820_454_400_000_000,   # 1996-01-01 UTC µs
+        828_316_800_000_000,   # 1996-04-01 UTC µs
+    )
+
+
+def _q_small_qty_brand_revenue(sf_dir: str):
+    """TPC-H Q17 shape: sub-20%-of-part-average-quantity revenue."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import (
+        small_qty_brand_revenue,
+    )
+
+    return small_qty_brand_revenue(
+        lambda: read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"],
+        ),
+        pq.read_table(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_brand"]),
+        "Brand#13",
+    )
+
+
+def _q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: OR-of-ANDs (brand, size, qty) clause families."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import (
+        disjunctive_predicate_revenue,
+    )
+
+    return disjunctive_predicate_revenue(
+        read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"],
+        ),
+        pq.read_table(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_brand", "p_size"]),
+        (
+            ("Brand#12", 1, 5, 1, 11),
+            ("Brand#23", 1, 10, 10, 20),
+            ("Brand#34", 1, 15, 20, 30),
+        ),
+    )
+
+
+def _q_single_late_supplier(sf_dir: str):
+    """TPC-H Q21 shape: only-late-supplier counts on multi-supplier orders."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import (
+        single_late_supplier_counts,
+    )
+
+    return single_late_supplier_counts(
+        read_table(f"{sf_dir}/lineitem.parquet",
+                   columns=["l_orderkey", "l_suppkey", "l_shipdate"]),
+        read_table(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_orderdate"]),
+        pq.read_table(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_name"]),
+    )
+
+
+def _q_dormant_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape: above-global-avg balance + order dormancy cut."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import (
+        dormant_rich_customers,
+    )
+
+    return dormant_rich_customers(
+        read_table(f"{sf_dir}/customer.parquet",
+                   columns=["c_custkey", "c_nationkey", "c_acctbal"]),
+        read_table(f"{sf_dir}/orders.parquet",
+                   columns=["o_custkey", "o_orderdate"]),
+    )
+
+
 def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiered rollups / continuous aggregates (north rule core) ---
@@ -2664,6 +2766,11 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "dau_mau_stickiness": _q_dau_mau_stickiness,      # DAU/MAU (r4n)
         "token_split_drift": _q_token_split_drift,        # trending (r4n)
         "range_frame_quantiles_1h": _q_range_frame_quantiles_1h,  # wavelet (r4s)
+        "top_revenue_suppliers": _q_top_revenue_suppliers,  # Q15 ties (r4s)
+        "small_qty_brand_revenue": _q_small_qty_brand_revenue,  # Q17 (r4s)
+        "disjunctive_revenue": _q_disjunctive_revenue,      # Q19 OR (r4s)
+        "single_late_supplier": _q_single_late_supplier,    # Q21 (r4s)
+        "dormant_rich_customers": _q_dormant_rich_customers,  # Q22 (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -2920,6 +3027,11 @@ _NEW_R4 = (
     "dau_mau_stickiness",
     "token_split_drift",
     "range_frame_quantiles_1h",
+    "top_revenue_suppliers",
+    "small_qty_brand_revenue",
+    "disjunctive_revenue",
+    "single_late_supplier",
+    "dormant_rich_customers",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4080,6 +4192,80 @@ SELECT event_id, event_type AS source, ts,
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "top_revenue_suppliers": """
+WITH rev AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS total_units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT r.s_suppkey, s.s_name, r.total_units
+FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.total_units = (SELECT max(total_units) FROM rev)
+""",
+        "small_qty_brand_revenue": """
+WITH pb AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+ag AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+  FROM lineitem JOIN pb ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+       CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))),
+                     0) AS BIGINT) AS small_qty_units
+FROM lineitem l JOIN ag USING (l_partkey)
+WHERE 5 * ag.cnt * CAST(l.l_quantity AS BIGINT) < ag.sq
+""",
+        "disjunctive_revenue": """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))),
+                     0) AS BIGINT) AS revenue_units
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+        "single_late_supplier": """
+WITH j AS (
+  SELECT l.l_orderkey, CAST(l.l_suppkey AS BIGINT) AS sk,
+         CAST(l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY AS INT) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+pairs AS (
+  SELECT l_orderkey, sk, max(late) AS late FROM j GROUP BY 1, 2),
+per AS (
+  SELECT l_orderkey, count(*) AS ns, sum(late) AS nl,
+         max(CASE WHEN late = 1 THEN sk END) AS late_sk
+  FROM pairs GROUP BY 1)
+SELECT p.late_sk AS s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM per p JOIN supplier s ON s.s_suppkey = p.late_sk
+WHERE p.ns > 1 AND p.nl = 1
+GROUP BY 1, 2
+""",
+        "dormant_rich_customers": """
+WITH avgb AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer WHERE round(c_acctbal * 100) > 0),
+mx AS (SELECT max(o_orderdate) AS m FROM orders),
+last AS (SELECT o_custkey, max(o_orderdate) AS lo FROM orders GROUP BY 1)
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_dormant_rich,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS sum_bal_cents
+FROM customer c JOIN last l ON c.c_custkey = l.o_custkey, avgb, mx
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * avgb.n > avgb.s
+  AND l.lo < mx.m - INTERVAL 365 DAY
+GROUP BY 1
 """,
         "benford_first_digit": f"""
 SELECT event_type AS source,

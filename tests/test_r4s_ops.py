@@ -91,3 +91,120 @@ def test_range_frame_quantiles_single_distinct_value(ray_session):
     assert (out["median_cents"] == 750).all()
     assert (out["p90_cents"] == 750).all()
     assert out["n_in_frame"].max() == 61  # trailing hour at 1/min + self
+
+
+def test_top_revenue_suppliers_keeps_ties(ray_session):
+    # two suppliers engineered to the same max revenue — both survive
+    base = 820_454_400_000_000  # 1996-01-01
+    li = pa.table(
+        {
+            "l_suppkey": pa.array([1, 2, 2, 3, 9], pa.int64()),
+            "l_shipdate": pa.array(
+                [base + 10**6] * 4 + [base - 10**6], pa.timestamp("us")
+            ),
+            "l_extendedprice": pa.array([200.0, 100.0, 100.0, 60.0, 1e6]),
+            "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0]),
+        }
+    )
+    supp = pa.table(
+        {
+            "s_suppkey": pa.array([1, 2, 3, 9], pa.int64()),
+            "s_name": pa.array(["a", "b", "c", "out-of-window"]),
+        }
+    )
+    from workbook_exporter_fe_ray.stages.relational import (
+        top_revenue_suppliers,
+    )
+
+    out = top_revenue_suppliers(
+        ray.data.from_arrow(li).repartition(3), supp,
+        base, base + 86_400_000_000,
+    ).to_pandas()
+    assert list(out["s_suppkey"]) == [1, 2]
+    assert list(out["total_units"]) == [2_000_000, 2_000_000]
+    assert list(out["s_name"]) == ["a", "b"]
+
+
+def test_single_late_supplier_cross_block_pair_dedup(ray_session):
+    # the same (order, supplier) pair split across input blocks, one
+    # late line and one on-time line: must count as ONE late supplier
+    D = 86_400_000_000
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([7, 7, 7, 7, 8, 8], pa.int64()),
+            "l_suppkey": pa.array([1, 1, 2, 2, 5, 5], pa.int64()),
+            "l_shipdate": pa.array(
+                # order 7: supp1 late once + ontime once, supp2 ontime
+                # order 8: single supplier (fails ns>1)
+                [100 * D, 2 * D, 3 * D, 4 * D, 100 * D, 100 * D],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([7, 8], pa.int64()),
+            "o_orderdate": pa.array([1 * D, 1 * D], pa.timestamp("us")),
+        }
+    )
+    supp = pa.table(
+        {
+            "s_suppkey": pa.array([1, 2, 5], pa.int64()),
+            "s_name": pa.array(["s1", "s2", "s5"]),
+        }
+    )
+    from workbook_exporter_fe_ray.stages.relational import (
+        single_late_supplier_counts,
+    )
+
+    out = single_late_supplier_counts(
+        ray.data.from_arrow(li).repartition(6),
+        ray.data.from_arrow(orders),
+        supp,
+        num_partitions=4,
+    ).to_pandas()
+    assert list(out["s_suppkey"]) == [1]
+    assert list(out["numwait"]) == [1]
+
+
+def test_dormant_rich_exact_int_threshold(ray_session):
+    # avg of positive balances = (300+100)/2 = 200.00; bal must be
+    # STRICTLY above in exact cents, and the customer's last order
+    # strictly older than cutoff (maxdate − 365 d)
+    D = 86_400_000_000
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_nationkey": pa.array([0, 0, 1, 1], pa.int64()),
+            "c_acctbal": pa.array([300.0, 100.0, 200.0, -50.0]),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 2, 3, 4, 2], pa.int64()),
+            "o_orderdate": pa.array(
+                [10 * D, 10 * D, 10 * D, 1000 * D, 999 * D],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    from workbook_exporter_fe_ray.stages.relational import (
+        dormant_rich_customers,
+    )
+
+    out = (
+        dormant_rich_customers(
+            ray.data.from_arrow(cust).repartition(2),
+            ray.data.from_arrow(orders).repartition(2),
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+    # cust1: 30000 cents, 30000*2 > 40000 ✓ rich, last order day10 <
+    # day1000−365 ✓ dormant. cust3: 20000*2 = 40000 not > ✗. cust2 not
+    # rich. cust4 negative.
+    assert list(out["c_nationkey"]) == [0]
+    assert list(out["n_dormant_rich"]) == [1]
+    assert list(out["sum_bal_cents"]) == [30000]

@@ -3503,3 +3503,682 @@ def id_gap_audit(
     return summaries.groupby("__one").map_groups(
         lambda g: _stitch(g.drop_columns(["__one"])), batch_format="pyarrow"
     )
+
+
+def top_revenue_suppliers(
+    lineitem: ray.data.Dataset,
+    supplier: pa.Table,
+    ts_from_us: int,
+    ts_to_us: int,
+) -> pa.Table:
+    """TPC-H Q15-shaped max-of-aggregate WITH TIES: the supplier(s)
+    whose revenue over a shipping window equals the GLOBAL maximum —
+    ``total = (SELECT max(total) FROM revenue_view)``.
+
+    The distinctive shape is the second-phase scalar: revenue per
+    supplier is a per-block int64 partial (cents × (100 − disc) exact
+    units, window filter applied block-side so non-window rows never
+    leave the scan) → ONE groupby-sum over the SUPPLIER domain — which
+    is dimension-sized by definition (100 rows at sf0.01, ~1e6 at
+    100 TB: still one heap), so taking that aggregate to the driver,
+    computing the max and keeping ties is a bounded materialization,
+    not a dataset one.  Names attach by sorted-lookup against the
+    broadcast supplier dim.  Ties all survive, matching the SQL.
+
+    Output: pa.Table (s_suppkey, s_name, total_units) sorted by key.
+    """
+    from ray.data.aggregate import Sum
+
+    lo, hi = np.int64(ts_from_us), np.int64(ts_to_us)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        m = (ship >= lo) & (ship < hi)
+        if not m.any():
+            return pa.table(
+                {
+                    "l_suppkey": pa.array([], pa.int64()),
+                    "units": pa.array([], pa.int64()),
+                }
+            )
+        sub = b.filter(pa.array(m))
+        cents = pc.cast(
+            pc.round(pc.multiply(sub["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        disc = pc.cast(
+            pc.round(pc.multiply(sub["l_discount"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_suppkey": pc.cast(sub["l_suppkey"], pa.int64()),
+                "units": pa.array(cents * (np.int64(100) - disc)),
+            }
+        )
+        g = t.group_by("l_suppkey").aggregate([("units", "sum")])
+        return g.rename_columns(["l_suppkey", "units"])
+
+    rev = (
+        lineitem.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("l_suppkey")
+        .aggregate(Sum("units"))
+        .to_arrow_refs()
+    )
+    tabs = [t for t in (ray.get(r) for r in rev) if len(t)]
+    tbl = pa.concat_tables(tabs) if tabs else None  # supplier-domain
+    if tbl is None:
+        tbl = pa.table(
+            {"l_suppkey": pa.array([], pa.int64()),
+             "sum(units)": pa.array([], pa.int64())}
+        )
+    if len(tbl) == 0:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "total_units": pa.array([], pa.int64()),
+            }
+        )
+    units = pc.cast(tbl["sum(units)"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    keys = pc.cast(tbl["l_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    best = units.max()
+    sel = units == best
+    win_k, win_u = keys[sel], units[sel]
+    order = np.argsort(win_k, kind="stable")
+    win_k, win_u = win_k[order], win_u[order]
+    sk = pc.cast(supplier["s_suppkey"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    s_order = np.argsort(sk, kind="stable")
+    pos = s_order[np.searchsorted(sk[s_order], win_k)]
+    return pa.table(
+        {
+            "s_suppkey": pa.array(win_k),
+            "s_name": supplier["s_name"].take(pa.array(pos)),
+            "total_units": pa.array(win_u),
+        }
+    )
+
+
+def small_qty_brand_revenue(
+    lineitem_scan,
+    part: pa.Table,
+    brand: str,
+) -> pa.Table:
+    """TPC-H Q17-shaped correlated-average threshold: revenue from
+    line items of one brand whose quantity is below 20% of that PART's
+    average quantity — ``l_quantity < 0.2 * (SELECT avg(l_quantity)
+    … WHERE l_partkey = p_partkey)``.
+
+    Two streaming passes (``lineitem_scan`` is a zero-arg Dataset
+    factory so each pass is a fresh scan, never a cached
+    materialization): pass 1 streams lineitem against the broadcast
+    brand-filtered partkey set and reduces to per-part (cnt, sum_qty)
+    — bounded by parts-per-brand (≤ part-dim / 25), so it broadcasts
+    back; pass 2 re-streams and keeps rows with ``5·cnt·qty <
+    sum_qty`` — the 0.2·avg predicate in EXACT integer arithmetic
+    (l_quantity is integral; no float divide anywhere).  Output is a
+    1-row audit: (n_small_lines, small_qty_units).
+    """
+    from ray.data.aggregate import Sum
+
+    bsel = pc.equal(part["p_brand"], brand)
+    bkeys = np.sort(
+        pc.cast(part.filter(bsel)["p_partkey"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+    )
+    bref = ray.put(bkeys)
+
+    class _QtyPartial:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pk = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.searchsorted(self.keys, pk)
+            posc = np.minimum(pos, max(len(self.keys) - 1, 0))
+            hit = (
+                (self.keys[posc] == pk)
+                if len(self.keys)
+                else np.zeros(len(pk), bool)
+            )
+            if not hit.any():
+                return pa.table(
+                    {
+                        "l_partkey": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                        "sq": pa.array([], pa.int64()),
+                    }
+                )
+            sub = b.filter(pa.array(hit))
+            t = pa.table(
+                {
+                    "l_partkey": pc.cast(sub["l_partkey"], pa.int64()),
+                    "cnt": pa.array(np.ones(len(sub), np.int64)),
+                    "sq": pc.cast(sub["l_quantity"], pa.int64()),
+                }
+            )
+            g = t.group_by("l_partkey").aggregate(
+                [("cnt", "sum"), ("sq", "sum")]
+            )
+            return g.rename_columns(["l_partkey", "cnt", "sq"])
+
+    agg = (
+        lineitem_scan()
+        .map_batches(
+            _QtyPartial,
+            fn_constructor_args=(bref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .groupby("l_partkey")
+        .aggregate(Sum("cnt"), Sum("sq"))
+        .to_arrow_refs()
+    )
+    tabs = [t for t in (ray.get(r) for r in agg) if len(t)]
+    th = (
+        pa.concat_tables(tabs)
+        if tabs
+        else pa.table(
+            {"l_partkey": pa.array([], pa.int64()),
+             "sum(cnt)": pa.array([], pa.int64()),
+             "sum(sq)": pa.array([], pa.int64())}
+        )
+    )  # ≤ parts-per-brand
+    tk = pc.cast(th["l_partkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    tc = pc.cast(th["sum(cnt)"], pa.int64()).to_numpy(zero_copy_only=False)
+    ts_ = pc.cast(th["sum(sq)"], pa.int64()).to_numpy(zero_copy_only=False)
+    o = np.argsort(tk, kind="stable")
+    thr_ref = ray.put((tk[o], tc[o], ts_[o]))
+
+    class _SmallQty:
+        def __init__(self, ref):
+            self.keys, self.cnt, self.sq = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pk = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.searchsorted(self.keys, pk)
+            posc = np.minimum(pos, max(len(self.keys) - 1, 0))
+            hit = (
+                (self.keys[posc] == pk)
+                if len(self.keys)
+                else np.zeros(len(pk), bool)
+            )
+            qty = pc.cast(b["l_quantity"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            small = hit & (
+                5 * self.cnt[posc] * qty < self.sq[posc]
+            )
+            if not small.any():
+                return pa.table(
+                    {
+                        "n_small_lines": pa.array([0], pa.int64()),
+                        "small_qty_units": pa.array([0], pa.int64()),
+                    }
+                )
+            sub = b.filter(pa.array(small))
+            cents = pc.cast(
+                pc.round(pc.multiply(sub["l_extendedprice"], 100.0)),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            disc = pc.cast(
+                pc.round(pc.multiply(sub["l_discount"], 100.0)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            units = cents * (np.int64(100) - disc)
+            return pa.table(
+                {
+                    "n_small_lines": pa.array([len(sub)], pa.int64()),
+                    "small_qty_units": pa.array([int(units.sum())], pa.int64()),
+                }
+            )
+
+    out = (
+        lineitem_scan()
+        .map_batches(
+            _SmallQty,
+            fn_constructor_args=(thr_ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .sum(["n_small_lines", "small_qty_units"])
+    )
+    return pa.table(
+        {
+            "n_small_lines": pa.array(
+                [int(out["sum(n_small_lines)"])], pa.int64()
+            ),
+            "small_qty_units": pa.array(
+                [int(out["sum(small_qty_units)"])], pa.int64()
+            ),
+        }
+    )
+
+
+def disjunctive_predicate_revenue(
+    lineitem: ray.data.Dataset,
+    part: pa.Table,
+    clauses: tuple[tuple[str, int, int, int, int], ...],
+) -> pa.Table:
+    """TPC-H Q19-shaped disjunctive join predicate: revenue from line
+    items matching ANY of several (brand, size-range, quantity-range)
+    clause families — the OR-of-ANDs that defeats naive predicate
+    pushdown.
+
+    part → (partkey, brand-code, size) broadcast once (brands
+    dictionary-encoded to int8 on the driver so the per-batch clause
+    evaluation is pure integer compares); every lineitem batch resolves
+    its partkeys with one searchsorted, then evaluates the whole
+    disjunction as a vectorized bool reduction — K clauses × N rows of
+    numpy compares, no row loop, no shuffle.  Output is a 1-row audit
+    (n_lines, revenue_units) in exact int64 units.
+    """
+    brands = sorted({c[0] for c in clauses})
+    bcode = {b: i for i, b in enumerate(brands)}
+    pk = pc.cast(part["p_partkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    o = np.argsort(pk, kind="stable")
+    pbr = part["p_brand"].to_numpy(zero_copy_only=False)[o]
+    pcode = np.array([bcode.get(x, -1) for x in pbr], np.int8)
+    psize = pc.cast(part["p_size"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )[o]
+    dim_ref = ray.put((pk[o], pcode, psize))
+    cl = tuple(
+        (bcode[b], np.int64(slo), np.int64(shi), np.int64(qlo), np.int64(qhi))
+        for b, slo, shi, qlo, qhi in clauses
+    )
+
+    class _Disj:
+        def __init__(self, ref):
+            self.keys, self.code, self.size = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lpk = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.searchsorted(self.keys, lpk)
+            posc = np.minimum(pos, max(len(self.keys) - 1, 0))
+            hit = self.keys[posc] == lpk
+            qty = pc.cast(b["l_quantity"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            code, size = self.code[posc], self.size[posc]
+            keep = np.zeros(len(b), bool)
+            for bc, slo, shi, qlo, qhi in cl:
+                keep |= (
+                    (code == bc)
+                    & (size >= slo)
+                    & (size <= shi)
+                    & (qty >= qlo)
+                    & (qty <= qhi)
+                )
+            keep &= hit
+            if not keep.any():
+                return pa.table(
+                    {
+                        "n_lines": pa.array([0], pa.int64()),
+                        "revenue_units": pa.array([0], pa.int64()),
+                    }
+                )
+            sub = b.filter(pa.array(keep))
+            cents = pc.cast(
+                pc.round(pc.multiply(sub["l_extendedprice"], 100.0)),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            disc = pc.cast(
+                pc.round(pc.multiply(sub["l_discount"], 100.0)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            units = cents * (np.int64(100) - disc)
+            return pa.table(
+                {
+                    "n_lines": pa.array([len(sub)], pa.int64()),
+                    "revenue_units": pa.array([int(units.sum())], pa.int64()),
+                }
+            )
+
+    out = lineitem.map_batches(
+        _Disj,
+        fn_constructor_args=(dim_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).sum(["n_lines", "revenue_units"])
+    return pa.table(
+        {
+            "n_lines": pa.array([int(out["sum(n_lines)"])], pa.int64()),
+            "revenue_units": pa.array(
+                [int(out["sum(revenue_units)"])], pa.int64()
+            ),
+        }
+    )
+
+
+def single_late_supplier_counts(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    supplier: pa.Table,
+    late_days: int = 30,
+    num_partitions: int = 64,
+) -> pa.Table:
+    """TPC-H Q21-shaped multi-EXISTS: per supplier, the number of
+    multi-supplier orders on which that supplier was the ONLY one to
+    ship late (> ``late_days`` after the order date) — the "suppliers
+    who kept orders waiting" report, classically EXISTS(other supplier)
+    AND NOT EXISTS(other late supplier).
+
+    Both existentials collapse to one per-order aggregate: over
+    distinct (orderkey, suppkey) pairs, ``n_supp > 1 AND n_late == 1``
+    qualifies the single late suppkey.  Execution: fact-fact
+    :func:`hash_bucket_join` lineitem↔orders on orderkey ships only
+    (suppkey, shipdate)×(orderdate); per-block dedup shrinks to
+    distinct (orderkey, suppkey, max-late) partials; ONE exchange on
+    hash(orderkey) co-locates each order; the per-partition sweep is a
+    sorted run-reduction (np.reduceat over run bounds — thousands of
+    orders per task, zero per-order Python); qualifying late-suppkeys
+    reduce to supplier-domain counts (bounded by the supplier dim, so
+    the final attach of names is a driver-side sorted lookup).
+
+    Output: pa.Table (s_suppkey, s_name, numwait) sorted by key,
+    suppliers with zero qualifying orders omitted (inner semantics).
+    """
+    from .sweep import run_starts_table, with_part
+
+    late_us = np.int64(late_days) * np.int64(86_400_000_000)
+
+    joined = hash_bucket_join(
+        lineitem.map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                    "l_suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+                    "ship": pc.cast(b["l_shipdate"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        orders.map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                    "odate": pc.cast(b["o_orderdate"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "l_orderkey",
+        ("l_suppkey", "ship"),
+        ("odate",),
+        n_buckets=num_partitions,
+    )
+
+    def _pair_partial(b: pa.Table) -> pa.Table:
+        late = pc.cast(
+            pc.greater(
+                pc.subtract(b["ship"], b["odate"]), pa.scalar(int(late_us))
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "late": late,
+            }
+        )
+        g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("late", "max")]
+        )
+        g = g.rename_columns(["l_orderkey", "l_suppkey", "late"])
+        return with_part(g, ["l_orderkey"], num_partitions)
+
+    def _order_sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "numwait": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("l_orderkey", "ascending"),
+                ("l_suppkey", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = g["l_suppkey"].to_numpy(zero_copy_only=False)
+        lt = g["late"].to_numpy(zero_copy_only=False)
+        # cross-block duplicates of the same (order, supp) pair: OR the
+        # late flags, keep one row per pair
+        pair_start = np.zeros(len(g), bool)
+        pair_start[0] = True
+        pair_start[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        pb = np.flatnonzero(pair_start)
+        lt = np.maximum.reduceat(lt, pb)
+        ok, sk = ok[pb], sk[pb]
+        runs = np.flatnonzero(
+            np.r_[True, ok[1:] != ok[:-1]]
+        )
+        ends = np.r_[runs[1:], len(ok)]
+        n_supp = ends - runs
+        n_late = np.add.reduceat(lt, runs)
+        # argmax-of-late within run: late is 0/1 and n_late==1 → the
+        # single late pair's suppkey is reduceat-max of sk*late
+        late_sk = np.maximum.reduceat(sk * lt, runs)
+        qual = (n_supp > 1) & (n_late == 1)
+        if not qual.any():
+            return pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "numwait": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "s_suppkey": pa.array(late_sk[qual]),
+                "numwait": pa.array(np.ones(int(qual.sum()), np.int64)),
+            }
+        )
+        g2 = t.group_by("s_suppkey").aggregate([("numwait", "sum")])
+        return g2.rename_columns(["s_suppkey", "numwait"])
+
+    from ray.data.aggregate import Sum
+
+    per_supp = (
+        joined.map_batches(
+            _pair_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__part")
+        .map_groups(_order_sweep, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait"))
+        .to_arrow_refs()
+    )
+    tabs = [t for t in (ray.get(r) for r in per_supp) if len(t)]
+    tbl = (
+        pa.concat_tables(tabs)
+        if tabs
+        else pa.table(
+            {"s_suppkey": pa.array([], pa.int64()),
+             "sum(numwait)": pa.array([], pa.int64())}
+        )
+    )  # supplier-domain
+    if len(tbl) == 0:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "numwait": pa.array([], pa.int64()),
+            }
+        )
+    k = pc.cast(tbl["s_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    v = pc.cast(tbl["sum(numwait)"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    o = np.argsort(k, kind="stable")
+    k, v = k[o], v[o]
+    sk = pc.cast(supplier["s_suppkey"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    so = np.argsort(sk, kind="stable")
+    pos = so[np.searchsorted(sk[so], k)]
+    return pa.table(
+        {
+            "s_suppkey": pa.array(k),
+            "s_name": supplier["s_name"].take(pa.array(pos)),
+            "numwait": pa.array(v),
+        }
+    )
+
+
+def dormant_rich_customers(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    dormant_days: int = 365,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H Q22-shaped global-scalar + dormancy anti-pattern: per
+    nation, the customers whose balance beats the GLOBAL average of
+    positive balances but whose LATEST order is older than
+    ``dormant_days`` before the corpus' last order date — the
+    "rich but drifting away" report (canonical Q22's never-ordered
+    set is empty on this corpus, so the anti-join is generalized to
+    an as-of dormancy cut; the two-scalar broadcast shape is intact).
+
+    Three bounded scalars come first (sum/count of positive balances
+    in exact cents, global max order date) — two 1-row streaming
+    aggregates, no dataset materialization.  The above-average test is
+    then EXACT integer cross-multiplication ``bal_cents · n_pos >
+    sum_pos_cents`` (no float divide), the dormancy test exact int64
+    µs.  orders reduce to per-customer max(o_orderdate) partials →
+    fact-fact :func:`hash_bucket_join` to customer on custkey →
+    nation-domain count/sum aggregate.
+
+    Output: (c_nationkey, n_dormant_rich, sum_bal_cents) per nation.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def _bal_partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["c_acctbal"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        pos = cents > 0
+        return pa.table(
+            {
+                "s": pa.array([int(cents[pos].sum())], pa.int64()),
+                "n": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    sc = customer.map_batches(
+        _bal_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(["s", "n"])
+    sum_pos, n_pos = int(sc["sum(s)"]), int(sc["sum(n)"])
+    mx = orders.map_batches(
+        lambda b: pa.table(
+            {"m": pa.array([int(pc.max(pc.cast(b["o_orderdate"], pa.int64())).as_py())], pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).max("m")
+    cutoff = int(mx) - dormant_days * 86_400_000_000
+
+    def _last_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "lo": pc.cast(b["o_orderdate"], pa.int64()),
+            }
+        )
+        g = t.group_by("c_custkey").aggregate([("lo", "max")])
+        return g.rename_columns(["c_custkey", "lo"])
+
+    last = (
+        orders.map_batches(
+            _last_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("c_custkey")
+        .aggregate(Max("lo"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": b["c_custkey"],
+                    "lo": pc.cast(b["max(lo)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    cust = customer.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                "bal": pc.cast(
+                    pc.round(pc.multiply(b["c_acctbal"], 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = hash_bucket_join(
+        cust,
+        last,
+        "c_custkey",
+        ("c_nationkey", "bal"),
+        ("lo",),
+        n_buckets=num_partitions,
+    )
+
+    def _qualify(b: pa.Table) -> pa.Table:
+        bal = b["bal"].to_numpy(zero_copy_only=False)
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        keep = (bal * np.int64(n_pos) > np.int64(sum_pos)) & (
+            lo < np.int64(cutoff)
+        )
+        sub = b.filter(pa.array(keep))
+        t = pa.table(
+            {
+                "c_nationkey": sub["c_nationkey"],
+                "n": pa.array(np.ones(len(sub), np.int64)),
+                "sb": sub["bal"],
+            }
+        )
+        g = t.group_by("c_nationkey").aggregate([("n", "sum"), ("sb", "sum")])
+        return g.rename_columns(["c_nationkey", "n", "sb"])
+
+    agg = (
+        joined.map_batches(
+            _qualify, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("c_nationkey")
+        .aggregate(Sum("n"), Sum("sb"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                "n_dormant_rich": pc.cast(b["sum(n)"], pa.int64()),
+                "sum_bal_cents": pc.cast(b["sum(sb)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
