@@ -2530,6 +2530,13 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_ts_value_inversions(sf_dir: str):
+    """Per-source Kendall discordance via batch-vectorized merge count."""
+    from workbook_exporter_fe_ray.stages.window import ts_value_inversions
+
+    return ts_value_inversions(_events(sf_dir))
+
+
 def _q_top_revenue_suppliers(sf_dir: str):
     """TPC-H Q15 shape: supplier(s) at the GLOBAL max revenue, ties kept."""
     import pyarrow.parquet as pq
@@ -2771,6 +2778,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": _q_disjunctive_revenue,      # Q19 OR (r4s)
         "single_late_supplier": _q_single_late_supplier,    # Q21 (r4s)
         "dormant_rich_customers": _q_dormant_rich_customers,  # Q22 (r4s)
+        "ts_value_inversions": _q_ts_value_inversions,      # Kendall (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3032,6 +3040,7 @@ _NEW_R4 = (
     "disjunctive_revenue",
     "single_late_supplier",
     "dormant_rich_customers",
+    "ts_value_inversions",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4250,6 +4259,27 @@ SELECT p.late_sk AS s_suppkey, s.s_name,
 FROM per p JOIN supplier s ON s.s_suppkey = p.late_sk
 WHERE p.ns > 1 AND p.nl = 1
 GROUP BY 1, 2
+""",
+        "ts_value_inversions": f"""
+WITH e AS (
+  SELECT event_type AS source, ts, event_id, {_CENTS} AS c FROM events),
+inv AS (
+  SELECT a.source, CAST(count(*) AS BIGINT) AS n_inv
+  FROM e a JOIN e b
+    ON a.source = b.source
+   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+   AND a.c > b.c
+  GROUP BY 1),
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY 1)
+SELECT n.source, n.n_events,
+       CAST(n.n_events * (n.n_events - 1) / 2 AS BIGINT) AS n_pairs,
+       CAST(coalesce(i.n_inv, 0) AS BIGINT) AS n_inversions,
+       CASE WHEN n.n_events > 1 THEN
+         CAST(n.n_events * (n.n_events - 1) / 2
+              - 2 * coalesce(i.n_inv, 0) AS DOUBLE)
+         / CAST(n.n_events * (n.n_events - 1) / 2 AS DOUBLE)
+       ELSE 0.0 END AS concordance
+FROM n LEFT JOIN inv i USING (source)
 """,
         "dormant_rich_customers": """
 WITH avgb AS (

@@ -208,3 +208,83 @@ def test_dormant_rich_exact_int_threshold(ray_session):
     assert list(out["c_nationkey"]) == [0]
     assert list(out["n_dormant_rich"]) == [1]
     assert list(out["sum_bal_cents"]) == [30000]
+
+
+def test_ts_value_inversions_vs_brute_and_extremes(ray_session):
+    from workbook_exporter_fe_ray.stages.window import ts_value_inversions
+
+    rng = np.random.default_rng(11)
+    base = 1_700_000_000 * US
+    n = 500
+    parts = [
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "user_id": pa.array(np.zeros(n, np.int64)),
+                "ts": pa.array(
+                    (base + rng.integers(0, HOUR, n)).astype(np.int64),
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array(["rand"] * n, pa.string()),
+                "value": pa.array(
+                    rng.integers(-9, 10, n).astype(np.float64) * 0.5
+                ),
+            }
+        ),
+        # monotone up → 0 inversions, concordance 1.0
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n, 2 * n, dtype=np.int64)),
+                "user_id": pa.array(np.zeros(n, np.int64)),
+                "ts": pa.array(
+                    (base + np.arange(n, dtype=np.int64) * US),
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array(["up"] * n, pa.string()),
+                "value": pa.array(np.arange(n, dtype=np.float64)),
+            }
+        ),
+        # strictly reversed → C(n,2) inversions, concordance -1.0
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(2 * n, 3 * n, dtype=np.int64)),
+                "user_id": pa.array(np.zeros(n, np.int64)),
+                "ts": pa.array(
+                    (base + np.arange(n, dtype=np.int64) * US),
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array(["down"] * n, pa.string()),
+                "value": pa.array(-np.arange(n, dtype=np.float64)),
+            }
+        ),
+    ]
+    tbl = pa.concat_tables(parts)
+    out = (
+        ts_value_inversions(
+            ray.data.from_arrow(tbl).repartition(7), num_partitions=1
+        )
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert int(out.loc["up", "n_inversions"]) == 0
+    assert out.loc["up", "concordance"] == 1.0
+    assert int(out.loc["down", "n_inversions"]) == n * (n - 1) // 2
+    assert out.loc["down", "concordance"] == -1.0
+    df = tbl.to_pandas()
+    df["c"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+    df["tsu"] = tbl["ts"].cast(pa.int64()).to_numpy()
+    g = df[df["event_type"] == "rand"].sort_values(["tsu", "event_id"])
+    c = g["c"].to_numpy()
+    brute = sum(int((c[i] > c[i + 1:]).sum()) for i in range(len(c)))
+    assert int(out.loc["rand", "n_inversions"]) == brute
+    # partition invariance: multi-partition run == single-partition run
+    out8 = (
+        ts_value_inversions(
+            ray.data.from_arrow(tbl).repartition(3), num_partitions=8
+        )
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert out8.equals(out)

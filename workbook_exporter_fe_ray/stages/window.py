@@ -6695,3 +6695,129 @@ def range_frame_quantiles_1h(
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
     return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def ts_value_inversions(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-source SEQUENCE DISORDER: the number of discordant pairs
+    between time order and value order — pairs (i, j) with
+    (ts_i, id_i) < (ts_j, id_j) but cents_i > cents_j (Kendall-tau
+    discordance; 0 for a monotone series, n·(n−1)/2 for a reversed
+    one).  Pair counting is quadratic in SQL; here it is the classic
+    mergesort inversion count, made BATCH-vectorized.
+
+    The sweep counts every source in its partition simultaneously:
+    values are rank-compressed, then lifted to composites
+    ``run·K + rank`` so cross-source pairs are never inversions (runs
+    concatenate in sorted order → cross-run comparisons are always
+    ascending) and ONE bottom-up mergesort over the whole partition
+    counts exactly the within-source inversions.  Each of the log n
+    levels is three numpy passes, no per-row loop: both halves of all
+    2B-blocks get a second composite lift ``row·K₂`` so a SINGLE
+    np.searchsorted answers every block-pair's
+    "lefts greater than this right element" count at once; counts
+    attribute to the right element's run via np.add.at (a counted pair
+    is always same-run); the merge itself is np.sort(axis=1).
+    O(n log² n) work, O(n) memory, loud int64 headroom guard.
+
+    Output: (source, n_events, n_pairs, n_inversions, concordance)
+    with concordance = (n_pairs − 2·inv)/n_pairs as ONE pinned double
+    division (1.0 = monotone up, −1.0 = monotone down).
+    """
+    from .sweep import run_starts_table, with_part
+
+    def _route(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "ts": pc.cast(b["ts"], pa.int64()),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "c": _cents(b),
+            }
+        )
+        return with_part(t, ["source"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+                "n_pairs": pa.array([], pa.int64()),
+                "n_inversions": pa.array([], pa.int64()),
+                "concordance": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("source", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        n = len(g)
+        starts = run_starts_table(g, ["source"])
+        nruns = len(starts)
+        run_of = np.repeat(
+            np.arange(nruns, dtype=np.int64), np.diff(np.r_[starts, n])
+        )
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        # rank-compress within the partition (preserves within-run order)
+        vals = np.unique(cv)
+        ranks = np.searchsorted(vals, cv).astype(np.int64)
+        K1 = np.int64(1) << np.int64(max(int(n).bit_length(), 1))
+        pad_val = np.int64(nruns) * K1  # > every real composite
+        n2 = 1 << int(max(n - 1, 1).bit_length())
+        K2 = np.int64(1) << np.int64(int(pad_val + 1).bit_length())
+        # worst row-offset at B=1: (n2/2 − 1)·K2 + pad must fit int64
+        if (n2 // 2) * int(K2) >= (1 << 62):
+            raise ValueError(
+                "ts_value_inversions: partition too large for the int64 "
+                "composite headroom — raise num_partitions"
+            )
+        a = np.full(n2, pad_val, np.int64)
+        a[:n] = run_of * K1 + ranks
+        inv = np.zeros(nruns + 1, np.int64)  # slot nruns: pad (always 0)
+        B = 1
+        while B < n2:
+            m = n2 // (2 * B)
+            a2 = a.reshape(m, 2 * B)
+            rowoff = np.arange(m, dtype=np.int64) * K2
+            flat_l = (a2[:, :B] + rowoff[:, None]).ravel()
+            rights = a2[:, B:]
+            flat_r = (rights + rowoff[:, None]).ravel()
+            pos = np.searchsorted(flat_l, flat_r, side="right")
+            row_end = np.repeat((rowoff // K2 + 1) * B, B)
+            cnt = row_end - pos  # lefts strictly greater than this right
+            rr = rights.ravel() // K1  # run of each right element
+            nz = cnt > 0
+            if nz.any():
+                np.add.at(inv, rr[nz], cnt[nz])
+            a = np.sort(a2, axis=1).ravel()
+            B *= 2
+        inv = inv[:nruns]
+        n_ev = np.diff(np.r_[starts, n]).astype(np.int64)
+        n_pairs = n_ev * (n_ev - 1) // 2
+        conc = np.where(
+            n_pairs > 0,
+            (n_pairs - 2 * inv).astype(np.float64)
+            / np.maximum(n_pairs, 1).astype(np.float64),
+            0.0,
+        )
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(starts)),
+                "n_events": pa.array(n_ev),
+                "n_pairs": pa.array(n_pairs),
+                "n_inversions": pa.array(inv),
+                "concordance": pa.array(conc),
+            }
+        )
+
+    routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
