@@ -2530,6 +2530,19 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_weighted_median_price(sf_dir: str):
+    """Quantity-weighted lower median price per returnflag."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.sketch import weighted_median_price
+
+    return weighted_median_price(
+        read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+        )
+    )
+
+
 def _q_ts_value_inversions(sf_dir: str):
     """Per-source Kendall discordance via batch-vectorized merge count."""
     from workbook_exporter_fe_ray.stages.window import ts_value_inversions
@@ -2779,6 +2792,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "single_late_supplier": _q_single_late_supplier,    # Q21 (r4s)
         "dormant_rich_customers": _q_dormant_rich_customers,  # Q22 (r4s)
         "ts_value_inversions": _q_ts_value_inversions,      # Kendall (r4s)
+        "weighted_median_price": _q_weighted_median_price,  # w-median (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3041,6 +3055,7 @@ _NEW_R4 = (
     "single_late_supplier",
     "dormant_rich_customers",
     "ts_value_inversions",
+    "weighted_median_price",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4259,6 +4274,23 @@ SELECT p.late_sk AS s_suppkey, s.s_name,
 FROM per p JOIN supplier s ON s.s_suppkey = p.late_sk
 WHERE p.ns > 1 AND p.nl = 1
 GROUP BY 1, 2
+""",
+        "weighted_median_price": """
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT l_returnflag, cents,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM h)
+SELECT l_returnflag,
+       CAST(max(tot) AS BIGINT) AS total_qty,
+       CAST(min(CASE WHEN 2 * cw >= tot THEN cents END) AS BIGINT)
+         AS wmedian_cents
+FROM c GROUP BY 1
 """,
         "ts_value_inversions": f"""
 WITH e AS (

@@ -288,3 +288,47 @@ def test_ts_value_inversions_vs_brute_and_extremes(ray_session):
         .sort_index()
     )
     assert out8.equals(out)
+
+
+def test_weighted_median_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.sketch import weighted_median_price
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    li = pa.table(
+        {
+            "l_returnflag": pa.array(
+                [["A", "N", "R"][k] for k in rng.integers(0, 3, n)]
+            ),
+            "l_extendedprice": pa.array(
+                rng.integers(100, 999, n).astype(np.float64) / 10.0
+            ),
+            "l_quantity": pa.array(
+                rng.integers(1, 50, n).astype(np.float64)
+            ),
+        }
+    )
+    out = (
+        weighted_median_price(ray.data.from_arrow(li).repartition(6))
+        .to_pandas()
+        .set_index("l_returnflag")
+        .sort_index()
+    )
+    df = li.to_pandas()
+    df["cents"] = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+    df["w"] = df["l_quantity"].astype(np.int64)
+    for flag, g in df.groupby("l_returnflag"):
+        # brute: expand each row w times, take the lower median element
+        exp = np.sort(np.repeat(g["cents"].to_numpy(), g["w"].to_numpy()))
+        tot = len(exp)
+        brute = exp[(tot - 1) // 2] if tot % 2 else exp[tot // 2 - 1 + 1]
+        # lower weighted median: first v with 2*cumw >= tot
+        cw = 0
+        for v, w in sorted(zip(g["cents"], g["w"])):
+            cw += w
+            if 2 * cw >= tot:
+                brute = v
+                break
+        row = out.loc[flag]
+        assert int(row["total_qty"]) == tot
+        assert int(row["wmedian_cents"]) == brute, flag
