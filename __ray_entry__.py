@@ -2530,6 +2530,15 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_allpairs_prefix_jaccard(sf_dir: str):
+    """Exact all-pairs Jaccard via AllPairs/PPJoin prefix filtering."""
+    from workbook_exporter_fe_ray.stages.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    return prefix_filter_jaccard_pairs(_documents(sf_dir), threshold=0.3)
+
+
 def _q_weighted_median_price(sf_dir: str):
     """Quantity-weighted lower median price per returnflag."""
     from workbook_exporter_fe_ray.sources import read_table
@@ -2793,6 +2802,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "dormant_rich_customers": _q_dormant_rich_customers,  # Q22 (r4s)
         "ts_value_inversions": _q_ts_value_inversions,      # Kendall (r4s)
         "weighted_median_price": _q_weighted_median_price,  # w-median (r4s)
+        "allpairs_prefix_jaccard": _q_allpairs_prefix_jaccard,  # ppjoin (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3056,6 +3066,7 @@ _NEW_R4 = (
     "dormant_rich_customers",
     "ts_value_inversions",
     "weighted_median_price",
+    "allpairs_prefix_jaccard",
 )
 
 _ROWS_ONLY_R3 = (
@@ -5353,6 +5364,29 @@ FROM c
         # exists for pairs at the threshold boundary, none here; the
         # jaccard value is one int/int double division on both sides)
         "ngram_jaccard_pairs": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                 FOR i IN range(1, len(l) - 1)]) AS g
+  FROM toks WHERE len(l) >= 3),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+""",
+        # identical brute-force oracle as ngram_jaccard_pairs: the
+        # prefix-filter engine is EXACT, so it must reproduce the full
+        # quadratic truth at the same threshold
+        "allpairs_prefix_jaccard": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 grams AS (
   SELECT doc_id,

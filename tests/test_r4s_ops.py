@@ -332,3 +332,55 @@ def test_weighted_median_vs_brute(ray_session):
         row = out.loc[flag]
         assert int(row["total_qty"]) == tot
         assert int(row["wmedian_cents"]) == brute, flag
+
+
+def test_prefix_filter_jaccard_full_recall_vs_brute(ray_session):
+    """The prefix-filter engine is EXACT: output must equal the full
+    quadratic truth — including pairs hovering just at threshold."""
+    from workbook_exporter_fe_ray.stages.dedup import (
+        ngram_jaccard,
+        prefix_filter_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{k}" for k in range(60)]
+    texts, ids = [], []
+    base_docs = [
+        " ".join(rng.choice(vocab, 12).tolist()) for _ in range(40)
+    ]
+    did = 0
+    for d in base_docs:
+        texts.append(d)
+        ids.append(did)
+        did += 1
+        if rng.random() < 0.5:  # planted near-dup: mutate 1-3 words
+            w = d.split()
+            for _ in range(rng.integers(1, 4)):
+                w[rng.integers(0, len(w))] = str(rng.choice(vocab))
+            texts.append(" ".join(w))
+            ids.append(did)
+            did += 1
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+    )
+    t = 0.3
+    out = (
+        prefix_filter_jaccard_pairs(
+            ray.data.from_arrow(tbl).repartition(5),
+            threshold=t,
+            num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    brute = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            jac = ngram_jaccard(texts[i], texts[j], 3)
+            if jac >= t:
+                brute.append((ids[i], ids[j], jac))
+    assert len(out) == len(brute)
+    for (ia, ib, jac), (_, row) in zip(sorted(brute), out.iterrows()):
+        assert (row["id_a"], row["id_b"]) == (ia, ib)
+        assert abs(row["jaccard"] - jac) < 1e-12

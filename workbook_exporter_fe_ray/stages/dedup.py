@@ -493,14 +493,6 @@ def minhash_lsh_pairs(
 
     banded = signed.map_batches(_slim_bands, batch_format="pyarrow")
 
-    _EMPTY_PAIRS = pa.table(
-        {
-            "id_a": pa.array([], pa.int64()),
-            "id_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
-        }
-    )
-
     def _part_candidates(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(group, sort_keys=[("bucket", "ascending")])
         g = group.take(order)
@@ -554,6 +546,54 @@ def minhash_lsh_pairs(
         .materialize()
     )
 
+    return _attach_verify_pairs(
+        ds,
+        cand,
+        id_col=id_col,
+        sig_args=sig_args,
+        payload_col="shingles" if verify == "exact" else "signature",
+        verify=verify,
+        num_perm=num_perm,
+        threshold=threshold,
+        concurrency=concurrency,
+        num_partitions=num_partitions,
+        broadcast_payload_bytes=broadcast_payload_bytes,
+    )
+
+
+
+
+def _attach_verify_pairs(
+    ds: ray.data.Dataset,
+    cand: ray.data.Dataset,
+    *,
+    id_col: str,
+    sig_args: tuple,
+    payload_col: str,
+    verify: str,
+    num_perm: int,
+    threshold: float,
+    concurrency,
+    num_partitions: int,
+    broadcast_payload_bytes: int,
+) -> ray.data.Dataset:
+    """Shared phase 2 of the near-dup engines: given the slim
+    globally-distinct candidate-pair dataset (materialized), recompute
+    payloads for INVOLVED docs only, attach both sides — measured
+    broadcast fast path under ``broadcast_payload_bytes``, else two
+    candidate-sized sweep-join exchanges — and verify once per pair.
+    Extracted verbatim from :func:`minhash_lsh_pairs` so the exact
+    prefix-filter engine shares one battle-tested verify path."""
+    from .sweep import with_part
+
+    _EMPTY_PAIRS = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
     inv_chunks: list[np.ndarray] = []
     for b in cand.iter_batches(batch_size=None, batch_format="pyarrow"):
         inv_chunks.append(b["id_a"].to_numpy(zero_copy_only=False))
@@ -583,7 +623,6 @@ def minhash_lsh_pairs(
         pos = np.minimum(np.searchsorted(inv, ids), max(len(inv) - 1, 0))
         return b.filter(pa.array(inv[pos] == ids))
 
-    payload_col = "shingles" if verify == "exact" else "signature"
     # materialized: involved-docs-only (candidate-proportional), and it
     # is consumed by BOTH attach phases — leaving it lazy would run the
     # signature actor pool once per consumer and pin an actor
@@ -802,7 +841,6 @@ def minhash_lsh_pairs(
     return routed_b.map_batches(
         _verify, batch_format="pyarrow", zero_copy_batch=True
     )
-
 
 # ---------------------------------------------------------------------------
 # n-gram Jaccard all-pairs (within LSH candidate buckets)
@@ -1211,4 +1249,199 @@ def typo_dedup_pairs(
         cand.map_batches(_pair_route, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(_pair_unique, batch_format="pyarrow")
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+    num_partitions: int = 64,
+    max_posting: int = 1024,
+    concurrency: int | tuple[int, int] = (1, 4),
+    broadcast_payload_bytes: int = 256 << 20,
+) -> ray.data.Dataset:
+    """EXACT all-pairs Jaccard ≥ threshold by PREFIX FILTERING
+    (AllPairs / PPJoin family, Bayardo et al. 2007) — the
+    deterministic-recall alternative to :func:`minhash_lsh_pairs`:
+    no signature, no probabilistic bucket misses; every qualifying
+    pair is guaranteed a candidate.
+
+    The lemma: under any single global token order, two sets with
+    overlap ≥ α share a token within each side's first ``s − α + 1``
+    tokens (the α-th smallest common token has ≤ α−1 common tokens
+    after it).  J ≥ t ⟹ overlap ≥ ⌈t·s⌉ on both sides, so emitting
+    only each doc's first ``s − ⌈t·s⌉ + 1`` grams (df-ascending order
+    — rarest first, the candidate-minimizing canonical order; +1
+    conservative slack so float ceil can never shorten the prefix)
+    makes the gram-posting sweep an exact-superset candidate
+    generator.  Three slim int64 exchanges, none carrying text:
+    gram→df count, doc→prefix cut (both vectorized run sweeps), then
+    prefix-posting pairs with the ``min ≥ t·max`` length filter.
+    Oversized postings (degenerate near-constant corpora) are skipped
+    LOUDLY via ``max_posting`` — same convention as the LSH engines'
+    ``max_bucket``.  Verification reuses the shared candidate-sized
+    attach+verify phase (:func:`_attach_verify_pairs`), so outputs are
+    bit-identical to the LSH engine wherever LSH achieves full recall.
+
+    Output: (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
+    """
+    from ray.data.aggregate import Count
+
+    from .sweep import with_part
+
+    def _gram_rows(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        flat, offs = _batch_shingles(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col,
+            shingle_n,
+        )
+        sizes = np.diff(offs).astype(np.int64)
+        rep = np.repeat(np.arange(len(batch)), sizes)
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "g": pa.array(flat.view(np.int64)),
+                "doc": pa.array(ids[rep]),
+                "size": pa.array(sizes[rep]),
+            }
+        )
+        return with_part(t, ["g"], num_partitions)
+
+    def _df_sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "doc": pa.array([], pa.int64()),
+                    "g": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "size": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(g, sort_keys=[("g", "ascending")])
+        g = g.take(idx)
+        gv = g["g"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, gv[1:] != gv[:-1]])
+        lens = np.diff(np.r_[starts, len(gv)])
+        df = np.repeat(lens, lens).astype(np.int64)
+        out = pa.table(
+            {
+                "doc": g["doc"],
+                "g": g["g"],
+                "df": pa.array(df),
+                "size": g["size"],
+            }
+        )
+        return with_part(out, ["doc"], num_partitions)
+
+    def _prefix_sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "doc": pa.array([], pa.int64()),
+                    "size": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("doc", "ascending"),
+                ("df", "ascending"),
+                ("g", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        dv = g["doc"].to_numpy(zero_copy_only=False)
+        sz = g["size"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, dv[1:] != dv[:-1]])
+        lens = np.diff(np.r_[starts, len(dv)])
+        pos = np.arange(len(dv), dtype=np.int64) - np.repeat(starts, lens)
+        # conservative prefix: one longer than s − ⌈t·s⌉ + 1 so float
+        # ceil can only ADD candidates, never drop a qualifying pair
+        co = np.maximum(np.ceil(threshold * sz).astype(np.int64) - 1, 1)
+        p = sz - co + 1
+        keep = pos < p
+        sub = g.filter(pa.array(keep))
+        out = pa.table(
+            {"g": sub["g"], "doc": sub["doc"], "size": sub["size"]}
+        )
+        return with_part(out, ["g"], num_partitions)
+
+    def _posting_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[("g", "ascending"), ("doc", "ascending")]
+        )
+        g = g.take(idx)
+        gv = g["g"].to_numpy(zero_copy_only=False)
+        dv = g["doc"].to_numpy(zero_copy_only=False)
+        sz = g["size"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, gv[1:] != gv[:-1]])
+        ends = np.r_[starts[1:], len(gv)]
+        a_l: list[np.ndarray] = []
+        b_l: list[np.ndarray] = []
+        skipped = 0
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            if m > max_posting:
+                skipped += 1
+                continue
+            x, y = np.triu_indices(m, k=1)
+            da, db = dv[s + x], dv[s + y]
+            sa, sb = sz[s + x], sz[s + y]
+            mn, mx = np.minimum(sa, sb), np.maximum(sa, sb)
+            ok = (mn + 1e-9) >= threshold * mx  # exact-safe length filter
+            ok &= da != db
+            a_l.append(np.minimum(da[ok], db[ok]))
+            b_l.append(np.maximum(da[ok], db[ok]))
+        _log_skipped("prefix_filter_jaccard_pairs", skipped, max_posting)
+        if not a_l:
+            return empty
+        ia, ib = np.concatenate(a_l), np.concatenate(b_l)
+        if len(ia) == 0:
+            return empty
+        uniq = np.unique(np.stack([ia, ib], axis=1), axis=0)
+        return pa.table(
+            {
+                "id_a": pa.array(uniq[:, 0], pa.int64()),
+                "id_b": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(_gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_df_sweep, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_prefix_sweep, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_posting_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count())
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    return _attach_verify_pairs(
+        ds,
+        cand,
+        id_col=id_col,
+        sig_args=(text_col, id_col, 8, shingle_n, 42),
+        payload_col="shingles",
+        verify="exact",
+        num_perm=8,
+        threshold=threshold,
+        concurrency=concurrency,
+        num_partitions=num_partitions,
+        broadcast_payload_bytes=broadcast_payload_bytes,
     )
