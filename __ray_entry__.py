@@ -2530,6 +2530,50 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_revenue_band_forecast(sf_dir: str):
+    """TPC-H Q6 shape: discount-band what-if scan, 1-row exact audit."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import (
+        revenue_band_forecast,
+    )
+
+    return revenue_band_forecast(
+        read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate", "l_discount", "l_quantity",
+                     "l_extendedprice"],
+        ),
+        820_454_400_000_000,   # 1996-01-01 UTC µs
+        852_076_800_000_000,   # 1997-01-01 UTC µs
+    )
+
+
+def _q_nation_trade_flow(sf_dir: str):
+    """TPC-H Q7 shape: two-nation bidirectional trade flow per year."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import nation_trade_flow
+
+    return nation_trade_flow(
+        read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                     "l_extendedprice", "l_discount"],
+        ),
+        read_table(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_custkey"]),
+        read_table(f"{sf_dir}/customer.parquet",
+                   columns=["c_custkey", "c_nationkey"]),
+        pq.read_table(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_nationkey"]),
+        pq.read_table(f"{sf_dir}/nation.parquet",
+                      columns=["n_nationkey", "n_name"]),
+        "NATION_3",
+        "NATION_7",
+    )
+
+
 def _q_allpairs_prefix_jaccard(sf_dir: str):
     """Exact all-pairs Jaccard via AllPairs/PPJoin prefix filtering."""
     from workbook_exporter_fe_ray.stages.dedup import (
@@ -2803,6 +2847,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "ts_value_inversions": _q_ts_value_inversions,      # Kendall (r4s)
         "weighted_median_price": _q_weighted_median_price,  # w-median (r4s)
         "allpairs_prefix_jaccard": _q_allpairs_prefix_jaccard,  # ppjoin (r4s)
+        "revenue_band_forecast": _q_revenue_band_forecast,  # Q6 (r4s)
+        "nation_trade_flow": _q_nation_trade_flow,          # Q7 (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3067,6 +3113,8 @@ _NEW_R4 = (
     "ts_value_inversions",
     "weighted_median_price",
     "allpairs_prefix_jaccard",
+    "revenue_band_forecast",
+    "nation_trade_flow",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4285,6 +4333,33 @@ SELECT p.late_sk AS s_suppkey, s.s_name,
 FROM per p JOIN supplier s ON s.s_suppkey = p.late_sk
 WHERE p.ns > 1 AND p.nl = 1
 GROUP BY 1, 2
+""",
+        "revenue_band_forecast": """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT)), 0)
+            AS BIGINT) AS forfeited_units
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(l_quantity AS BIGINT) < 24
+""",
+        "nation_trade_flow": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_units
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
 """,
         "weighted_median_price": """
 WITH h AS (

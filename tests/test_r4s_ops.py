@@ -384,3 +384,71 @@ def test_prefix_filter_jaccard_full_recall_vs_brute(ray_session):
     for (ia, ib, jac), (_, row) in zip(sorted(brute), out.iterrows()):
         assert (row["id_a"], row["id_b"]) == (ia, ib)
         assert abs(row["jaccard"] - jac) < 1e-12
+
+
+def test_nation_trade_flow_cross_pairs_only(ray_session):
+    from workbook_exporter_fe_ray.stages.relational import nation_trade_flow
+
+    D = 86_400_000_000
+    y1996 = 820_454_400_000_000
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "l_suppkey": pa.array([10, 11, 10, 12], pa.int64()),
+            "l_shipdate": pa.array(
+                [y1996, y1996 + 400 * D, y1996, y1996], pa.timestamp("us")
+            ),
+            "l_extendedprice": pa.array([100.0, 100.0, 100.0, 100.0]),
+            "l_discount": pa.array([0.0, 0.1, 0.0, 0.0]),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([20, 21, 22, 20], pa.int64()),
+        }
+    )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([20, 21, 22], pa.int64()),
+            # 20 → nation B, 21 → nation A, 22 → nation A
+            "c_nationkey": pa.array([1, 0, 0], pa.int64()),
+        }
+    )
+    supp = pa.table(
+        {
+            "s_suppkey": pa.array([10, 11, 12], pa.int64()),
+            # 10 → A, 11 → A, 12 → C (outside the pair)
+            "s_nationkey": pa.array([0, 0, 2], pa.int64()),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+            "n_name": pa.array(["NA", "NB", "NC"]),
+        }
+    )
+    out = (
+        nation_trade_flow(
+            ray.data.from_arrow(li).repartition(2),
+            ray.data.from_arrow(orders),
+            ray.data.from_arrow(cust),
+            supp,
+            nation,
+            "NA",
+            "NB",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["supp_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+    # order1: A→B 1996 ✓ (10000 units); order2: A→A dropped (same
+    # nation); order3: A→A dropped; order4: supplier NC outside pair
+    # dropped. order2 would be 1997 had it survived.
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["supp_nation"], r["cust_nation"], r["l_year"]) == (
+        "NA", "NB", 1996,
+    )
+    assert r["revenue_units"] == 10000 * 100

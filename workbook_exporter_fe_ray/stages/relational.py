@@ -4182,3 +4182,268 @@ def dormant_rich_customers(
         ),
         batch_format="pyarrow",
     )
+
+
+def revenue_band_forecast(
+    lineitem: ray.data.Dataset,
+    ts_from_us: int,
+    ts_to_us: int,
+    disc_lo_pct: int = 5,
+    disc_hi_pct: int = 7,
+    max_qty: int = 24,
+) -> pa.Table:
+    """TPC-H Q6-shaped what-if band scan: the revenue that would be
+    forfeited by dropping discounts in a band — one tight
+    filter-aggregate over (date, discount, quantity) predicates, the
+    query class that lives or dies on read pruning.
+
+    Everything happens block-side: three vectorized int compares
+    (discount matched in exact integer PERCENT — never float
+    equality), forfeit units = cents × disc_pct summed per block, ONE
+    1-row exchange.  The scan projection is four columns; at 100 TB
+    the date predicate additionally prunes row groups via parquet
+    min/max (the reader consults exactly the footer statistics the
+    ``parquet_rowgroup_audit`` query surfaces).
+
+    Output: (n_lines, forfeited_units) — 1 row, exact int64.
+    """
+    lo, hi = np.int64(ts_from_us), np.int64(ts_to_us)
+    dl, dh = np.int64(disc_lo_pct), np.int64(disc_hi_pct)
+    mq = np.int64(max_qty)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        qty = pc.cast(b["l_quantity"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        m = (
+            (ship >= lo) & (ship < hi)
+            & (disc >= dl) & (disc <= dh)
+            & (qty < mq)
+        )
+        if not m.any():
+            return pa.table(
+                {
+                    "n_lines": pa.array([0], pa.int64()),
+                    "forfeited_units": pa.array([0], pa.int64()),
+                }
+            )
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)[m]
+        return pa.table(
+            {
+                "n_lines": pa.array([int(m.sum())], pa.int64()),
+                "forfeited_units": pa.array(
+                    [int((cents * disc[m]).sum())], pa.int64()
+                ),
+            }
+        )
+
+    out = lineitem.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(["n_lines", "forfeited_units"])
+    return pa.table(
+        {
+            "n_lines": pa.array([int(out["sum(n_lines)"])], pa.int64()),
+            "forfeited_units": pa.array(
+                [int(out["sum(forfeited_units)"])], pa.int64()
+            ),
+        }
+    )
+
+
+def nation_trade_flow(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    supplier: pa.Table,
+    nation: pa.Table,
+    nation_a: str,
+    nation_b: str,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H Q7-shaped two-nation trade flow: shipping revenue between
+    a pair of nations, in BOTH directions, per shipping year — the
+    multi-hop star join (lineitem→supplier→nation on one arm,
+    lineitem→orders→customer→nation on the other) that forces one
+    fact-fact exchange no matter how the dims are arranged.
+
+    Join order minimizes what moves: supplier and nation are broadcast
+    dims (supp-nation resolves block-side on lineitem, killing every
+    row whose supplier is in neither nation BEFORE the exchange);
+    customer-nation resolves block-side on orders the same way; the
+    single fact-fact :func:`hash_bucket_join` on orderkey then carries
+    only the surviving rows' (supp_nation_code, units, year) — at two
+    nations out of 25 that is ~2/25 of lineitem.  Year derives from
+    the int64 µs shipdate via numpy datetime64 (exact calendar, no
+    float).  Final aggregate is over ≤ 2 × 2 × years rows.
+
+    Output: (supp_nation, cust_nation, l_year, revenue_units), only
+    the two cross pairs (A→B, B→A), matching canonical Q7.
+    """
+    from ray.data.aggregate import Sum
+
+    nk = pc.cast(nation["n_nationkey"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    nn = nation["n_name"].to_pylist()
+    name_of = dict(zip(nk.tolist(), nn))
+    keys_ab = np.array(
+        sorted(k for k, v in name_of.items() if v in (nation_a, nation_b)),
+        np.int64,
+    )
+    if len(keys_ab) != 2:
+        raise ValueError(
+            f"nation_trade_flow: nations {nation_a!r}/{nation_b!r} not "
+            "found exactly once each"
+        )
+
+    sk = pc.cast(supplier["s_suppkey"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    snk = pc.cast(supplier["s_nationkey"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    so = np.argsort(sk, kind="stable")
+    supp_ref = ray.put((sk[so], snk[so], keys_ab))
+
+    class _SuppArm:
+        """lineitem → (orderkey, supp nation, units, year), rows whose
+        supplier is outside the pair dropped block-side."""
+
+        def __init__(self, ref):
+            self.sk, self.snk, self.ab = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lsk = pc.cast(b["l_suppkey"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.minimum(
+                np.searchsorted(self.sk, lsk), max(len(self.sk) - 1, 0)
+            )
+            snat = self.snk[pos]
+            keep = (self.sk[pos] == lsk) & (
+                (snat == self.ab[0]) | (snat == self.ab[1])
+            )
+            sub = b.filter(pa.array(keep))
+            ship = pc.cast(sub["l_shipdate"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            year = (
+                ship.astype("datetime64[us]")
+                .astype("datetime64[Y]")
+                .astype(np.int64)
+                + 1970
+            )
+            cents = pc.cast(
+                pc.round(pc.multiply(sub["l_extendedprice"], 100.0)),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            disc = pc.cast(
+                pc.round(pc.multiply(sub["l_discount"], 100.0)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "l_orderkey": pc.cast(sub["l_orderkey"], pa.int64()),
+                    "snat": pa.array(snat[keep]),
+                    "l_year": pa.array(year),
+                    "units": pa.array(cents * (np.int64(100) - disc)),
+                }
+            )
+
+    li_arm = lineitem.map_batches(
+        _SuppArm,
+        fn_constructor_args=(supp_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    # customer nation is itself resolved through a fact-fact join
+    # (customer is order-of-customers sized, not dimension-sized at
+    # 100 TB), then orders carry cust-nation into the orderkey join
+    cust = customer.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "cnat": pc.cast(b["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ords = orders.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "l_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ord_nat = hash_bucket_join(
+        ords, cust, "c_custkey", ("l_orderkey",), ("cnat",),
+        n_buckets=num_partitions,
+    ).map_batches(
+        lambda b: b.filter(
+            pa.array(
+                np.isin(
+                    b["cnat"].to_numpy(zero_copy_only=False), keys_ab
+                )
+            )
+        ).select(["l_orderkey", "cnat"]),
+        batch_format="pyarrow",
+    )
+
+    joined = hash_bucket_join(
+        li_arm, ord_nat, "l_orderkey",
+        ("snat", "l_year", "units"), ("cnat",),
+        n_buckets=num_partitions,
+    )
+
+    def _flow_partial(b: pa.Table) -> pa.Table:
+        snat = b["snat"].to_numpy(zero_copy_only=False)
+        cnat = b["cnat"].to_numpy(zero_copy_only=False)
+        keep = snat != cnat  # cross-pair flows only (A→B, B→A)
+        sub = b.filter(pa.array(keep))
+        t = pa.table(
+            {
+                "snat": sub["snat"],
+                "cnat": sub["cnat"],
+                "l_year": sub["l_year"],
+                "units": sub["units"],
+            }
+        )
+        g = t.group_by(["snat", "cnat", "l_year"]).aggregate(
+            [("units", "sum")]
+        )
+        return g.rename_columns(["snat", "cnat", "l_year", "units"])
+
+    agg = (
+        joined.map_batches(
+            _flow_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["snat", "cnat", "l_year"])
+        .aggregate(Sum("units"))
+    )
+
+    def _name(b: pa.Table) -> pa.Table:
+        sn = [name_of[int(x)] for x in b["snat"].to_pylist()]
+        cn = [name_of[int(x)] for x in b["cnat"].to_pylist()]
+        return pa.table(
+            {
+                "supp_nation": pa.array(sn, pa.string()),
+                "cust_nation": pa.array(cn, pa.string()),
+                "l_year": pc.cast(b["l_year"], pa.int64()),
+                "revenue_units": pc.cast(b["sum(units)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_name, batch_format="pyarrow")
