@@ -2530,6 +2530,13 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_two_sample_drift(sf_dir: str):
+    """Exact KS statistic + Mann-Whitney 2U between two sources."""
+    from workbook_exporter_fe_ray.stages.sketch import two_sample_drift
+
+    return two_sample_drift(_events(sf_dir), "click", "purchase")
+
+
 def _q_revenue_band_forecast(sf_dir: str):
     """TPC-H Q6 shape: discount-band what-if scan, 1-row exact audit."""
     from workbook_exporter_fe_ray.sources import read_table
@@ -2849,6 +2856,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "allpairs_prefix_jaccard": _q_allpairs_prefix_jaccard,  # ppjoin (r4s)
         "revenue_band_forecast": _q_revenue_band_forecast,  # Q6 (r4s)
         "nation_trade_flow": _q_nation_trade_flow,          # Q7 (r4s)
+        "two_sample_drift": _q_two_sample_drift,            # KS+MWU (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3115,6 +3123,7 @@ _NEW_R4 = (
     "allpairs_prefix_jaccard",
     "revenue_band_forecast",
     "nation_trade_flow",
+    "two_sample_drift",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4333,6 +4342,29 @@ SELECT p.late_sk AS s_suppkey, s.s_name,
 FROM per p JOIN supplier s ON s.s_suppkey = p.late_sk
 WHERE p.ns > 1 AND p.nl = 1
 GROUP BY 1, 2
+""",
+        "two_sample_drift": f"""
+WITH e AS (
+  SELECT event_type AS s, {_CENTS} AS c FROM events
+  WHERE event_type IN ('click', 'purchase')),
+h AS (
+  SELECT c,
+         CAST(count(*) FILTER (WHERE s = 'click') AS BIGINT) AS na,
+         CAST(count(*) FILTER (WHERE s = 'purchase') AS BIGINT) AS nb
+  FROM e GROUP BY 1),
+cum AS (
+  SELECT c, na, nb,
+         sum(na) OVER (ORDER BY c) AS ca,
+         sum(nb) OVER (ORDER BY c) AS cb,
+         sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+  FROM h)
+SELECT 'click' AS source_a, 'purchase' AS source_b,
+       CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+       CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS d_num_max,
+       CAST(max(abs(ca * tb - cb * ta)) AS DOUBLE)
+         / (max(ta) * max(tb)) AS ks_stat,
+       CAST(sum(na * (2 * (cb - nb) + nb)) AS BIGINT) AS u2_a
+FROM cum
 """,
         "revenue_band_forecast": """
 SELECT CAST(count(*) AS BIGINT) AS n_lines,

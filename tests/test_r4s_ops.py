@@ -452,3 +452,44 @@ def test_nation_trade_flow_cross_pairs_only(ray_session):
         "NA", "NB", 1996,
     )
     assert r["revenue_units"] == 10000 * 100
+
+
+def test_two_sample_drift_vs_scipy_convention(ray_session):
+    """Exact KS and MWU against a brute-force per-pair count."""
+    from workbook_exporter_fe_ray.stages.sketch import two_sample_drift
+
+    rng = np.random.default_rng(5)
+    na, nb = 300, 260
+    va = rng.integers(-10, 11, na).astype(np.float64) * 0.5
+    vb = (rng.integers(-10, 11, nb) + 3).astype(np.float64) * 0.5  # shifted
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(na + nb, dtype=np.int64)),
+            "user_id": pa.array(np.zeros(na + nb, np.int64)),
+            "ts": pa.array(
+                np.full(na + nb, 1_700_000_000 * US, np.int64),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(["A"] * na + ["B"] * nb),
+            "value": pa.array(np.r_[va, vb]),
+        }
+    )
+    out = two_sample_drift(
+        ray.data.from_arrow(tbl).repartition(5), "A", "B"
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    ca = np.round(va * 100).astype(np.int64)
+    cb = np.round(vb * 100).astype(np.int64)
+    # brute MWU: 2*[a>b] + [a==b] over all cross pairs
+    gt = (ca[:, None] > cb[None, :]).sum()
+    eq = (ca[:, None] == cb[None, :]).sum()
+    assert int(r["u2_a"]) == 2 * int(gt) + int(eq)
+    # brute KS over merged distinct values
+    vals = np.unique(np.r_[ca, cb])
+    ecdf_a = np.searchsorted(np.sort(ca), vals, side="right")
+    ecdf_b = np.searchsorted(np.sort(cb), vals, side="right")
+    d_num = np.abs(ecdf_a * nb - ecdf_b * na).max()
+    assert int(r["d_num_max"]) == int(d_num)
+    assert r["ks_stat"] == d_num / (na * nb)
+    assert (int(r["n_a"]), int(r["n_b"])) == (na, nb)

@@ -982,3 +982,114 @@ def weighted_median_price(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     return hist.groupby("l_returnflag").map_groups(
         _flag_reduce, batch_format="pyarrow"
     )
+
+
+def two_sample_drift(
+    events: ray.data.Dataset,
+    source_a: str,
+    source_b: str,
+) -> ray.data.Dataset:
+    """EXACT two-sample distribution-drift tests between two sources'
+    value distributions: the Kolmogorov–Smirnov statistic
+    ``max |ECDF_a − ECDF_b|`` and the Mann–Whitney rank-sum U — the
+    pair of classics an A/B value-drift monitor runs, both usually
+    quoted as approximations, here exact.
+
+    Neither needs the raw rows co-located: both are functionals of the
+    per-value HISTOGRAM (n_a(v), n_b(v)).  Rows collapse block-side to
+    (cents → count_a, count_b) partials, ONE exchange keyed on the
+    high-cardinality cents domain sums them, and a single bounded
+    stitch task (value-domain-sized — distinct cents, not rows;
+    documented assumption, same as :func:`weighted_median_price`) runs
+    the ordered cumsums.  All comparisons in exact int64: the KS sup
+    is ``max |cum_a·n_b − cum_b·n_a|`` (ONE pinned division by
+    ``n_a·n_b`` at the end), ties in MWU counted at half weight by
+    emitting ``2·U`` as an integer.  Loud guard when ``n_a·n_b``
+    exceeds int64 headroom.
+
+    Output: 1 row (source_a, source_b, n_a, n_b, d_num_max, ks_stat,
+    u2_a) — u2_a = 2·Σ[a>b] + Σ[a=b] over all cross pairs.
+    """
+    from ray.data.aggregate import Sum
+
+    def _hist_partial(b: pa.Table) -> pa.Table:
+        src = b["event_type"]
+        is_a = pc.equal(src, source_a).to_numpy(zero_copy_only=False)
+        is_b = pc.equal(src, source_b).to_numpy(zero_copy_only=False)
+        keep = is_a | is_b
+        if not keep.any():
+            return pa.table(
+                {
+                    "cents": pa.array([], pa.int64()),
+                    "na": pa.array([], pa.int64()),
+                    "nb": pa.array([], pa.int64()),
+                }
+            )
+        sub = b.filter(pa.array(keep))
+        cents = pc.cast(
+            pc.round(pc.multiply(sub["value"], 100.0)), pa.int64()
+        )
+        t = pa.table(
+            {
+                "cents": cents,
+                "na": pa.array(is_a[keep].astype(np.int64)),
+                "nb": pa.array(is_b[keep].astype(np.int64)),
+            }
+        )
+        g = t.group_by("cents").aggregate([("na", "sum"), ("nb", "sum")])
+        return g.rename_columns(["cents", "na", "nb"])
+
+    hist = (
+        events.map_batches(
+            _hist_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("cents")
+        .aggregate(Sum("na"), Sum("nb"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "cents": b["cents"],
+                    "na": pc.cast(b["sum(na)"], pa.int64()),
+                    "nb": pc.cast(b["sum(nb)"], pa.int64()),
+                    "__one": pa.array(np.zeros(len(b), np.int32)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def _stitch(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("cents", "ascending")])
+        g = g.take(idx)
+        na = g["na"].to_numpy(zero_copy_only=False)
+        nb = g["nb"].to_numpy(zero_copy_only=False)
+        ta, tb = int(na.sum()), int(nb.sum())
+        if ta * tb >= (1 << 62):
+            raise ValueError(
+                "two_sample_drift: n_a*n_b exceeds int64 headroom — "
+                "use the rank-sample sketch path"
+            )
+        ca, cb = np.cumsum(na), np.cumsum(nb)
+        d_num = (
+            int(np.abs(ca * tb - cb * ta).max()) if len(g) else 0
+        )
+        # u2_a: each a-value v beats cb_{<v} b's (weight 2) and ties
+        # nb(v) b's (weight 1)
+        u2 = int((na * (2 * (cb - nb) + nb)).sum())
+        return pa.table(
+            {
+                "source_a": pa.array([source_a], pa.string()),
+                "source_b": pa.array([source_b], pa.string()),
+                "n_a": pa.array([ta], pa.int64()),
+                "n_b": pa.array([tb], pa.int64()),
+                "d_num_max": pa.array([d_num], pa.int64()),
+                "ks_stat": pa.array(
+                    [d_num / (ta * tb) if ta and tb else 0.0], pa.float64()
+                ),
+                "u2_a": pa.array([u2], pa.int64()),
+            }
+        )
+
+    return hist.groupby("__one").map_groups(
+        lambda g: _stitch(g.drop_columns(["__one"])), batch_format="pyarrow"
+    )
