@@ -2530,6 +2530,39 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_nation_market_share(sf_dir: str):
+    """TPC-H Q8 shape: one nation's share of a region's typed market."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import (
+        nation_market_share,
+    )
+
+    return nation_market_share(
+        read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"],
+        ),
+        read_table(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        read_table(f"{sf_dir}/customer.parquet",
+                   columns=["c_custkey", "c_nationkey"]),
+        pq.read_table(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_nationkey"]),
+        pq.read_table(f"{sf_dir}/nation.parquet",
+                      columns=["n_nationkey", "n_name", "n_regionkey"]),
+        pq.read_table(f"{sf_dir}/region.parquet",
+                      columns=["r_regionkey", "r_name"]),
+        pq.read_table(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_type"]),
+        "NATION_3",
+        "ASIA",
+        "STANDARD",
+    )
+
+
 def _q_two_sample_drift(sf_dir: str):
     """Exact KS statistic + Mann-Whitney 2U between two sources."""
     from workbook_exporter_fe_ray.stages.sketch import two_sample_drift
@@ -2857,6 +2890,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "revenue_band_forecast": _q_revenue_band_forecast,  # Q6 (r4s)
         "nation_trade_flow": _q_nation_trade_flow,          # Q7 (r4s)
         "two_sample_drift": _q_two_sample_drift,            # KS+MWU (r4s)
+        "nation_market_share": _q_nation_market_share,      # Q8 (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3124,6 +3158,7 @@ _NEW_R4 = (
     "revenue_band_forecast",
     "nation_trade_flow",
     "two_sample_drift",
+    "nation_market_share",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4342,6 +4377,28 @@ SELECT p.late_sk AS s_suppkey, s.s_name,
 FROM per p JOIN supplier s ON s.s_suppkey = p.late_sk
 WHERE p.ns > 1 AND p.nl = 1
 GROUP BY 1, 2
+""",
+        "nation_market_share": """
+WITH j AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS units,
+         (n1.n_name = 'NATION_3') AS is_target
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey AND r.r_name = 'ASIA')
+SELECT o_year,
+       CAST(sum(CASE WHEN is_target THEN units ELSE 0 END) AS BIGINT)
+         AS target_units,
+       CAST(sum(units) AS BIGINT) AS total_units,
+       CAST(sum(CASE WHEN is_target THEN units ELSE 0 END) AS DOUBLE)
+         / CAST(sum(units) AS DOUBLE) AS mkt_share
+FROM j GROUP BY 1
 """,
         "two_sample_drift": f"""
 WITH e AS (

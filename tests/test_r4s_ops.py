@@ -493,3 +493,75 @@ def test_two_sample_drift_vs_scipy_convention(ray_session):
     assert int(r["d_num_max"]) == int(d_num)
     assert r["ks_stat"] == d_num / (na * nb)
     assert (int(r["n_a"]), int(r["n_b"])) == (na, nb)
+
+
+def test_nation_market_share_engineered_half(ray_session):
+    from workbook_exporter_fe_ray.stages.relational import (
+        nation_market_share,
+    )
+
+    y1996 = 820_454_400_000_000
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_partkey": pa.array([100, 100, 101], pa.int64()),
+            # supp 10 is target-nation, supp 11 not
+            "l_suppkey": pa.array([10, 11, 10], pa.int64()),
+            "l_extendedprice": pa.array([50.0, 50.0, 70.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0]),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([20, 21], pa.int64()),
+            "o_orderdate": pa.array([y1996, y1996], pa.timestamp("us")),
+        }
+    )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([20, 21], pa.int64()),
+            # cust 20 in-region, cust 21 out-of-region → order 2 drops
+            "c_nationkey": pa.array([0, 2], pa.int64()),
+        }
+    )
+    supp = pa.table(
+        {
+            "s_suppkey": pa.array([10, 11], pa.int64()),
+            "s_nationkey": pa.array([1, 2], pa.int64()),  # 10 → target
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+            "n_name": pa.array(["N0", "NT", "N2"]),
+            "n_regionkey": pa.array([0, 1, 1], pa.int64()),
+        }
+    )
+    region = pa.table(
+        {
+            "r_regionkey": pa.array([0, 1], pa.int64()),
+            "r_name": pa.array(["R0", "R1"]),
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array([100, 101], pa.int64()),
+            "p_type": pa.array(["STD", "STD"]),
+        }
+    )
+    out = nation_market_share(
+        ray.data.from_arrow(li).repartition(2),
+        ray.data.from_arrow(orders),
+        ray.data.from_arrow(cust),
+        supp, nation, region, part,
+        "NT", "R0", "STD",
+        num_partitions=4,
+    ).to_pandas()
+    # only order 1 (region R0) survives: 5000+5000 units, target half
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert int(r["o_year"]) == 1996
+    assert int(r["total_units"]) == 1_000_000
+    assert int(r["target_units"]) == 500_000
+    assert r["mkt_share"] == 0.5

@@ -4447,3 +4447,208 @@ def nation_trade_flow(
         )
 
     return agg.map_batches(_name, batch_format="pyarrow")
+
+
+def nation_market_share(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    supplier: pa.Table,
+    nation: pa.Table,
+    region: pa.Table,
+    part: pa.Table,
+    target_nation: str,
+    region_name: str,
+    part_type: str,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H Q8-shaped market share: within one REGION's market for one
+    part TYPE, the share of revenue supplied by one NATION, per order
+    year — the deepest star join in the classic suite (part, supplier,
+    nation×2, region, orders, customer around lineitem) reduced to a
+    single fact-fact exchange.
+
+    Dim algebra happens on the driver (all dimension-sized): region →
+    member-nation keys → region-customer test; supplier → is-target
+    flag.  lineitem resolves BOTH part-type membership and the
+    supplier flag block-side from one broadcast (rows outside the part
+    type never leave the scan); orders resolve customer-region through
+    one custkey bucket join and carry the order YEAR; the single
+    orderkey bucket join then meets ~1/6 of lineitem with ~1/5 of
+    orders.  Exact cents×(100−disc) units; share per year is ONE
+    pinned int/int double division.
+
+    Output: (o_year, target_units, total_units, mkt_share).
+    """
+    from ray.data.aggregate import Sum
+
+    nk = pc.cast(nation["n_nationkey"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    nreg = pc.cast(nation["n_regionkey"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    nname = nation["n_name"].to_pylist()
+    rk = pc.cast(region["r_regionkey"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    rname = region["r_name"].to_pylist()
+    region_key = {v: k for k, v in zip(rk.tolist(), rname)}[region_name]
+    region_nations = np.sort(nk[nreg == region_key])
+    target_key = {v: k for k, v in zip(nk.tolist(), nname)}[target_nation]
+
+    pk = pc.cast(part["p_partkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    tsel = pc.equal(part["p_type"], part_type).to_numpy(zero_copy_only=False)
+    type_keys = np.sort(pk[tsel])
+    sk = pc.cast(supplier["s_suppkey"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    snk = pc.cast(supplier["s_nationkey"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    so = np.argsort(sk, kind="stable")
+    dims_ref = ray.put(
+        (type_keys, sk[so], (snk[so] == target_key).astype(np.int64))
+    )
+
+    class _LiArm:
+        def __init__(self, ref):
+            self.pkeys, self.sk, self.is_t = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lpk = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.minimum(
+                np.searchsorted(self.pkeys, lpk),
+                max(len(self.pkeys) - 1, 0),
+            )
+            keep = (
+                (self.pkeys[pos] == lpk)
+                if len(self.pkeys)
+                else np.zeros(len(lpk), bool)
+            )
+            sub = b.filter(pa.array(keep))
+            lsk = pc.cast(sub["l_suppkey"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            spos = np.minimum(
+                np.searchsorted(self.sk, lsk), max(len(self.sk) - 1, 0)
+            )
+            is_t = np.where(self.sk[spos] == lsk, self.is_t[spos], 0)
+            cents = pc.cast(
+                pc.round(pc.multiply(sub["l_extendedprice"], 100.0)),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            disc = pc.cast(
+                pc.round(pc.multiply(sub["l_discount"], 100.0)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            units = cents * (np.int64(100) - disc)
+            return pa.table(
+                {
+                    "l_orderkey": pc.cast(sub["l_orderkey"], pa.int64()),
+                    "units": pa.array(units),
+                    "t_units": pa.array(units * is_t),
+                }
+            )
+
+    li_arm = lineitem.map_batches(
+        _LiArm,
+        fn_constructor_args=(dims_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    cust = customer.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "cnat": pc.cast(b["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ords = orders.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "l_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_year": pa.array(
+                    pc.cast(b["o_orderdate"], pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype("datetime64[Y]")
+                    .astype(np.int64)
+                    + 1970
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ord_region = hash_bucket_join(
+        ords, cust, "c_custkey", ("l_orderkey", "o_year"), ("cnat",),
+        n_buckets=num_partitions,
+    ).map_batches(
+        lambda b: b.filter(
+            pa.array(
+                np.isin(
+                    b["cnat"].to_numpy(zero_copy_only=False),
+                    region_nations,
+                )
+            )
+        ).select(["l_orderkey", "o_year"]),
+        batch_format="pyarrow",
+    )
+
+    joined = hash_bucket_join(
+        li_arm, ord_region, "l_orderkey",
+        ("units", "t_units"), ("o_year",),
+        n_buckets=num_partitions,
+    )
+
+    def _year_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_year": b["o_year"],
+                "units": b["units"],
+                "t_units": b["t_units"],
+            }
+        )
+        g = t.group_by("o_year").aggregate(
+            [("units", "sum"), ("t_units", "sum")]
+        )
+        return g.rename_columns(["o_year", "units", "t_units"])
+
+    agg = (
+        joined.map_batches(
+            _year_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("o_year")
+        .aggregate(Sum("units"), Sum("t_units"))
+    )
+
+    def _share(b: pa.Table) -> pa.Table:
+        tot = pc.cast(b["sum(units)"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        tgt = pc.cast(b["sum(t_units)"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        share = np.where(
+            tot > 0,
+            tgt.astype(np.float64) / np.maximum(tot, 1).astype(np.float64),
+            0.0,
+        )
+        return pa.table(
+            {
+                "o_year": pc.cast(b["o_year"], pa.int64()),
+                "target_units": pa.array(tgt),
+                "total_units": pa.array(tot),
+                "mkt_share": pa.array(share),
+            }
+        )
+
+    return agg.map_batches(_share, batch_format="pyarrow")
