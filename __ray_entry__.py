@@ -2530,6 +2530,18 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_pq_topk(sf_dir: str):
+    """Product-quantization ADC top-k (rows-only; recall gated in pytest)."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.stages.similarity import pq_topk
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qrow = qtbl.filter(pc.equal(qtbl["vec_id"], 0))
+    query = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    return pq_topk(_embeddings(sf_dir), query, k=10)
+
+
 def _q_nation_market_share(sf_dir: str):
     """TPC-H Q8 shape: one nation's share of a region's typed market."""
     import pyarrow.parquet as pq
@@ -2891,6 +2903,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "nation_trade_flow": _q_nation_trade_flow,          # Q7 (r4s)
         "two_sample_drift": _q_two_sample_drift,            # KS+MWU (r4s)
         "nation_market_share": _q_nation_market_share,      # Q8 (r4s)
+        "pq_topk": _q_pq_topk,                              # PQ-ADC (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3159,6 +3172,7 @@ _NEW_R4 = (
     "nation_trade_flow",
     "two_sample_drift",
     "nation_market_share",
+    "pq_topk",
 )
 
 _ROWS_ONLY_R3 = (

@@ -1049,3 +1049,151 @@ def embedding_norm_hist(
         ),
         batch_format="pyarrow",
     )
+
+
+def pq_topk(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 4096,
+    kmeans_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> ray.data.Dataset:
+    """Approximate top-k by PRODUCT QUANTIZATION with asymmetric
+    distance (PQ-ADC, Jégou et al. 2011) — the memory-compression scale
+    path for embedding search: each normalized vector collapses to
+    ``n_sub`` uint8 codes (64-float → 8-byte at the defaults, 32×), so
+    a 100 TB embedding corpus scans as ~3 TB of codes, and per-batch
+    scoring is a table LOOKUP (gather + sum over the per-query
+    subspace-distance LUT), not a matmul.
+
+    Codebooks are one k-means per subspace, trained driver-side on a
+    bounded id-sorted sample (block arrival order must not leak into
+    centroids — same discipline as :func:`ivf_topk`), broadcast ONCE;
+    encode + ADC scan happen in a single actor-pool pass so codes
+    never ship anywhere at query time (a standing index would persist
+    them — :func:`embedding_quant_stats` is the audit for that
+    layout).  Deterministic: seeded init, fixed iterations, (dist, id)
+    tie-break.  Exactness is NOT claimed — the recall-vs-exact pytest
+    is the gate, matching the LSH/IVF convention.
+
+    Output: (query_idx, vec_id, adc_dist, rank) — global top-k per
+    query row by squared-L2 ADC distance over normalized vectors.
+    """
+    query = np.atleast_2d(np.asarray(query, dtype=np.float64))
+    qn = query / np.maximum(
+        np.linalg.norm(query, axis=1, keepdims=True), 1e-12
+    )
+
+    sample_tbl = (
+        ds.select_columns([id_col, vec_col])
+        .limit(train_sample)
+        .to_pandas()
+        .sort_values(id_col, kind="stable")
+    )
+    sample = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    dim = sample.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"pq_topk: dim {dim} not divisible by {n_sub}")
+    d_sub = dim // n_sub
+    rng = np.random.default_rng(seed)
+    books = np.empty((n_sub, n_codes, d_sub), np.float64)
+    for m in range(n_sub):
+        sv = sample[:, m * d_sub : (m + 1) * d_sub]
+        kk = min(n_codes, len(sv))
+        cents = sv[rng.choice(len(sv), size=kk, replace=False)]
+        for _ in range(kmeans_iters):
+            d2 = (
+                (sv * sv).sum(1)[:, None]
+                - 2.0 * sv @ cents.T
+                + (cents * cents).sum(1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(kk):
+                sel = assign == c
+                if sel.any():
+                    cents[c] = sv[sel].mean(axis=0)
+        books[m, :kk] = cents
+        if kk < n_codes:  # degenerate tiny corpus: repeat last centroid
+            books[m, kk:] = cents[-1]
+
+    # per-query subspace LUT: luts[q, m, c] = ||q_sub − centroid||²
+    luts = np.empty((len(qn), n_sub, n_codes), np.float64)
+    for m in range(n_sub):
+        qs = qn[:, m * d_sub : (m + 1) * d_sub]
+        diff = qs[:, None, :] - books[m][None, :, :]
+        luts[:, m, :] = (diff * diff).sum(-1)
+    state_ref = ray.put((books, luts))
+
+    class _PQScan:
+        def __init__(self, ref):
+            self.books, self.luts = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mtx = _batch_matrix(batch, vec_col)
+            norms = np.linalg.norm(mtx, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mtx = mtx / norms
+            n = len(mtx)
+            nq = self.luts.shape[0]
+            dist = np.zeros((n, nq), np.float64)
+            for m in range(self.books.shape[0]):
+                sv = mtx[:, m * d_sub : (m + 1) * d_sub]
+                cb = self.books[m]
+                d2 = (
+                    (sv * sv).sum(1)[:, None]
+                    - 2.0 * sv @ cb.T
+                    + (cb * cb).sum(1)[None, :]
+                )
+                codes = np.argmin(d2, axis=1)  # encode this subspace
+                dist += self.luts[:, m, codes].T  # ADC gather, all queries
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            out_q, out_id, out_d = [], [], []
+            for qi in range(nq):
+                dq = dist[:, qi]
+                kk = min(k, n)
+                # quantized distances tie OFTEN (same-code vectors are
+                # ADC-identical), so local pruning must use the same
+                # (dist, id) order as the global merge or the survivor
+                # set depends on batch boundaries
+                idx = np.lexsort((ids, dq))[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(ids[idx].tolist())
+                out_d.extend(dq[idx].tolist())
+            return pa.table(
+                {
+                    "query_idx": pa.array(out_q, pa.int32()),
+                    id_col: pa.array(out_id, pa.int64()),
+                    "adc_dist": pa.array(out_d, pa.float64()),
+                }
+            )
+
+    candidates = ds.map_batches(
+        _PQScan,
+        fn_constructor_args=(state_ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def _merge(group: pa.Table) -> pa.Table:
+        d = group["adc_dist"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, d))[:k]
+        return pa.table(
+            {
+                "query_idx": group["query_idx"].take(pa.array(order)),
+                id_col: pa.array(ids[order]),
+                "adc_dist": pa.array(d[order]),
+                "rank": pa.array(np.arange(len(order), dtype=np.int32)),
+            }
+        )
+
+    return candidates.groupby("query_idx").map_groups(
+        _merge, batch_format="pyarrow"
+    )
