@@ -2530,6 +2530,65 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+_ORC_FIXTURE = "/tmp/wfer_sensor.orc"
+
+
+def _q_orc_ingest_stats(sf_dir: str):
+    """ORC ingest (S1 source breadth): per-zone exact profile, one
+    block per stripe; oracle reads the byte-identical parquet sibling."""
+    from workbook_exporter_fe_ray.sources.formats import (
+        read_auto,
+        synth_sensor_orc,
+    )
+
+    synth_sensor_orc(_ORC_FIXTURE)
+    ds = read_auto(_ORC_FIXTURE)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "zone": b["zone"],
+                "n_rows": pa.array(np.ones(len(b), np.int64)),
+                "sum_units": pc.cast(b["reading_units"], pa.int64()),
+                "min_units": pc.cast(b["reading_units"], pa.int64()),
+                "max_units": pc.cast(b["reading_units"], pa.int64()),
+            }
+        )
+        g = t.group_by("zone").aggregate(
+            [
+                ("n_rows", "sum"),
+                ("sum_units", "sum"),
+                ("min_units", "min"),
+                ("max_units", "max"),
+            ]
+        )
+        return g.rename_columns(
+            ["zone", "n_rows", "sum_units", "min_units", "max_units"]
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("zone")
+        .aggregate(
+            Sum("n_rows"), Sum("sum_units"), Min("min_units"), Max("max_units")
+        )
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "zone": b["zone"],
+                "n_rows": pc.cast(b["sum(n_rows)"], pa.int64()),
+                "sum_units": pc.cast(b["sum(sum_units)"], pa.int64()),
+                "min_units": pc.cast(b["min(min_units)"], pa.int64()),
+                "max_units": pc.cast(b["max(max_units)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_pq_topk(sf_dir: str):
     """Product-quantization ADC top-k (rows-only; recall gated in pytest)."""
     import pyarrow.parquet as pq
@@ -2904,6 +2963,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "two_sample_drift": _q_two_sample_drift,            # KS+MWU (r4s)
         "nation_market_share": _q_nation_market_share,      # Q8 (r4s)
         "pq_topk": _q_pq_topk,                              # PQ-ADC (r4s)
+        "orc_ingest_stats": _q_orc_ingest_stats,            # ORC src (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3173,6 +3233,7 @@ _NEW_R4 = (
     "two_sample_drift",
     "nation_market_share",
     "pq_topk",
+    "orc_ingest_stats",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4391,6 +4452,14 @@ SELECT p.late_sk AS s_suppkey, s.s_name,
 FROM per p JOIN supplier s ON s.s_suppkey = p.late_sk
 WHERE p.ns > 1 AND p.nl = 1
 GROUP BY 1, 2
+""",
+        "orc_ingest_stats": f"""
+SELECT zone, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(reading_units) AS BIGINT) AS sum_units,
+       CAST(min(reading_units) AS BIGINT) AS min_units,
+       CAST(max(reading_units) AS BIGINT) AS max_units
+FROM read_parquet('{os.path.splitext(_ORC_FIXTURE)[0] + ".parquet"}')
+GROUP BY 1
 """,
         "nation_market_share": """
 WITH j AS (

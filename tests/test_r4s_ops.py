@@ -614,3 +614,25 @@ def test_pq_topk_recall_and_determinism(ray_session):
     assert got_ids <= cluster0, got_ids - cluster0
     assert len(got_ids & exact50) >= 8  # coarse recall vs exact top-50
     assert got1["rank"].tolist() == list(range(10))
+
+
+def test_orc_round_trip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources.formats import (
+        read_auto,
+        synth_sensor_orc,
+    )
+
+    p = str(tmp_path / "sensors.orc")
+    synth_sensor_orc(p, n=3000)
+    ds = read_auto(p)
+    assert ds.num_blocks() > 1  # one block per stripe, actually parallel
+    got = ds.to_pandas().sort_values("sensor_id").reset_index(drop=True)
+    exp = (
+        pq.read_table(str(tmp_path / "sensors.parquet"))
+        .to_pandas()
+        .sort_values("sensor_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)

@@ -125,6 +125,24 @@ def read_auto(
             ]
         ds = ray.data.from_arrow_refs(refs)
         return ds.select_columns(columns) if columns else ds
+    if ext == ".orc":
+        # ORC — the columnar stripe format the Hadoop-side half of a
+        # lake usually speaks; pyarrow's native reader. One block per
+        # STRIPE (ray.put per stripe → from_arrow_refs) so a
+        # multi-stripe file parallelizes like the IPC path; the loop is
+        # per-stripe driver work (metadata + one buffer hand-off).
+        import ray as _ray
+        from pyarrow import orc as paorc
+
+        f = paorc.ORCFile(path)
+        refs = []
+        for i in range(f.nstripes):
+            stripe = f.read_stripe(i)
+            if isinstance(stripe, pa.RecordBatch):
+                stripe = pa.Table.from_batches([stripe])
+            refs.append(_ray.put(stripe))
+        ds = ray.data.from_arrow_refs(refs)
+        return ds.select_columns(columns) if columns else ds
     if ext == ".docx":
         # the reference ALLOWS .docx uploads but never parses them
         # (workbook_exporter-fe.py:1928 ALLOWED_EXTENSIONS; no reader
@@ -292,6 +310,53 @@ def synth_metrics_ipc(path: str, n: int = 5000, seed: int = 211) -> str:
         with paipc.new_file(f, tbl.schema) as w:
             for i in range(0, n, 1000):
                 w.write_table(tbl.slice(i, 1000))
+    fd2, tmp2 = tempfile.mkstemp(dir=d, suffix=".parquet")
+    os.close(fd2)
+    pq.write_table(tbl, tmp2)
+    os.replace(tmp2, sibling)
+    os.replace(tmp, path)
+    return path
+
+
+def synth_sensor_orc(path: str, n: int = 6000, seed: int = 401) -> str:
+    """Deterministic ORC ingest fixture (multi-STRIPE, so the reader's
+    one-block-per-stripe path is actually exercised) with a Parquet
+    sibling holding IDENTICAL data for the DuckDB oracle — pure
+    ints/strings, exact on both readers; atomic like the other
+    fixtures.
+
+    Schema: sensor_id (int64), zone (string), reading_units (int64).
+    """
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import orc as paorc
+
+    sibling = os.path.splitext(path)[0] + ".parquet"
+    if os.path.isfile(path) and os.path.isfile(sibling):
+        return path
+    rng = np.random.default_rng(seed)
+    tbl = pa.table(
+        {
+            "sensor_id": pa.array(np.arange(n, dtype=np.int64)),
+            "zone": pa.array(
+                [f"zone{i:02d}" for i in rng.integers(0, 12, n)], pa.string()
+            ),
+            "reading_units": pa.array(
+                rng.integers(-(10**6), 10**6, n).astype(np.int64)
+            ),
+        }
+    )
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".orc")
+    os.close(fd)
+    w = paorc.ORCWriter(tmp, stripe_size=16384)
+    w.write(tbl)
+    w.close()
     fd2, tmp2 = tempfile.mkstemp(dir=d, suffix=".parquet")
     os.close(fd2)
     pq.write_table(tbl, tmp2)
