@@ -2530,6 +2530,70 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_range_sink_roundtrip(sf_dir: str):
+    """Range-partitioned parquet sink: write events keyed by ts, read
+    back through MANIFEST file pruning for a fixed two-week window,
+    profile per source — hash-gated against SQL over the original."""
+    import hashlib
+
+    from workbook_exporter_fe_ray.sinks.range_parquet import (
+        read_range_partitioned,
+        write_range_partitioned,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/wfer_range_sink_{tag}"
+    write_range_partitioned(_events(sf_dir), out_dir, "ts", n_partitions=8)
+    cutoff = 1_705_276_800_000_000  # 2024-01-15 UTC µs
+    ds = read_range_partitioned(out_dir, key_hi=cutoff)
+
+    def _profile(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "n_events": pa.array(np.ones(len(b), np.int64)),
+                "sum_cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by("source").aggregate(
+            [("n_events", "sum"), ("sum_cents", "sum")]
+        )
+        return g.rename_columns(["source", "n_events", "sum_cents"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(_profile, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_events"), Sum("sum_cents"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "n_events": pc.cast(b["sum(n_events)"], pa.int64()),
+                "sum_cents": pc.cast(b["sum(sum_cents)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_fd_violation_audit(sf_dir: str):
+    """FD audit user_id → event_type (how key-like is user_id?)."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import fd_violation_audit
+
+    return fd_violation_audit(
+        read_table(f"{sf_dir}/events.parquet",
+                   columns=["user_id", "event_type"]),
+        "user_id",
+        "event_type",
+    )
+
+
 _ORC_FIXTURE = "/tmp/wfer_sensor.orc"
 
 
@@ -2964,6 +3028,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": _q_nation_market_share,      # Q8 (r4s)
         "pq_topk": _q_pq_topk,                              # PQ-ADC (r4s)
         "orc_ingest_stats": _q_orc_ingest_stats,            # ORC src (r4s)
+        "fd_violation_audit": _q_fd_violation_audit,        # FD DQ (r4s)
+        "range_sink_roundtrip": _q_range_sink_roundtrip,    # sink (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3234,6 +3300,8 @@ _NEW_R4 = (
     "nation_market_share",
     "pq_topk",
     "orc_ingest_stats",
+    "fd_violation_audit",
+    "range_sink_roundtrip",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4452,6 +4520,24 @@ SELECT p.late_sk AS s_suppkey, s.s_name,
 FROM per p JOIN supplier s ON s.s_suppkey = p.late_sk
 WHERE p.ns > 1 AND p.nl = 1
 GROUP BY 1, 2
+""",
+        "range_sink_roundtrip": f"""
+SELECT event_type AS source, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
+FROM events
+WHERE ts < TIMESTAMP '2024-01-15'
+GROUP BY 1
+""",
+        "fd_violation_audit": """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS lhs, event_type AS rhs FROM events),
+per AS (SELECT lhs, CAST(count(*) AS BIGINT) AS n_rhs FROM pairs GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_lhs_keys,
+       CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT)
+         AS n_violating_keys,
+       CAST(max(n_rhs) AS BIGINT) AS max_rhs_distinct,
+       CAST(sum(n_rhs) AS BIGINT) AS n_distinct_pairs
+FROM per
 """,
         "orc_ingest_stats": f"""
 SELECT zone, CAST(count(*) AS BIGINT) AS n_rows,

@@ -636,3 +636,56 @@ def test_orc_round_trip(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(exp)
+
+
+def test_range_sink_prune_resume_order(ray_session, tmp_path):
+    import json
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from workbook_exporter_fe_ray.sinks.range_parquet import (
+        read_range_partitioned,
+        write_range_partitioned,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.permutation(n).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+        }
+    )
+    out = str(tmp_path / "sink")
+    m1 = write_range_partitioned(
+        ray.data.from_arrow(tbl).repartition(7), out, "k", n_partitions=8
+    )
+    parts = m1["partitions"]
+    assert sum(p["n_rows"] for p in parts) == n
+    assert not any(p["skipped"] for p in parts)
+    # ranges are disjoint and ordered; each file is sorted by key
+    for a, b in zip(parts, parts[1:]):
+        assert a["key_max"] < b["key_min"]
+    f0 = pq_.read_table(
+        os.path.join(out, f"part={parts[0]['part']:05d}", "data.parquet")
+    )
+    k0 = f0["k"].to_numpy()
+    assert (np.diff(k0) > 0).all()
+    # manifest pruning: a window inside one partition opens few files
+    lo, hi = parts[2]["key_min"], parts[2]["key_min"] + 10
+    got = read_range_partitioned(out, key_lo=lo, key_hi=hi).to_pandas()
+    exp = np.arange(lo, hi)
+    assert sorted(got["k"].tolist()) == exp.tolist()
+    # resume: kill one partition, rerun — only that one rewrites
+    victim = os.path.join(out, f"part={parts[3]['part']:05d}", ".done")
+    os.remove(victim)
+    m2 = write_range_partitioned(
+        ray.data.from_arrow(tbl).repartition(7), out, "k", n_partitions=8
+    )
+    skipped = {p["part"]: p["skipped"] for p in m2["partitions"]}
+    assert not skipped[parts[3]["part"]]
+    assert all(v for k2, v in skipped.items() if k2 != parts[3]["part"])
+    # full readback reconstructs the global order
+    full = read_range_partitioned(out).to_pandas()
+    assert sorted(full["k"].tolist()) == list(range(n))

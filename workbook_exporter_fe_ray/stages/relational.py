@@ -4652,3 +4652,88 @@ def nation_market_share(
         )
 
     return agg.map_batches(_share, batch_format="pyarrow")
+
+
+def fd_violation_audit(
+    ds: ray.data.Dataset,
+    lhs_col: str,
+    rhs_col: str,
+) -> pa.Table:
+    """Functional-dependency audit: does ``lhs → rhs`` hold?  The
+    data-quality rule behind every "is this column a key / a stable
+    attribute of X" question — counts the LHS keys whose RHS takes
+    more than one distinct value, and how bad the worst offender is.
+
+    Rows collapse block-side to distinct (lhs, rhs) pairs (group_by
+    per block), ONE exchange on lhs co-locates each key's surviving
+    pairs, and the per-group reduce is a sorted run-length count —
+    the exchange carries distinct pairs, not rows, so a 100 TB fact
+    with a near-valid FD ships ~|lhs| rows.
+
+    Output: 1 row (n_lhs_keys, n_violating_keys, max_rhs_distinct,
+    n_distinct_pairs) — all exact int64.
+    """
+    from ray.data.aggregate import Count
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lhs": pc.cast(b[lhs_col], pa.int64()),
+                "rhs": b[rhs_col],
+            }
+        )
+        g = t.group_by(["lhs", "rhs"]).aggregate([])
+        return g
+
+    pairs = (
+        ds.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lhs", "rhs"])
+        .aggregate(Count())
+        .drop_columns(["count()"])
+    )
+
+    def _per_lhs(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"lhs": b["lhs"], "n_rhs": pa.array(np.ones(len(b), np.int64))}
+        )
+        g = t.group_by("lhs").aggregate([("n_rhs", "sum")])
+        return g.rename_columns(["lhs", "n_rhs"])
+
+    from ray.data.aggregate import Sum
+
+    per_lhs = (
+        pairs.map_batches(_per_lhs, batch_format="pyarrow")
+        .groupby("lhs")
+        .aggregate(Sum("n_rhs"))
+    )
+
+    def _summary(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["sum(n_rhs)"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "n_lhs_keys": pa.array([len(n)], pa.int64()),
+                "n_violating_keys": pa.array([int((n > 1).sum())], pa.int64()),
+                "max_rhs_distinct": pa.array(
+                    [int(n.max()) if len(n) else 0], pa.int64()
+                ),
+                "n_distinct_pairs": pa.array([int(n.sum())], pa.int64()),
+            }
+        )
+
+    parts = per_lhs.map_batches(_summary, batch_format="pyarrow")
+    agg = parts.sum(["n_lhs_keys", "n_violating_keys", "n_distinct_pairs"])
+    mx = parts.max("max_rhs_distinct")
+    return pa.table(
+        {
+            "n_lhs_keys": pa.array([int(agg["sum(n_lhs_keys)"])], pa.int64()),
+            "n_violating_keys": pa.array(
+                [int(agg["sum(n_violating_keys)"])], pa.int64()
+            ),
+            "max_rhs_distinct": pa.array([int(mx)], pa.int64()),
+            "n_distinct_pairs": pa.array(
+                [int(agg["sum(n_distinct_pairs)"])], pa.int64()
+            ),
+        }
+    )
