@@ -2530,6 +2530,13 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_bpe_train_merges(sf_dir: str):
+    """Learn the first 40 BPE merge rules from the documents corpus."""
+    from workbook_exporter_fe_ray.stages.text import bpe_train_merges
+
+    return bpe_train_merges(_documents(sf_dir), num_merges=40)
+
+
 def _q_range_sink_roundtrip(sf_dir: str):
     """Range-partitioned parquet sink: write events keyed by ts, read
     back through MANIFEST file pruning for a fixed two-week window,
@@ -3030,6 +3037,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "orc_ingest_stats": _q_orc_ingest_stats,            # ORC src (r4s)
         "fd_violation_audit": _q_fd_violation_audit,        # FD DQ (r4s)
         "range_sink_roundtrip": _q_range_sink_roundtrip,    # sink (r4s)
+        "bpe_train_merges": _q_bpe_train_merges,            # BPE train (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3302,6 +3310,7 @@ _NEW_R4 = (
     "orc_ingest_stats",
     "fd_violation_audit",
     "range_sink_roundtrip",
+    "bpe_train_merges",
 )
 
 _ROWS_ONLY_R3 = (

@@ -689,3 +689,54 @@ def test_range_sink_prune_resume_order(ray_session, tmp_path):
     # full readback reconstructs the global order
     full = read_range_partitioned(out).to_pandas()
     assert sorted(full["k"].tolist()) == list(range(n))
+
+
+def test_bpe_train_vs_corpus_level_reference(ray_session):
+    """Engine (word-frequency-dict BPE) must equal a slow CORPUS-level
+    reference that recounts pairs over every word occurrence."""
+    from workbook_exporter_fe_ray.stages.text import bpe_train_merges
+
+    docs = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest wide lower",
+        "low new wide lowest",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "text": pa.array(docs),
+        }
+    )
+    K = 12
+    got = bpe_train_merges(
+        ray.data.from_arrow(tbl).repartition(3), num_merges=K
+    ).to_pandas()
+
+    # slow reference: every word OCCURRENCE is its own symbol sequence
+    corpus = [list(w) for d in docs for w in d.split()]
+    merges = []
+    for _ in range(K):
+        counts = {}
+        for seq in corpus:
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (la, rb), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((la, rb, cnt))
+        m = la + rb
+        for si, seq in enumerate(corpus):
+            out, j = [], 0
+            while j < len(seq):
+                if j + 1 < len(seq) and seq[j] == la and seq[j + 1] == rb:
+                    out.append(m); j += 2
+                else:
+                    out.append(seq[j]); j += 1
+            corpus[si] = out
+    assert len(got) == len(merges)
+    for i, (la, rb, cnt) in enumerate(merges):
+        row = got.iloc[i]
+        assert (row["left"], row["right"], int(row["pair_count"])) == (
+            la, rb, cnt,
+        ), i

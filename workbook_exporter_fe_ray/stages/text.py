@@ -2198,3 +2198,108 @@ def token_split_drift(
             "n_odd": pa.array(agg["n_odd"].to_numpy(np.int64)),
         }
     )
+
+
+def bpe_train_merges(
+    docs: ray.data.Dataset,
+    num_merges: int = 40,
+    text_col: str = "text",
+    max_vocab: int = 2_000_000,
+) -> pa.Table:
+    """TRAIN a byte-pair-encoding tokenizer: learn the first
+    ``num_merges`` merge rules from the corpus (Sennrich et al. 2016) —
+    the tokenizer-training step of an LLM data pipeline, not just the
+    token counting the rest of this module does.
+
+    The standard recipe splits cleanly into the two scales involved:
+    pair statistics over the CORPUS equal pair statistics over the
+    WORD-FREQUENCY table (BPE merges never cross word boundaries), so
+    the distributed part is ONE word-count exchange (per-block
+    group_by partials → groupby word), and the iterative part — K
+    rounds of count-max-merge, inherently sequential — runs
+    driver-side over that VOCAB-sized table (the exact split every
+    public BPE trainer uses; loud ``max_vocab`` guard names the
+    corpus-vocabulary assumption).  Determinism: max-count ties break
+    lexicographically on (left, right).
+
+    Output: pa.Table (merge_rank, left, right, pair_count) —
+    ``num_merges`` rows in learned order.
+    """
+    from ray.data.aggregate import Sum
+
+    def _word_counts(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        flat = toks.flatten()
+        t = pa.table(
+            {"w": flat, "n": pa.array(np.ones(len(flat), np.int64))}
+        )
+        g = t.group_by("w").aggregate([("n", "sum")])
+        return g.rename_columns(["w", "n"])
+
+    vocab_tbl = (
+        docs.map_batches(
+            _word_counts, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("w")
+        .aggregate(Sum("n"))
+    )
+    tabs = [t for t in ray.get(vocab_tbl.to_arrow_refs()) if len(t)]
+    vt = (
+        pa.concat_tables(tabs)
+        if tabs
+        else pa.table(
+            {"w": pa.array([], pa.string()), "sum(n)": pa.array([], pa.int64())}
+        )
+    )
+    if len(vt) > max_vocab:
+        raise ValueError(
+            f"bpe_train_merges: corpus vocabulary {len(vt)} exceeds "
+            f"max_vocab={max_vocab} — raise the cap or pre-filter"
+        )
+    words = vt["w"].to_pylist()
+    freqs = pc.cast(vt["sum(n)"], pa.int64()).to_numpy(zero_copy_only=False)
+    # deterministic iteration order regardless of block arrival
+    order = np.argsort(np.asarray(words, dtype=object), kind="stable")
+    seqs: list[list[str]] = [list(words[i]) for i in order]
+    fs: list[int] = [int(freqs[i]) for i in order]
+
+    out_l: list[str] = []
+    out_r: list[str] = []
+    out_c: list[int] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for seq, f in zip(seqs, fs):
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (la, rb), cnt = best
+        merged = la + rb
+        for si, seq in enumerate(seqs):
+            j = 0
+            out: list[str] = []
+            while j < len(seq):
+                if j + 1 < len(seq) and seq[j] == la and seq[j + 1] == rb:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(seq[j])
+                    j += 1
+            seqs[si] = out
+        out_l.append(la)
+        out_r.append(rb)
+        out_c.append(cnt)
+    return pa.table(
+        {
+            "merge_rank": pa.array(
+                np.arange(len(out_l), dtype=np.int64)
+            ),
+            "left": pa.array(out_l, pa.string()),
+            "right": pa.array(out_r, pa.string()),
+            "pair_count": pa.array(out_c, pa.int64()),
+        }
+    )
