@@ -740,3 +740,51 @@ def test_bpe_train_vs_corpus_level_reference(ray_session):
         assert (row["left"], row["right"], int(row["pair_count"])) == (
             la, rb, cnt,
         ), i
+
+
+def test_range_frame_windowed_plan_bit_identity(ray_session):
+    """span_frames=2 (forced halo traffic, frames crossing window
+    boundaries) must be bit-identical to a span so large the whole
+    history is one window — for all three RANGE-frame kernels."""
+    from workbook_exporter_fe_ray.stages.window import (
+        range_frame_extrema_1h,
+        range_frame_sum_1h,
+    )
+
+    rng = np.random.default_rng(53)
+    n = 2500
+    base = 1_700_000_000 * US
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(np.zeros(n, np.int64)),
+            # 2 sources over ~10 days: span=2 → ~120 windows, frames
+            # constantly cross boundaries
+            "ts": pa.array(
+                (base + rng.integers(0, 10 * DAY, n)).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(
+                [f"s{k}" for k in rng.integers(0, 2, n)], pa.string()
+            ),
+            "value": pa.array(
+                rng.integers(-9, 10, n).astype(np.float64) * 0.5
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    for fn in (range_frame_sum_1h, range_frame_extrema_1h,
+               range_frame_quantiles_1h):
+        small = (
+            fn(ds, num_partitions=16, span_frames=2)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        huge = (
+            fn(ds, num_partitions=1, span_frames=100_000)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert small.equals(huge), fn.__name__

@@ -4888,10 +4888,66 @@ def user_lifespan_hist(
     return hist.map_batches(_finish, batch_format="pyarrow")
 
 
+def _route_range_windowed(
+    frame_us: int, span_frames: int, num_partitions: int
+):
+    """Shared router for the RANGE-frame family: time-windowed
+    co-partitioning with a frame-sized HALO, so per-task size is
+    bounded by rows-per-(source × span) regardless of how few sources
+    exist — the fix for the one-task-per-low-cardinality-key straggler
+    the plain hash(source) route degenerates into at 100× (VERDICT r3
+    finding 1, applied to this family).
+
+    Rows land in window ``ts // (span_frames·frame)`` tagged own=1;
+    rows within ``frame`` of their window's end are DUPLICATED into
+    the next window tagged own=0 (pure lookback material — the frame
+    is trailing and bounded, so one halo suffices and no carry chain
+    is needed).  Routing key is (source, win): parallelism scales with
+    the time span of the data, not the key cardinality."""
+    if span_frames < 2:
+        raise ValueError("span_frames must be ≥ 2 (window must exceed frame)")
+    F = np.int64(frame_us)
+    W = np.int64(span_frames) * F
+
+    def _route(b: pa.Table) -> pa.Table:
+        from .sweep import with_part
+
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        win = ts // W
+        base = pa.table(
+            {
+                "source": b["event_type"],
+                "ts": pa.array(ts),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "c": _cents(b),
+                "win": pa.array(win),
+                "own": pa.array(np.ones(len(b), np.int8)),
+            }
+        )
+        halo_m = (ts - win * W) >= (W - F)
+        if halo_m.any():
+            sel = pa.array(halo_m)
+            halo = pa.table(
+                {
+                    "source": base["source"].filter(sel),
+                    "ts": base["ts"].filter(sel),
+                    "event_id": base["event_id"].filter(sel),
+                    "c": base["c"].filter(sel),
+                    "win": pa.array(win[halo_m] + 1),
+                    "own": pa.array(np.zeros(int(halo_m.sum()), np.int8)),
+                }
+            )
+            base = pa.concat_tables([base, halo])
+        return with_part(base, ["source", "win"], num_partitions)
+
+    return _route
+
+
 def range_frame_sum_1h(
     events: ray.data.Dataset,
     frame_us: int = 3_600 * US,
     num_partitions: int = 64,
+    span_frames: int = 256,
 ) -> ray.data.Dataset:
     """True RANGE-frame window aggregate: for EVERY event, the count
     and exact cents sum of all same-source events in the trailing
@@ -4901,30 +4957,23 @@ def range_frame_sum_1h(
     value-based frame the ROWS-frame ops in this module can't
     express; :func:`moving_avg_1h` buckets, this one slides per row).
 
-    ONE exchange on hash(source) % P; inside a partition each source
-    run is one int64 cumsum, and every row's frame is two
-    ``searchsorted`` probes against its run's timestamps (prefix-sum
-    difference) — no per-row loop, peers included via the left/right
-    bisect sides exactly as RANGE semantics demand.  All int64 →
-    hash-exact.
+    ONE exchange on the (source, time-window) composite —
+    :func:`_route_range_windowed` halo routing, so per-task size is
+    bounded by rows-per-(source × ``span_frames``·frame) no matter how
+    few sources exist; inside a partition each (source, window) run is
+    one int64 cumsum, and every row's frame is two ``searchsorted``
+    probes (prefix-sum difference) — no per-row loop, peers included
+    via the left/right bisect sides exactly as RANGE semantics demand.
+    Halo rows provide cross-window lookback and are dropped from the
+    output.  All int64 → hash-exact.
 
     Output: one row per event (event_id, source, ts, n_in_frame,
     sum_cents_frame).
     """
-    from .sweep import run_starts_table, with_part
+    from .sweep import run_starts_table
 
     F = np.int64(frame_us)
-
-    def _route(b: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "source": b["event_type"],
-                "ts": pc.cast(b["ts"], pa.int64()),
-                "event_id": b["event_id"],
-                "c": _cents(b),
-            }
-        )
-        return with_part(t, ["source"], num_partitions)
+    _route = _route_range_windowed(frame_us, span_frames, num_partitions)
 
     def _sweep(g: pa.Table) -> pa.Table:
         if len(g) == 0:
@@ -4941,24 +4990,26 @@ def range_frame_sum_1h(
             g,
             sort_keys=[
                 ("source", "ascending"),
+                ("win", "ascending"),
                 ("ts", "ascending"),
                 ("event_id", "ascending"),
             ],
         )
         g = g.take(idx)
         n = len(g)
-        starts = run_starts_table(g, ["source"])
+        starts = run_starts_table(g, ["source", "win"])
         bounds = np.r_[starts, n]
         ts = g["ts"].to_numpy(zero_copy_only=False)
         cv = g["c"].to_numpy(zero_copy_only=False)
         pref = np.zeros(n + 1, np.int64)
         np.cumsum(cv, out=pref[1:])
         # per-run prefix: subtract the run-start prefix value later;
-        # probes must stay inside each row's own run
+        # probes must stay inside each row's own (source, window) run —
+        # halo rows inside the run supply the cross-window lookback
         run_of = np.repeat(np.arange(len(starts), dtype=np.int64),
                            np.diff(bounds))
-        # ts is only piecewise-sorted (per source run), so probes go
-        # through the composite (run · 2^span) + rel encoding, which IS
+        # ts is only piecewise-sorted (per run), so probes go through
+        # the composite (run · 2^span) + rel encoding, which IS
         # globally sorted and confines each probe to its own run
         # (same idiom as nearest_event_join, same loud overflow guard)
         base = ts.min()
@@ -4966,19 +5017,21 @@ def range_frame_sum_1h(
         span = np.int64(1) << np.int64(max(int(rel.max()).bit_length() + 1, 1))
         if len(starts) * int(span) >= (1 << 62):
             raise ValueError(
-                "range_frame_sum_1h: source-runs × ts-span exceeds int64 "
+                "range_frame_sum_1h: runs × ts-span exceeds int64 "
                 "composite headroom — raise num_partitions"
             )
         comp = run_of * span + rel
         lo = np.searchsorted(comp, run_of * span + np.maximum(rel - F, 0), "left")
         hi = np.searchsorted(comp, comp, side="right")
+        own = g["own"].to_numpy(zero_copy_only=False) == 1
+        sel = pa.array(own)
         return pa.table(
             {
-                "event_id": g["event_id"],
-                "source": g["source"],
-                "ts": pa.array(ts, pa.timestamp("us")),
-                "n_in_frame": pa.array((hi - lo).astype(np.int64)),
-                "sum_cents_frame": pa.array(pref[hi] - pref[lo]),
+                "event_id": g["event_id"].filter(sel),
+                "source": g["source"].filter(sel),
+                "ts": pa.array(ts[own], pa.timestamp("us")),
+                "n_in_frame": pa.array((hi - lo)[own].astype(np.int64)),
+                "sum_cents_frame": pa.array((pref[hi] - pref[lo])[own]),
             }
         )
 
@@ -5715,6 +5768,7 @@ def range_frame_extrema_1h(
     events: ray.data.Dataset,
     frame_us: int = 3_600 * US,
     num_partitions: int = 64,
+    span_frames: int = 256,
 ) -> ray.data.Dataset:
     """RANGE-frame sliding EXTREMA: per event, the max AND min cents
     over its source's trailing interval ``[ts − frame, ts]`` (equal-ts
@@ -5728,25 +5782,17 @@ def range_frame_extrema_1h(
     partition, zero Python-per-row.
 
     Frame bounds come from the same composite (run · 2^span)+rel
-    encoding as the other RANGE ops (probes can't leak across source
-    runs; loud overflow guard).
+    encoding as the other RANGE ops (probes can't leak across runs;
+    loud overflow guard).  Routing is the family's windowed halo plan
+    (:func:`_route_range_windowed`): per-task size bounded by
+    rows-per-(source × span), not key cardinality.
 
     Output: (event_id, source, ts, max_cents_frame, min_cents_frame).
     """
-    from .sweep import run_starts_table, with_part
+    from .sweep import run_starts_table
 
     F = np.int64(frame_us)
-
-    def _route(b: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "source": b["event_type"],
-                "ts": pc.cast(b["ts"], pa.int64()),
-                "event_id": b["event_id"],
-                "c": _cents(b),
-            }
-        )
-        return with_part(t, ["source"], num_partitions)
+    _route = _route_range_windowed(frame_us, span_frames, num_partitions)
 
     def _sweep(g: pa.Table) -> pa.Table:
         if len(g) == 0:
@@ -5763,13 +5809,14 @@ def range_frame_extrema_1h(
             g,
             sort_keys=[
                 ("source", "ascending"),
+                ("win", "ascending"),
                 ("ts", "ascending"),
                 ("event_id", "ascending"),
             ],
         )
         g = g.take(idx)
         n = len(g)
-        starts = run_starts_table(g, ["source"])
+        starts = run_starts_table(g, ["source", "win"])
         bounds = np.r_[starts, n]
         run_of = np.repeat(
             np.arange(len(starts), dtype=np.int64), np.diff(bounds)
@@ -5781,7 +5828,7 @@ def range_frame_extrema_1h(
         span = np.int64(1) << np.int64(max(int(rel.max()).bit_length() + 1, 1))
         if len(starts) * int(span) >= (1 << 62):
             raise ValueError(
-                "range_frame_extrema_1h: source-runs × ts-span exceeds "
+                "range_frame_extrema_1h: runs × ts-span exceeds "
                 "int64 composite headroom — raise num_partitions"
             )
         comp = run_of * span + rel
@@ -5815,13 +5862,15 @@ def range_frame_extrema_1h(
             b2 = hi[m] - (1 << j) + 1
             mx[m] = np.maximum(stmax[j][a], stmax[j][b2])
             mn[m] = np.minimum(stmin[j][a], stmin[j][b2])
+        own = g["own"].to_numpy(zero_copy_only=False) == 1
+        sel = pa.array(own)
         return pa.table(
             {
-                "event_id": g["event_id"],
-                "source": g["source"],
-                "ts": pa.array(ts, pa.timestamp("us")),
-                "max_cents_frame": pa.array(mx),
-                "min_cents_frame": pa.array(mn),
+                "event_id": g["event_id"].filter(sel),
+                "source": g["source"].filter(sel),
+                "ts": pa.array(ts[own], pa.timestamp("us")),
+                "max_cents_frame": pa.array(mx[own]),
+                "min_cents_frame": pa.array(mn[own]),
             }
         )
 
@@ -6556,6 +6605,7 @@ def range_frame_quantiles_1h(
     events: ray.data.Dataset,
     frame_us: int = 3_600 * US,
     num_partitions: int = 64,
+    span_frames: int = 256,
 ) -> ray.data.Dataset:
     """RANGE-frame sliding ORDER STATISTICS: per event, the exact
     discrete median and p90 of cents over its source's trailing
@@ -6581,28 +6631,19 @@ def range_frame_quantiles_1h(
     other RANGE ops (probes can't leak across source runs; loud
     overflow guard).  All int64 → hash-exact vs the SQL window oracle.
 
-    Scale shape: ONE exchange on hash(source) % P; per-partition extra
-    memory is the wavelet matrix, (n+1)·log₂|V| int64 — size
-    ``num_partitions`` so a partition fits a worker heap (same
-    contract as every keyed sweep in this module).
+    Scale shape: ONE exchange on the (source, time-window) composite
+    (:func:`_route_range_windowed` halo routing — per-task size
+    bounded by rows-per-(source × span), not key cardinality);
+    per-partition extra memory is the wavelet matrix,
+    (n+1)·log₂|V| int64.
 
     Output: (event_id, source, ts, n_in_frame, median_cents,
     p90_cents) — one row per event.
     """
-    from .sweep import run_starts_table, with_part
+    from .sweep import run_starts_table
 
     F = np.int64(frame_us)
-
-    def _route(b: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "source": b["event_type"],
-                "ts": pc.cast(b["ts"], pa.int64()),
-                "event_id": b["event_id"],
-                "c": _cents(b),
-            }
-        )
-        return with_part(t, ["source"], num_partitions)
+    _route = _route_range_windowed(frame_us, span_frames, num_partitions)
 
     def _sweep(g: pa.Table) -> pa.Table:
         if len(g) == 0:
@@ -6620,13 +6661,14 @@ def range_frame_quantiles_1h(
             g,
             sort_keys=[
                 ("source", "ascending"),
+                ("win", "ascending"),
                 ("ts", "ascending"),
                 ("event_id", "ascending"),
             ],
         )
         g = g.take(idx)
         n = len(g)
-        starts = run_starts_table(g, ["source"])
+        starts = run_starts_table(g, ["source", "win"])
         bounds = np.r_[starts, n]
         run_of = np.repeat(
             np.arange(len(starts), dtype=np.int64), np.diff(bounds)
@@ -6638,7 +6680,7 @@ def range_frame_quantiles_1h(
         span = np.int64(1) << np.int64(max(int(rel.max()).bit_length() + 1, 1))
         if len(starts) * int(span) >= (1 << 62):
             raise ValueError(
-                "range_frame_quantiles_1h: source-runs × ts-span exceeds "
+                "range_frame_quantiles_1h: runs × ts-span exceeds "
                 "int64 composite headroom — raise num_partitions"
             )
         comp = run_of * span + rel
@@ -6678,16 +6720,19 @@ def range_frame_quantiles_1h(
                 k = np.where(right, k - c0, k)
             return out
 
+        own = g["own"].to_numpy(zero_copy_only=False) == 1
         k_med = (n_fr + 1) // 2 - 1          # ceil(0.5·n) − 1, exact ints
         k_p90 = (9 * n_fr + 9) // 10 - 1     # ceil(0.9·n) − 1
-        med = vals[_kth(lo, hi, k_med)]
-        p90 = vals[_kth(lo, hi, k_p90)]
+        # queries only for OWN rows (halo rows are lookback material)
+        med = vals[_kth(lo[own], hi[own], k_med[own])]
+        p90 = vals[_kth(lo[own], hi[own], k_p90[own])]
+        sel = pa.array(own)
         return pa.table(
             {
-                "event_id": g["event_id"],
-                "source": g["source"],
-                "ts": pa.array(ts, pa.timestamp("us")),
-                "n_in_frame": pa.array(n_fr.astype(np.int64)),
+                "event_id": g["event_id"].filter(sel),
+                "source": g["source"].filter(sel),
+                "ts": pa.array(ts[own], pa.timestamp("us")),
+                "n_in_frame": pa.array(n_fr[own].astype(np.int64)),
                 "median_cents": pa.array(med),
                 "p90_cents": pa.array(p90),
             }
