@@ -788,3 +788,52 @@ def test_range_frame_windowed_plan_bit_identity(ray_session):
             .reset_index(drop=True)
         )
         assert small.equals(huge), fn.__name__
+
+
+def test_ts_value_inversions_windowed_bit_identity(ray_session):
+    """Forced multi-window split (span = 10 min over an hour of data)
+    must equal both the single-window plan and brute force — the
+    cross-window histogram walk is exact."""
+    from workbook_exporter_fe_ray.stages.window import ts_value_inversions
+
+    rng = np.random.default_rng(61)
+    n = 1200
+    base = 1_700_000_000 * US
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(np.zeros(n, np.int64)),
+            "ts": pa.array(
+                (base + rng.integers(0, HOUR, n)).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(
+                [f"s{k}" for k in rng.integers(0, 3, n)], pa.string()
+            ),
+            "value": pa.array(
+                rng.integers(-7, 8, n).astype(np.float64) * 0.5
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    many = (
+        ts_value_inversions(ds, num_partitions=8, span_us=600 * US)
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    one = (
+        ts_value_inversions(ds, num_partitions=1, span_us=10**15)
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert many.equals(one)
+    df = tbl.to_pandas()
+    df["c"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+    df["tsu"] = tbl["ts"].cast(pa.int64()).to_numpy()
+    for s, gdf in df.groupby("event_type"):
+        gdf = gdf.sort_values(["tsu", "event_id"])
+        c = gdf["c"].to_numpy()
+        brute = sum(int((c[i] > c[i + 1:]).sum()) for i in range(len(c)))
+        assert int(many.loc[s, "n_inversions"]) == brute, s

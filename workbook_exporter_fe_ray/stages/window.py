@@ -6745,27 +6745,30 @@ def range_frame_quantiles_1h(
 def ts_value_inversions(
     events: ray.data.Dataset,
     num_partitions: int = 64,
+    span_us: int = 7 * 86_400 * US,
 ) -> ray.data.Dataset:
     """Per-source SEQUENCE DISORDER: the number of discordant pairs
     between time order and value order — pairs (i, j) with
     (ts_i, id_i) < (ts_j, id_j) but cents_i > cents_j (Kendall-tau
     discordance; 0 for a monotone series, n·(n−1)/2 for a reversed
-    one).  Pair counting is quadratic in SQL; here it is the classic
-    mergesort inversion count, made BATCH-vectorized.
+    one).  Pair counting is quadratic in SQL; here it decomposes over
+    TIME WINDOWS so parallelism never collapses onto one task per
+    low-cardinality source:
 
-    The sweep counts every source in its partition simultaneously:
-    values are rank-compressed, then lifted to composites
-    ``run·K + rank`` so cross-source pairs are never inversions (runs
-    concatenate in sorted order → cross-run comparisons are always
-    ascending) and ONE bottom-up mergesort over the whole partition
-    counts exactly the within-source inversions.  Each of the log n
-    levels is three numpy passes, no per-row loop: both halves of all
-    2B-blocks get a second composite lift ``row·K₂`` so a SINGLE
-    np.searchsorted answers every block-pair's
-    "lefts greater than this right element" count at once; counts
-    attribute to the right element's run via np.add.at (a counted pair
-    is always same-run); the merge itself is np.sort(axis=1).
-    O(n log² n) work, O(n) memory, loud int64 headroom guard.
+    1. Rows route on the (source, ts // span) composite.  Per window,
+       the WITHIN-window count is the classic mergesort inversion
+       count made batch-vectorized: values rank-compressed, lifted to
+       run·K+rank composites (cross-run pairs can never invert), ONE
+       bottom-up merge counts every run in the partition at once —
+       each level is a single searchsorted over row-offset composites
+       plus np.add.at, no per-row loop.  The window also emits its
+       value HISTOGRAM (distinct cents → count).
+    2. CROSS-window pairs need no row data at all: for windows A < B,
+       discordant pairs = Σ_v n_B(v) · n_A(> v) — a suffix-sum walk
+       over the per-window histograms.  ONE source-keyed exchange
+       ships only (window, cents, count) rows; the per-source stitch
+       is histogram-domain-sized (windows × distinct values), never
+       row-sized — the bounded-stitch contract of dau_mau_stickiness.
 
     Output: (source, n_events, n_pairs, n_inversions, concordance)
     with concordance = (n_pairs − 2·inv)/n_pairs as ONE pinned double
@@ -6773,25 +6776,36 @@ def ts_value_inversions(
     """
     from .sweep import run_starts_table, with_part
 
+    W = np.int64(span_us)
+
     def _route(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64())
         t = pa.table(
             {
                 "source": b["event_type"],
-                "ts": pc.cast(b["ts"], pa.int64()),
+                "ts": ts,
+                "win": pa.array(
+                    ts.to_numpy(zero_copy_only=False) // W
+                ),
                 "event_id": pc.cast(b["event_id"], pa.int64()),
                 "c": _cents(b),
             }
         )
-        return with_part(t, ["source"], num_partitions)
+        return with_part(t, ["source", "win"], num_partitions)
 
     def _sweep(g: pa.Table) -> pa.Table:
+        """Per (source, window) run: within-window inversion count via
+        the batch merge counter + the window's value histogram.  Output
+        rows: kind=0 summaries (n_events, inv) and kind=1 histogram
+        entries (cents, cnt)."""
         empty = pa.table(
             {
                 "source": pa.array([], pa.string()),
-                "n_events": pa.array([], pa.int64()),
-                "n_pairs": pa.array([], pa.int64()),
-                "n_inversions": pa.array([], pa.int64()),
-                "concordance": pa.array([], pa.float64()),
+                "win": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.int8()),
+                "cents": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "inv": pa.array([], pa.int64()),
             }
         )
         if len(g) == 0:
@@ -6800,26 +6814,24 @@ def ts_value_inversions(
             g,
             sort_keys=[
                 ("source", "ascending"),
+                ("win", "ascending"),
                 ("ts", "ascending"),
                 ("event_id", "ascending"),
             ],
         )
         g = g.take(idx)
         n = len(g)
-        starts = run_starts_table(g, ["source"])
+        starts = run_starts_table(g, ["source", "win"])
         nruns = len(starts)
-        run_of = np.repeat(
-            np.arange(nruns, dtype=np.int64), np.diff(np.r_[starts, n])
-        )
+        lens = np.diff(np.r_[starts, n])
+        run_of = np.repeat(np.arange(nruns, dtype=np.int64), lens)
         cv = g["c"].to_numpy(zero_copy_only=False)
-        # rank-compress within the partition (preserves within-run order)
         vals = np.unique(cv)
         ranks = np.searchsorted(vals, cv).astype(np.int64)
         K1 = np.int64(1) << np.int64(max(int(n).bit_length(), 1))
-        pad_val = np.int64(nruns) * K1  # > every real composite
+        pad_val = np.int64(nruns) * K1
         n2 = 1 << int(max(n - 1, 1).bit_length())
         K2 = np.int64(1) << np.int64(int(pad_val + 1).bit_length())
-        # worst row-offset at B=1: (n2/2 − 1)·K2 + pad must fit int64
         if (n2 // 2) * int(K2) >= (1 << 62):
             raise ValueError(
                 "ts_value_inversions: partition too large for the int64 "
@@ -6827,7 +6839,7 @@ def ts_value_inversions(
             )
         a = np.full(n2, pad_val, np.int64)
         a[:n] = run_of * K1 + ranks
-        inv = np.zeros(nruns + 1, np.int64)  # slot nruns: pad (always 0)
+        inv = np.zeros(nruns + 1, np.int64)
         B = 1
         while B < n2:
             m = n2 // (2 * B)
@@ -6838,31 +6850,102 @@ def ts_value_inversions(
             flat_r = (rights + rowoff[:, None]).ravel()
             pos = np.searchsorted(flat_l, flat_r, side="right")
             row_end = np.repeat((rowoff // K2 + 1) * B, B)
-            cnt = row_end - pos  # lefts strictly greater than this right
-            rr = rights.ravel() // K1  # run of each right element
+            cnt = row_end - pos
+            rr = rights.ravel() // K1
             nz = cnt > 0
             if nz.any():
                 np.add.at(inv, rr[nz], cnt[nz])
             a = np.sort(a2, axis=1).ravel()
             B *= 2
         inv = inv[:nruns]
-        n_ev = np.diff(np.r_[starts, n]).astype(np.int64)
-        n_pairs = n_ev * (n_ev - 1) // 2
-        conc = np.where(
-            n_pairs > 0,
-            (n_pairs - 2 * inv).astype(np.float64)
-            / np.maximum(n_pairs, 1).astype(np.float64),
-            0.0,
+        # summaries, one per run
+        src_runs = g["source"].take(pa.array(starts))
+        win_runs = g["win"].take(pa.array(starts))
+        summary = pa.table(
+            {
+                "source": src_runs,
+                "win": win_runs,
+                "kind": pa.array(np.zeros(nruns, np.int8)),
+                "cents": pa.array(np.zeros(nruns, np.int64)),
+                "cnt": pa.array(lens.astype(np.int64)),
+                "inv": pa.array(inv),
+            }
+        )
+        # per-run value histograms: sort (run, rank) then run-length
+        comp = run_of * K1 + ranks
+        horder = np.argsort(comp, kind="stable")
+        hc = comp[horder]
+        hstarts = np.flatnonzero(np.r_[True, hc[1:] != hc[:-1]])
+        hlens = np.diff(np.r_[hstarts, n]).astype(np.int64)
+        hrun = (hc[hstarts] // K1).astype(np.int64)
+        hval = vals[(hc[hstarts] % K1).astype(np.int64)]
+        hist = pa.table(
+            {
+                "source": src_runs.take(pa.array(hrun)),
+                "win": win_runs.take(pa.array(hrun)),
+                "kind": pa.array(np.ones(len(hstarts), np.int8)),
+                "cents": pa.array(hval),
+                "cnt": pa.array(hlens),
+                "inv": pa.array(np.zeros(len(hstarts), np.int64)),
+            }
+        )
+        return pa.concat_tables([summary, hist])
+
+    def _stitch(g: pa.Table) -> pa.Table:
+        """Per source: Σ within-window inversions + cross-window terms
+        from the time-ordered histogram suffix walk."""
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "n_inversions": pa.array([], pa.int64()),
+                    "concordance": pa.array([], pa.float64()),
+                }
+            )
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        wins = g["win"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        invc = g["inv"].to_numpy(zero_copy_only=False)
+        is_sum = kind == 0
+        n_events = int(cnt[is_sum].sum())
+        total_inv = int(invc[is_sum].sum())
+        # cross terms over the value domain
+        hsel = ~is_sum
+        hw, hv, hc_ = wins[hsel], cents[hsel], cnt[hsel]
+        vals = np.unique(hv)
+        vidx = np.searchsorted(vals, hv)
+        cum = np.zeros(len(vals), np.int64)  # histogram of earlier windows
+        for w in np.unique(hw):  # time order; windows per source bounded
+            m = hw == w
+            dense = np.zeros(len(vals), np.int64)
+            dense[vidx[m]] = hc_[m]
+            # n_A(> v): suffix sum of cum strictly above v
+            suffix_gt = np.concatenate([np.cumsum(cum[::-1])[::-1][1:], [0]])
+            total_inv += int((dense * suffix_gt).sum())
+            cum += dense
+        n_pairs = n_events * (n_events - 1) // 2
+        conc = (
+            float(n_pairs - 2 * total_inv) / float(n_pairs)
+            if n_pairs > 0
+            else 0.0
         )
         return pa.table(
             {
-                "source": g["source"].take(pa.array(starts)),
-                "n_events": pa.array(n_ev),
-                "n_pairs": pa.array(n_pairs),
-                "n_inversions": pa.array(inv),
-                "concordance": pa.array(conc),
+                "source": g["source"].slice(0, 1),
+                "n_events": pa.array([n_events], pa.int64()),
+                "n_pairs": pa.array([n_pairs], pa.int64()),
+                "n_inversions": pa.array([total_inv], pa.int64()),
+                "concordance": pa.array([conc], pa.float64()),
             }
         )
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
-    return routed.groupby("__part").map_groups(_sweep, batch_format="pyarrow")
+    per_window = routed.groupby("__part").map_groups(
+        _sweep, batch_format="pyarrow"
+    )
+    return per_window.groupby("source").map_groups(
+        _stitch, batch_format="pyarrow"
+    )
