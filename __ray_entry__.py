@@ -2530,6 +2530,41 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_all_orders_above_nation_avg(sf_dir: str):
+    """Universal quantifier: customers whose EVERY order beats the
+    nation average — ALL collapses to min() with exact int cross-mul."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import (
+        all_orders_above_nation_avg,
+    )
+
+    return all_orders_above_nation_avg(
+        read_table(f"{sf_dir}/orders.parquet",
+                   columns=["o_custkey", "o_totalprice"]),
+        read_table(f"{sf_dir}/customer.parquet",
+                   columns=["c_custkey", "c_nationkey"]),
+    )
+
+
+def _q_revenue_share_hierarchy(sf_dir: str):
+    """Percent-of-parent rollup: nation → region → grand total."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import (
+        revenue_share_hierarchy,
+    )
+
+    return revenue_share_hierarchy(
+        read_table(f"{sf_dir}/orders.parquet",
+                   columns=["o_custkey", "o_totalprice"]),
+        read_table(f"{sf_dir}/customer.parquet",
+                   columns=["c_custkey", "c_nationkey"]),
+        pq.read_table(f"{sf_dir}/nation.parquet",
+                      columns=["n_nationkey", "n_regionkey"]),
+    )
+
+
 def _q_bpe_train_merges(sf_dir: str):
     """Learn the first 40 BPE merge rules from the documents corpus."""
     from workbook_exporter_fe_ray.stages.text import bpe_train_merges
@@ -3038,6 +3073,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "fd_violation_audit": _q_fd_violation_audit,        # FD DQ (r4s)
         "range_sink_roundtrip": _q_range_sink_roundtrip,    # sink (r4s)
         "bpe_train_merges": _q_bpe_train_merges,            # BPE train (r4s)
+        "all_orders_above_nation_avg": _q_all_orders_above_nation_avg,  # ∀
+        "revenue_share_hierarchy": _q_revenue_share_hierarchy,  # drill (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3311,6 +3348,8 @@ _NEW_R4 = (
     "fd_violation_audit",
     "range_sink_roundtrip",
     "bpe_train_merges",
+    "all_orders_above_nation_avg",
+    "revenue_share_hierarchy",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4529,6 +4568,48 @@ SELECT p.late_sk AS s_suppkey, s.s_name,
 FROM per p JOIN supplier s ON s.s_suppkey = p.late_sk
 WHERE p.ns > 1 AND p.nl = 1
 GROUP BY 1, 2
+""",
+        "all_orders_above_nation_avg": """
+WITH pc_ AS (
+  SELECT o_custkey,
+         CAST(min(round(o_totalprice * 100)) AS BIGINT) AS min_c,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+j AS (
+  SELECT c.c_nationkey, p.min_c, p.sum_c, p.n
+  FROM pc_ p JOIN customer c ON c.c_custkey = p.o_custkey),
+nat AS (
+  SELECT c_nationkey, CAST(sum(sum_c) AS BIGINT) AS ns,
+         CAST(sum(n) AS BIGINT) AS nn
+  FROM j GROUP BY 1)
+SELECT CAST(j.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN j.min_c * nat.nn > nat.ns THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_all_above
+FROM j JOIN nat USING (c_nationkey)
+WHERE j.n > 1
+GROUP BY 1
+""",
+        "revenue_share_hierarchy": """
+WITH nat AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS nation_cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1),
+wr AS (
+  SELECT nat.c_nationkey, CAST(n.n_regionkey AS BIGINT) AS n_regionkey,
+         nat.nation_cents
+  FROM nat JOIN nation n ON n.n_nationkey = nat.c_nationkey)
+SELECT c_nationkey, n_regionkey, nation_cents,
+       CAST(nation_cents AS DOUBLE)
+         / sum(nation_cents) OVER (PARTITION BY n_regionkey)
+         AS share_of_region,
+       CAST(nation_cents AS DOUBLE) / sum(nation_cents) OVER ()
+         AS share_of_total
+FROM wr
 """,
         "range_sink_roundtrip": f"""
 SELECT event_type AS source, CAST(count(*) AS BIGINT) AS n_events,

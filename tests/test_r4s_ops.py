@@ -837,3 +837,80 @@ def test_ts_value_inversions_windowed_bit_identity(ray_session):
         c = gdf["c"].to_numpy()
         brute = sum(int((c[i] > c[i + 1:]).sum()) for i in range(len(c)))
         assert int(many.loc[s, "n_inversions"]) == brute, s
+
+
+def test_all_orders_above_nation_avg_engineered(ray_session):
+    from workbook_exporter_fe_ray.stages.relational import (
+        all_orders_above_nation_avg,
+    )
+
+    # nation 0: orders 10,20 (cust1) & 40,50 (cust2); avg=30.
+    # cust2 min=40>30 ✓ all-above; cust1 min=10 ✗.
+    # nation 1: single-order cust3 excluded (n=1).
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "o_totalprice": pa.array([10.0, 20.0, 40.0, 50.0, 99.0]),
+        }
+    )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_nationkey": pa.array([0, 0, 1], pa.int64()),
+        }
+    )
+    out = (
+        all_orders_above_nation_avg(
+            ray.data.from_arrow(orders).repartition(3),
+            ray.data.from_arrow(cust),
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("c_nationkey")
+        .sort_index()
+    )
+    assert list(out.index) == [0]
+    assert int(out.loc[0, "n_customers"]) == 2
+    assert int(out.loc[0, "n_all_above"]) == 1
+
+
+def test_revenue_share_hierarchy_engineered(ray_session):
+    from workbook_exporter_fe_ray.stages.relational import (
+        revenue_share_hierarchy,
+    )
+
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_totalprice": pa.array([10.0, 30.0, 20.0, 40.0]),
+        }
+    )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_nationkey": pa.array([0, 1, 2, 2], pa.int64()),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+            # nations 0,1 in region 0; nation 2 in region 1
+            "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+        }
+    )
+    out = (
+        revenue_share_hierarchy(
+            ray.data.from_arrow(orders).repartition(2),
+            ray.data.from_arrow(cust),
+            nation,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("c_nationkey")
+        .sort_index()
+    )
+    assert out.loc[0, "share_of_region"] == 0.25   # 10 / 40
+    assert out.loc[1, "share_of_region"] == 0.75   # 30 / 40
+    assert out.loc[2, "share_of_region"] == 1.0    # 60 / 60
+    assert out.loc[2, "share_of_total"] == 0.6     # 60 / 100
+    assert int(out.loc[2, "nation_cents"]) == 6000

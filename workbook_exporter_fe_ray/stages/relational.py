@@ -4737,3 +4737,266 @@ def fd_violation_audit(
             ),
         }
     )
+
+
+def all_orders_above_nation_avg(
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Universal-quantifier report (the ∀ dual of Q21's ∃): per
+    nation, how many multi-order customers placed EVERY order above
+    their nation's average order value — ``ALL`` collapses to
+    ``min(order_total) > nation_avg``, and the average test is exact
+    integer cross-multiplication ``min_cents · nation_n >
+    nation_sum_cents`` (no float divide anywhere).
+
+    Plan: orders shrink block-side to per-customer (min_cents, n)
+    partials → ONE custkey exchange; customer attaches nationkey via
+    the custkey bucket join; nation totals are a second, nation-domain
+    exchange over the SAME partials (pre-aggregated block-side, so the
+    fact streams once); the driver broadcast is nation-domain-sized.
+
+    Output: (c_nationkey, n_customers, n_all_above) per nation —
+    multi-order customers only (a single order is trivially ALL).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def _ord_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = t.group_by("c_custkey").aggregate(
+            [("cents", "min"), ("cents", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(["c_custkey", "min_c", "sum_c", "n"])
+
+    per_cust = (
+        orders.map_batches(
+            _ord_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("c_custkey")
+        .aggregate(Min("min_c"), Sum("sum_c"), Sum("n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": b["c_custkey"],
+                    "min_c": pc.cast(b["min(min_c)"], pa.int64()),
+                    "sum_c": pc.cast(b["sum(sum_c)"], pa.int64()),
+                    "n": pc.cast(b["sum(n)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    cust = customer.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "cnat": pc.cast(b["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = hash_bucket_join(
+        per_cust, cust, "c_custkey", ("min_c", "sum_c", "n"), ("cnat",),
+        n_buckets=num_partitions,
+    ).materialize()  # consumed twice: nation totals + the ALL test
+
+    def _nation_tot(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"cnat": b["cnat"], "sum_c": b["sum_c"], "n": b["n"]}
+        )
+        g = t.group_by("cnat").aggregate([("sum_c", "sum"), ("n", "sum")])
+        return g.rename_columns(["cnat", "sum_c", "n"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    nat = (
+        joined.map_batches(_nation_tot, batch_format="pyarrow")
+        .groupby("cnat")
+        .aggregate(_Sum("sum_c"), _Sum("n"))
+        .to_arrow_refs()
+    )
+    tabs = [t for t in (ray.get(r) for r in nat) if len(t)]
+    ntbl = pa.concat_tables(tabs)
+    nk = pc.cast(ntbl["cnat"], pa.int64()).to_numpy(zero_copy_only=False)
+    ns = pc.cast(ntbl["sum(sum_c)"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    nn = pc.cast(ntbl["sum(n)"], pa.int64()).to_numpy(zero_copy_only=False)
+    o = np.argsort(nk, kind="stable")
+    nat_ref = ray.put((nk[o], ns[o], nn[o]))
+
+    class _AllAbove:
+        def __init__(self, ref):
+            self.nk, self.ns, self.nn = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            cnat = b["cnat"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.nk, cnat)
+            minc = b["min_c"].to_numpy(zero_copy_only=False)
+            n = b["n"].to_numpy(zero_copy_only=False)
+            multi = n > 1
+            above = multi & (
+                minc * self.nn[pos] > self.ns[pos]
+            )
+            t = pa.table(
+                {
+                    "c_nationkey": pa.array(cnat[multi]),
+                    "n_customers": pa.array(
+                        np.ones(int(multi.sum()), np.int64)
+                    ),
+                    "n_all_above": pa.array(
+                        above[multi].astype(np.int64)
+                    ),
+                }
+            )
+            g = t.group_by("c_nationkey").aggregate(
+                [("n_customers", "sum"), ("n_all_above", "sum")]
+            )
+            return g.rename_columns(
+                ["c_nationkey", "n_customers", "n_all_above"]
+            )
+
+    from ray.data.aggregate import Sum as _Sum2
+
+    agg = (
+        joined.map_batches(
+            _AllAbove,
+            fn_constructor_args=(nat_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        .groupby("c_nationkey")
+        .aggregate(_Sum2("n_customers"), _Sum2("n_all_above"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                "n_customers": pc.cast(b["sum(n_customers)"], pa.int64()),
+                "n_all_above": pc.cast(b["sum(n_all_above)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def revenue_share_hierarchy(
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    nation: pa.Table,
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Percent-of-parent HIERARCHICAL rollup: order revenue by nation,
+    each nation's share of its REGION, each region's share of the
+    GRAND total — the drill-down report shape (child/parent ratio at
+    every level), all levels derived from ONE pass over the fact.
+
+    orders reduce block-side to per-customer cents partials → custkey
+    bucket join attaches nationkey → nation-domain aggregate.  The
+    nation→region→total cascade then happens on the driver over the
+    NATION-domain table (25 rows; dimension-sized by definition), with
+    every share ONE pinned int/int double division.
+
+    Output: (c_nationkey, n_regionkey, nation_cents,
+    share_of_region, share_of_total) sorted by nation key.
+    """
+    from ray.data.aggregate import Sum
+
+    def _ord_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+        g = t.group_by("c_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["c_custkey", "cents"])
+
+    per_cust = orders.map_batches(
+        _ord_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cust = customer.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "cnat": pc.cast(b["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = hash_bucket_join(
+        per_cust, cust, "c_custkey", ("cents",), ("cnat",),
+        n_buckets=num_partitions,
+    )
+
+    def _nat_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"cnat": b["cnat"], "cents": b["cents"]})
+        g = t.group_by("cnat").aggregate([("cents", "sum")])
+        return g.rename_columns(["cnat", "cents"])
+
+    agg = (
+        joined.map_batches(_nat_partial, batch_format="pyarrow")
+        .groupby("cnat")
+        .aggregate(Sum("cents"))
+        .to_arrow_refs()
+    )
+    tabs = [t for t in (ray.get(r) for r in agg) if len(t)]
+    ntbl = (
+        pa.concat_tables(tabs)
+        if tabs
+        else pa.table(
+            {"cnat": pa.array([], pa.int64()),
+             "sum(cents)": pa.array([], pa.int64())}
+        )
+    )
+    nk = pc.cast(ntbl["cnat"], pa.int64()).to_numpy(zero_copy_only=False)
+    nc = pc.cast(ntbl["sum(cents)"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    o = np.argsort(nk, kind="stable")
+    nk, nc = nk[o], nc[o]
+    dk = pc.cast(nation["n_nationkey"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    dr = pc.cast(nation["n_regionkey"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    do = np.argsort(dk, kind="stable")
+    reg = dr[do][np.searchsorted(dk[do], nk)]
+    total = int(nc.sum())
+    reg_tot = {int(r): 0 for r in np.unique(reg)}
+    for r, c in zip(reg, nc):
+        reg_tot[int(r)] += int(c)
+    share_reg = np.array(
+        [c / reg_tot[int(r)] if reg_tot[int(r)] else 0.0
+         for r, c in zip(reg, nc)],
+        np.float64,
+    )
+    share_tot = np.array(
+        [c / total if total else 0.0 for c in nc], np.float64
+    )
+    return pa.table(
+        {
+            "c_nationkey": pa.array(nk),
+            "n_regionkey": pa.array(reg),
+            "nation_cents": pa.array(nc),
+            "share_of_region": pa.array(share_reg),
+            "share_of_total": pa.array(share_tot),
+        }
+    )
