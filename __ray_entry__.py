@@ -2530,6 +2530,13 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_kmeans_lloyd_5iter(sf_dir: str):
+    """Five full distributed Lloyd iterations (iterative-ML loop)."""
+    from workbook_exporter_fe_ray.stages.similarity import kmeans_lloyd_iters
+
+    return kmeans_lloyd_iters(_embeddings(sf_dir), k=8, iters=5)
+
+
 def _q_all_orders_above_nation_avg(sf_dir: str):
     """Universal quantifier: customers whose EVERY order beats the
     nation average — ALL collapses to min() with exact int cross-mul."""
@@ -3075,6 +3082,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "bpe_train_merges": _q_bpe_train_merges,            # BPE train (r4s)
         "all_orders_above_nation_avg": _q_all_orders_above_nation_avg,  # ∀
         "revenue_share_hierarchy": _q_revenue_share_hierarchy,  # drill (r4s)
+        "kmeans_lloyd_5iter": _q_kmeans_lloyd_5iter,        # iterative (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3350,6 +3358,7 @@ _NEW_R4 = (
     "bpe_train_merges",
     "all_orders_above_nation_avg",
     "revenue_share_hierarchy",
+    "kmeans_lloyd_5iter",
 )
 
 _ROWS_ONLY_R3 = (

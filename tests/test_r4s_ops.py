@@ -914,3 +914,61 @@ def test_revenue_share_hierarchy_engineered(ray_session):
     assert out.loc[2, "share_of_region"] == 1.0    # 60 / 60
     assert out.loc[2, "share_of_total"] == 0.6     # 60 / 100
     assert int(out.loc[2, "nation_cents"]) == 6000
+
+
+def test_kmeans_lloyd_iters_vs_numpy_reference(ray_session):
+    """Five distributed Lloyd rounds must equal a numpy reference
+    running the identical quantized-int algorithm, on any partitioning."""
+    from workbook_exporter_fe_ray.stages.similarity import kmeans_lloyd_iters
+
+    rng = np.random.default_rng(17)
+    n, d, k, iters = 400, 16, 4, 5
+    vecs = rng.normal(0, 1, (n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = kmeans_lloyd_iters(
+        ray.data.from_arrow(tbl).repartition(6), k=k, iters=iters
+    ).to_pandas()
+    got2 = kmeans_lloyd_iters(
+        ray.data.from_arrow(tbl).repartition(2), k=k, iters=iters
+    ).to_pandas()
+    assert got.equals(got2)  # partition-invariant
+
+    # numpy reference: same quantization, same tie rule, same floor
+    scale = 1_000_000.0
+    Q = np.floor(vecs.astype(np.float32).astype(np.float64) * scale).astype(
+        np.int64
+    )
+    C = Q[:k].copy()
+    for it in range(iters):
+        d2 = (
+            (Q * Q).sum(1)[:, None]
+            - 2 * (Q @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        if it == iters - 1:
+            inert = d2[np.arange(n), assign]
+            break
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                C[c] = np.floor(
+                    Q[m].sum(0).astype(np.float64) / m.sum()
+                ).astype(np.int64)
+    exp_n = np.bincount(assign, minlength=k)
+    for c in range(k):
+        row = got[got["centroid_id"] == c]
+        if exp_n[c] == 0:
+            assert len(row) == 0
+            continue
+        assert int(row["n_assigned"].iloc[0]) == exp_n[c], c
+        assert int(row["inertia_units"].iloc[0]) == int(
+            inert[assign == c].sum()
+        ), c

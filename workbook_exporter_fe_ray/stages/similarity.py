@@ -1197,3 +1197,144 @@ def pq_topk(
     return candidates.groupby("query_idx").map_groups(
         _merge, batch_format="pyarrow"
     )
+
+
+def kmeans_lloyd_iters(
+    embs: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1_000_000.0,
+) -> pa.Table:
+    """FULL iterative Lloyd k-means over the embedding corpus — the
+    multi-round distributed-ML loop (:func:`kmeans_assign_exact` /
+    :func:`kmeans_update_exact` are its single E/M steps): ``iters``
+    rounds of broadcast-centroids → per-block quantized-int64
+    assignment (three int64 matmuls) → ONE (k×d)-cell exchange →
+    driver-side centroid update.  Per round the corpus streams once
+    and only k·d cells move; the driver state is k×d — the canonical
+    iterative-algorithm shape on Ray Data (the Dataset is re-consumed
+    per round; nothing corpus-sized ever materializes).
+
+    Determinism: seeds are the vectors with ``id < k`` (sorted
+    collect); every distance is exact int64; ties go to the smaller
+    centroid id; updated centroids re-quantize to the int grid via one
+    IEEE division + floor per coordinate (documented drift of < 1
+    quantum per round — identical on every partitioning, which float
+    accumulation never is).
+
+    Output: (centroid_id, n_assigned, inertia_units) after the final
+    round — k int64 rows, bit-stable across partitionings.
+    """
+    from ray.data.aggregate import Sum
+
+    seeds = embs.map_batches(
+        lambda b: b.filter(pc.less(b[id_col], k)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    seed_tbl = pa.concat_tables(
+        [t for t in ray.get(seeds.to_arrow_refs()) if len(t)]
+    ).combine_chunks()
+    seed_tbl = seed_tbl.take(pc.sort_indices(seed_tbl[id_col]))
+    C = _quant_matrix(seed_tbl[vec_col], scale, "kmeans_lloyd_iters")
+
+    def _round(C_now: np.ndarray, final: bool):
+        c2 = (C_now * C_now).sum(axis=1)
+        cref = ray.put((C_now, c2))
+
+        class _EM:
+            def __init__(self, ref):
+                self.C, self.c2 = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                Q = _quant_matrix(b[vec_col], scale, "kmeans_lloyd_iters")
+                q2 = (Q * Q).sum(axis=1)
+                d2 = q2[:, None] - 2 * (Q @ self.C.T) + self.c2[None, :]
+                assign = np.argmin(d2, axis=1).astype(np.int64)
+                if final:
+                    inert = d2[np.arange(len(Q)), assign]
+                    t = pa.table(
+                        {
+                            "centroid_id": pa.array(assign),
+                            "n": pa.array(np.ones(len(Q), np.int64)),
+                            "inertia": pa.array(inert),
+                        }
+                    )
+                    g = t.group_by("centroid_id").aggregate(
+                        [("n", "sum"), ("inertia", "sum")]
+                    )
+                    return g.rename_columns(["centroid_id", "n", "inertia"])
+                kk, d = self.C.shape
+                cnt = np.bincount(assign, minlength=kk).astype(np.int64)
+                sums = np.zeros((kk, d), np.int64)
+                np.add.at(sums, assign, Q)
+                cid = np.repeat(np.arange(kk, dtype=np.int64), d)
+                return pa.table(
+                    {
+                        "centroid_id": cid,
+                        "dim": pa.array(
+                            np.tile(np.arange(d, dtype=np.int64), kk)
+                        ),
+                        "n": pa.array(np.repeat(cnt, d)),
+                        "sum_q": pa.array(sums.reshape(-1)),
+                    }
+                )
+
+        if final:
+            agg = (
+                embs.map_batches(
+                    _EM,
+                    fn_constructor_args=(cref,),
+                    batch_format="pyarrow",
+                    concurrency=(1, 4),
+                )
+                .groupby("centroid_id")
+                .aggregate(Sum("n"), Sum("inertia"))
+                .to_arrow_refs()
+            )
+            tabs = [t for t in (ray.get(r) for r in agg) if len(t)]
+            tbl = pa.concat_tables(tabs)
+            order = pc.sort_indices(tbl["centroid_id"])
+            tbl = tbl.take(order)
+            return pa.table(
+                {
+                    "centroid_id": pc.cast(tbl["centroid_id"], pa.int64()),
+                    "n_assigned": pc.cast(tbl["sum(n)"], pa.int64()),
+                    "inertia_units": pc.cast(tbl["sum(inertia)"], pa.int64()),
+                }
+            )
+        agg = (
+            embs.map_batches(
+                _EM,
+                fn_constructor_args=(cref,),
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+            )
+            .groupby(["centroid_id", "dim"])
+            .aggregate(Sum("n"), Sum("sum_q"))
+            .to_arrow_refs()
+        )
+        tabs = [t for t in (ray.get(r) for r in agg) if len(t)]
+        tbl = pa.concat_tables(tabs)
+        kk, d = C_now.shape
+        cid = pc.cast(tbl["centroid_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        dim = pc.cast(tbl["dim"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = pc.cast(tbl["sum(n)"], pa.int64()).to_numpy(zero_copy_only=False)
+        sq = pc.cast(tbl["sum(sum_q)"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        C_next = C_now.copy()  # empty centroids keep their position
+        nz = n > 0
+        # one IEEE division + floor per coordinate — deterministic
+        C_next[cid[nz], dim[nz]] = np.floor(
+            sq[nz].astype(np.float64) / n[nz].astype(np.float64)
+        ).astype(np.int64)
+        return C_next
+
+    for _ in range(max(iters - 1, 0)):
+        C = _round(C, final=False)
+    return _round(C, final=True)
