@@ -972,3 +972,85 @@ def test_kmeans_lloyd_iters_vs_numpy_reference(ray_session):
         assert int(row["inertia_units"].iloc[0]) == int(
             inert[assign == c].sum()
         ), c
+
+
+def test_r4s_review_edge_guards(ray_session, tmp_path):
+    """Regression pins for the r4s review findings: empty/missing dim
+    inputs must degrade to the SQL-equivalent empty results, never
+    IndexError; sink resume must rewrite under drifted boundaries."""
+    import os
+
+    from workbook_exporter_fe_ray.sinks.range_parquet import (
+        write_range_partitioned,
+    )
+    from workbook_exporter_fe_ray.stages.relational import (
+        disjunctive_predicate_revenue,
+        small_qty_brand_revenue,
+        top_revenue_suppliers,
+    )
+
+    li = pa.table(
+        {
+            "l_partkey": pa.array([1, 2], pa.int64()),
+            "l_suppkey": pa.array([1, 2], pa.int64()),
+            "l_quantity": pa.array([1.0, 2.0]),
+            "l_extendedprice": pa.array([10.0, 20.0]),
+            "l_discount": pa.array([0.0, 0.0]),
+            "l_shipdate": pa.array([0, 0], pa.timestamp("us")),
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_brand": pa.array(["B1", "B1"]),
+            "p_size": pa.array([1, 1], pa.int64()),
+        }
+    )
+    # brand with zero parts → 0-row audit, not IndexError
+    out = small_qty_brand_revenue(
+        lambda: ray.data.from_arrow(li), part, "NOPE"
+    ).to_pandas()
+    assert int(out["n_small_lines"][0]) == 0
+    assert int(out["small_qty_units"][0]) == 0
+    # empty part dim → 0-line disjunction, not IndexError
+    out = disjunctive_predicate_revenue(
+        ray.data.from_arrow(li),
+        part.slice(0, 0),
+        (("B1", 1, 5, 1, 11),),
+    ).to_pandas()
+    assert int(out["n_lines"][0]) == 0
+    # winning suppkey absent from supplier dim → inner-join drop,
+    # never a silent wrong-name attach
+    out = top_revenue_suppliers(
+        ray.data.from_arrow(li),
+        pa.table(
+            {
+                "s_suppkey": pa.array([1], pa.int64()),
+                "s_name": pa.array(["only"]),
+            }
+        ),
+        -10**15,
+        10**15,
+    ).to_pandas()
+    # supplier 2 has max revenue (2000 units) but is unknown → dropped
+    assert list(out["s_suppkey"]) == []
+    # sink: drifted boundaries with coincidentally matching row count
+    # must REWRITE (the .done signature includes the key range)
+    tbl = pa.table({"k": pa.array(np.arange(100, dtype=np.int64))})
+    out_dir = str(tmp_path / "sink2")
+    write_range_partitioned(
+        ray.data.from_arrow(tbl), out_dir, "k", n_partitions=2
+    )
+    # forge a stale .done with same count but different range
+    pdir = [d for d in os.listdir(out_dir) if d.startswith("part=")][0]
+    done = os.path.join(out_dir, pdir, ".done")
+    n = open(done).read().split(",")[0]
+    with open(done, "w") as f:
+        f.write(f"{n},999999,9999999")
+    m = write_range_partitioned(
+        ray.data.from_arrow(tbl), out_dir, "k", n_partitions=2
+    )
+    forged = int(pdir.split("=")[1])
+    sk = {p["part"]: p["skipped"] for p in m["partitions"]}
+    assert not sk[forged]          # forged range → rewritten
+    assert all(v for k2, v in sk.items() if k2 != forged)

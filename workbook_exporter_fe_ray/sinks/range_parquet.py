@@ -8,7 +8,8 @@ rows are routed by a sampled-boundary RANGE partition of a sort key, so
   (``part=00042/data.parquet``, sorted within the file) — a reader
   seeking ``key ∈ [a, b)`` opens only the overlapping files;
 - a killed job resumes by SKIPPING every partition whose ``.done``
-  marker matches the manifest row count — only missing ranges rewrite;
+  marker matches the partition's row count AND key range — only
+  missing or drifted ranges rewrite;
 - no single giant file: partition count is a parameter, boundaries
   derive from a bounded per-block key sample (never a global sort).
 
@@ -97,20 +98,22 @@ def write_range_partitioned(
         os.makedirs(pdir, exist_ok=True)
         fpath = os.path.join(pdir, "data.parquet")
         done = os.path.join(pdir, ".done")
+        k = pc.cast(g[key_col], pa.int64())
+        kmin, kmax = int(pc.min(k).as_py()), int(pc.max(k).as_py())
+        sig = f"{len(g)},{kmin},{kmax}"
         if os.path.isfile(done) and os.path.isfile(fpath):
+            # skip ONLY when count AND key range both match: a resume
+            # under drifted boundaries (different block sample) or
+            # changed input must rewrite, or the manifest would record
+            # a range the stale file does not contain
             with open(done) as f:
-                if int(f.read().strip() or -1) == len(g):
-                    k = pc.cast(g[key_col], pa.int64())
+                if f.read().strip() == sig:
                     return pa.table(
                         {
                             "part": pa.array([part], pa.int64()),
                             "n_rows": pa.array([len(g)], pa.int64()),
-                            "key_min": pa.array(
-                                [int(pc.min(k).as_py())], pa.int64()
-                            ),
-                            "key_max": pa.array(
-                                [int(pc.max(k).as_py())], pa.int64()
-                            ),
+                            "key_min": pa.array([kmin], pa.int64()),
+                            "key_max": pa.array([kmax], pa.int64()),
                             "skipped": pa.array([1], pa.int64()),
                         }
                     )
@@ -120,9 +123,8 @@ def write_range_partitioned(
         os.replace(tmp, fpath)
         fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".done")
         with os.fdopen(fd, "w") as f:
-            f.write(str(len(g)))
+            f.write(sig)
         os.replace(tmp, done)
-        k = pc.cast(g[key_col], pa.int64())
         return pa.table(
             {
                 "part": pa.array([part], pa.int64()),
@@ -138,7 +140,13 @@ def write_range_partitioned(
         .groupby("__part")
         .map_groups(_write_part, batch_format="pyarrow")
         .to_pandas()  # partition-count-sized
-        .sort_values("part")
+    )
+    stats = (
+        stats.sort_values("part")
+        if len(stats)
+        else stats.reindex(
+            columns=["part", "n_rows", "key_min", "key_max", "skipped"]
+        )
     )
     manifest = {
         "key_col": key_col,
@@ -183,6 +191,11 @@ def read_range_partitioned(
             os.path.join(out_dir, f"part={p['part']:05d}", "data.parquet")
         )
     if not paths:
+        if not manifest["partitions"]:
+            raise ValueError(
+                f"read_range_partitioned: {out_dir!r} holds an empty "
+                "sink (zero partitions) — nothing to read"
+            )
         return ray.data.from_arrow(
             pq.read_table(
                 os.path.join(

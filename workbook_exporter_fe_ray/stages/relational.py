@@ -3591,16 +3591,19 @@ def top_revenue_suppliers(
     win_k, win_u = keys[sel], units[sel]
     order = np.argsort(win_k, kind="stable")
     win_k, win_u = win_k[order], win_u[order]
+    from .sweep import sorted_probe
+
     sk = pc.cast(supplier["s_suppkey"], pa.int64()).to_numpy(
         zero_copy_only=False
     )
     s_order = np.argsort(sk, kind="stable")
-    pos = s_order[np.searchsorted(sk[s_order], win_k)]
+    hit, posc = sorted_probe(sk[s_order], win_k)
+    pos = s_order[posc[hit]]  # inner-join semantics: unknown keys drop
     return pa.table(
         {
-            "s_suppkey": pa.array(win_k),
+            "s_suppkey": pa.array(win_k[hit]),
             "s_name": supplier["s_name"].take(pa.array(pos)),
-            "total_units": pa.array(win_u),
+            "total_units": pa.array(win_u[hit]),
         }
     )
 
@@ -3640,16 +3643,12 @@ def small_qty_brand_revenue(
             self.keys = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            from .sweep import sorted_probe
+
             pk = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
                 zero_copy_only=False
             )
-            pos = np.searchsorted(self.keys, pk)
-            posc = np.minimum(pos, max(len(self.keys) - 1, 0))
-            hit = (
-                (self.keys[posc] == pk)
-                if len(self.keys)
-                else np.zeros(len(pk), bool)
-            )
+            hit, _ = sorted_probe(self.keys, pk)
             if not hit.any():
                 return pa.table(
                     {
@@ -3705,22 +3704,20 @@ def small_qty_brand_revenue(
             self.keys, self.cnt, self.sq = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            from .sweep import sorted_probe
+
             pk = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
                 zero_copy_only=False
             )
-            pos = np.searchsorted(self.keys, pk)
-            posc = np.minimum(pos, max(len(self.keys) - 1, 0))
-            hit = (
-                (self.keys[posc] == pk)
-                if len(self.keys)
-                else np.zeros(len(pk), bool)
-            )
+            hit, posc = sorted_probe(self.keys, pk)
             qty = pc.cast(b["l_quantity"], pa.int64()).to_numpy(
                 zero_copy_only=False
             )
-            small = hit & (
-                5 * self.cnt[posc] * qty < self.sq[posc]
-            )
+            small = np.zeros(len(pk), bool)
+            if hit.any():  # empty/missing brand → zero small lines
+                small[hit] = (
+                    5 * self.cnt[posc[hit]] * qty[hit] < self.sq[posc[hit]]
+                )
             if not small.any():
                 return pa.table(
                     {
@@ -3805,26 +3802,27 @@ def disjunctive_predicate_revenue(
             self.keys, self.code, self.size = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            from .sweep import sorted_probe
+
             lpk = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
                 zero_copy_only=False
             )
-            pos = np.searchsorted(self.keys, lpk)
-            posc = np.minimum(pos, max(len(self.keys) - 1, 0))
-            hit = self.keys[posc] == lpk
+            hit, posc = sorted_probe(self.keys, lpk)
             qty = pc.cast(b["l_quantity"], pa.int64()).to_numpy(
                 zero_copy_only=False
             )
-            code, size = self.code[posc], self.size[posc]
             keep = np.zeros(len(b), bool)
-            for bc, slo, shi, qlo, qhi in cl:
-                keep |= (
-                    (code == bc)
-                    & (size >= slo)
-                    & (size <= shi)
-                    & (qty >= qlo)
-                    & (qty <= qhi)
-                )
-            keep &= hit
+            if hit.any():
+                code, size = self.code[posc], self.size[posc]
+                for bc, slo, shi, qlo, qhi in cl:
+                    keep |= (
+                        (code == bc)
+                        & (size >= slo)
+                        & (size <= shi)
+                        & (qty >= qlo)
+                        & (qty <= qhi)
+                    )
+                keep &= hit
             if not keep.any():
                 return pa.table(
                     {
@@ -4031,18 +4029,21 @@ def single_late_supplier_counts(
     v = pc.cast(tbl["sum(numwait)"], pa.int64()).to_numpy(
         zero_copy_only=False
     )
+    from .sweep import sorted_probe
+
     o = np.argsort(k, kind="stable")
     k, v = k[o], v[o]
     sk = pc.cast(supplier["s_suppkey"], pa.int64()).to_numpy(
         zero_copy_only=False
     )
     so = np.argsort(sk, kind="stable")
-    pos = so[np.searchsorted(sk[so], k)]
+    hit, posc = sorted_probe(sk[so], k)
+    pos = so[posc[hit]]  # inner-join semantics: unknown keys drop
     return pa.table(
         {
-            "s_suppkey": pa.array(k),
+            "s_suppkey": pa.array(k[hit]),
             "s_name": supplier["s_name"].take(pa.array(pos)),
-            "numwait": pa.array(v),
+            "numwait": pa.array(v[hit]),
         }
     )
 
@@ -4090,12 +4091,20 @@ def dormant_rich_customers(
         _bal_partial, batch_format="pyarrow", zero_copy_batch=True
     ).sum(["s", "n"])
     sum_pos, n_pos = int(sc["sum(s)"]), int(sc["sum(n)"])
+    def _max_partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "m": pa.array(
+                    [int(pc.max(pc.cast(b["o_orderdate"], pa.int64())).as_py())],
+                    pa.int64(),
+                )
+            }
+        )
+
     mx = orders.map_batches(
-        lambda b: pa.table(
-            {"m": pa.array([int(pc.max(pc.cast(b["o_orderdate"], pa.int64())).as_py())], pa.int64())}
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        _max_partial, batch_format="pyarrow", zero_copy_batch=True
     ).max("m")
     cutoff = int(mx) - dormant_days * 86_400_000_000
 
@@ -4321,14 +4330,14 @@ def nation_trade_flow(
             self.sk, self.snk, self.ab = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            from .sweep import sorted_probe
+
             lsk = pc.cast(b["l_suppkey"], pa.int64()).to_numpy(
                 zero_copy_only=False
             )
-            pos = np.minimum(
-                np.searchsorted(self.sk, lsk), max(len(self.sk) - 1, 0)
-            )
-            snat = self.snk[pos]
-            keep = (self.sk[pos] == lsk) & (
+            hit, pos = sorted_probe(self.sk, lsk)
+            snat = self.snk[pos] if len(self.snk) else np.zeros(len(lsk), np.int64)
+            keep = hit & (
                 (snat == self.ab[0]) | (snat == self.ab[1])
             )
             sub = b.filter(pa.array(keep))
@@ -4516,26 +4525,22 @@ def nation_market_share(
             self.pkeys, self.sk, self.is_t = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            from .sweep import sorted_probe
+
             lpk = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
                 zero_copy_only=False
             )
-            pos = np.minimum(
-                np.searchsorted(self.pkeys, lpk),
-                max(len(self.pkeys) - 1, 0),
-            )
-            keep = (
-                (self.pkeys[pos] == lpk)
-                if len(self.pkeys)
-                else np.zeros(len(lpk), bool)
-            )
+            keep, _ = sorted_probe(self.pkeys, lpk)
             sub = b.filter(pa.array(keep))
             lsk = pc.cast(sub["l_suppkey"], pa.int64()).to_numpy(
                 zero_copy_only=False
             )
-            spos = np.minimum(
-                np.searchsorted(self.sk, lsk), max(len(self.sk) - 1, 0)
+            shit, spos = sorted_probe(self.sk, lsk)
+            is_t = np.where(
+                shit,
+                self.is_t[spos] if len(self.is_t) else 0,
+                0,
             )
-            is_t = np.where(self.sk[spos] == lsk, self.is_t[spos], 0)
             cents = pc.cast(
                 pc.round(pc.multiply(sub["l_extendedprice"], 100.0)),
                 pa.int64(),
@@ -4842,8 +4847,10 @@ def all_orders_above_nation_avg(
             self.nk, self.ns, self.nn = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            from .sweep import sorted_probe
+
             cnat = b["cnat"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.nk, cnat)
+            _, pos = sorted_probe(self.nk, cnat)
             minc = b["min_c"].to_numpy(zero_copy_only=False)
             n = b["n"].to_numpy(zero_copy_only=False)
             multi = n > 1

@@ -81,3 +81,22 @@ def run_starts_table(g: pa.Table, key_cols: list[str]) -> np.ndarray:
         neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
         change[1:] |= neq.to_numpy(zero_copy_only=False)
     return np.flatnonzero(change)
+
+
+def sorted_probe(
+    keys: np.ndarray, probe: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Membership probe against a SORTED key array: returns
+    ``(hit, pos)`` where ``hit[i]`` says ``probe[i]`` is present and
+    ``pos[i]`` is its (clamped) index.  The one place the
+    searchsorted+clamp+equality idiom lives — the hand-rolled copies
+    diverged on the empty-keys guard twice (r4s review), so every
+    broadcast-dim lookup routes through here."""
+    if len(keys) == 0:
+        return (
+            np.zeros(len(probe), dtype=bool),
+            np.zeros(len(probe), dtype=np.int64),
+        )
+    pos = np.searchsorted(keys, probe)
+    posc = np.minimum(pos, len(keys) - 1)
+    return keys[posc] == probe, posc
