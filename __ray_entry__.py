@@ -2530,6 +2530,13 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_user_set_algebra(sf_dir: str):
+    """Full 2^3 Venn partition of users over three event types."""
+    from workbook_exporter_fe_ray.stages.window import user_set_algebra
+
+    return user_set_algebra(_events(sf_dir))
+
+
 def _q_kmeans_lloyd_5iter(sf_dir: str):
     """Five full distributed Lloyd iterations (iterative-ML loop)."""
     from workbook_exporter_fe_ray.stages.similarity import kmeans_lloyd_iters
@@ -3083,6 +3090,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "all_orders_above_nation_avg": _q_all_orders_above_nation_avg,  # ∀
         "revenue_share_hierarchy": _q_revenue_share_hierarchy,  # drill (r4s)
         "kmeans_lloyd_5iter": _q_kmeans_lloyd_5iter,        # iterative (r4s)
+        "user_set_algebra": _q_user_set_algebra,            # Venn (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3359,6 +3367,7 @@ _NEW_R4 = (
     "all_orders_above_nation_avg",
     "revenue_share_hierarchy",
     "kmeans_lloyd_5iter",
+    "user_set_algebra",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4577,6 +4586,18 @@ SELECT p.late_sk AS s_suppkey, s.s_name,
 FROM per p JOIN supplier s ON s.s_suppkey = p.late_sk
 WHERE p.ns > 1 AND p.nl = 1
 GROUP BY 1, 2
+""",
+        "user_set_algebra": """
+WITH f AS (
+  SELECT user_id,
+         bool_or(event_type = 'click') AS in_a,
+         bool_or(event_type = 'purchase') AS in_b,
+         bool_or(event_type = 'error') AS in_c
+  FROM events
+  WHERE event_type IN ('click', 'purchase', 'error')
+  GROUP BY 1)
+SELECT in_a, in_b, in_c, CAST(count(*) AS BIGINT) AS n_users
+FROM f GROUP BY 1, 2, 3
 """,
         "all_orders_above_nation_avg": """
 WITH pc_ AS (

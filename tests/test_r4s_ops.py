@@ -1054,3 +1054,44 @@ def test_r4s_review_edge_guards(ray_session, tmp_path):
     sk = {p["part"]: p["skipped"] for p in m["partitions"]}
     assert not sk[forged]          # forged range → rewritten
     assert all(v for k2, v in sk.items() if k2 != forged)
+
+
+def test_user_set_algebra_all_masks(ray_session):
+    from workbook_exporter_fe_ray.stages.window import user_set_algebra
+
+    # engineer one user per non-empty mask + one user outside all sets
+    rows_u, rows_t = [], []
+    combos = [
+        (1, ["A"]), (2, ["B"]), (3, ["A", "B"]), (4, ["C"]),
+        (5, ["A", "C"]), (6, ["B", "C"]), (7, ["A", "B", "C"]),
+    ]
+    for uid, ts_ in combos:
+        for t in ts_ + ts_:  # duplicates must not double-count
+            rows_u.append(uid)
+            rows_t.append(t)
+    rows_u.append(99)
+    rows_t.append("other")  # outside the three sets → excluded
+    n = len(rows_u)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rows_u, pa.int64()),
+            "ts": pa.array(
+                np.full(n, 1_700_000_000 * US, np.int64), pa.timestamp("us")
+            ),
+            "event_type": pa.array(rows_t, pa.string()),
+            "value": pa.array(np.zeros(n)),
+        }
+    )
+    out = user_set_algebra(
+        ray.data.from_arrow(tbl).repartition(4), "A", "B", "C",
+        num_partitions=8,
+    ).to_pandas()
+    assert len(out) == 7
+    got = {
+        (bool(r["in_a"]), bool(r["in_b"]), bool(r["in_c"])): int(r["n_users"])
+        for _, r in out.iterrows()
+    }
+    for uid, ts_ in combos:
+        key = ("A" in ts_, "B" in ts_, "C" in ts_)
+        assert got[key] == 1, key

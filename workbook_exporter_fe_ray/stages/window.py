@@ -6949,3 +6949,104 @@ def ts_value_inversions(
     return per_window.groupby("source").map_groups(
         _stitch, batch_format="pyarrow"
     )
+
+
+def user_set_algebra(
+    events: ray.data.Dataset,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    type_c: str = "error",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Audience SET ALGEBRA: the full 2³ Venn partition of users over
+    three event types — every "in A and B but not C" segment count in
+    one shot, the query marketers write as three chained semi/anti
+    joins.
+
+    Set membership is a BITMASK, so the whole algebra is one keyed
+    reduction: blocks emit distinct (user, bit) pairs (bit ∈ {1,2,4}),
+    ONE exchange on hash(user) co-locates each user's bits, and the
+    per-partition sweep ORs them with one ``np.bitwise_or.reduceat``
+    and bincounts the 8 masks — the partition output is ≤ 8 cells no
+    matter how many users it holds.  No joins, no distinct-set
+    materialization.
+
+    Output: (in_a, in_b, in_c, n_users) — one row per non-empty mask.
+    """
+    from ray.data.aggregate import Sum
+
+    from .sweep import run_starts_table, with_part
+
+    types = (type_a, type_b, type_c)
+
+    def _route(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        uid = pc.cast(b["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bits = np.zeros(len(b), np.int64)
+        for i, t in enumerate(types):
+            m = pc.equal(et, t).to_numpy(zero_copy_only=False)
+            bits[m] = 1 << i
+        keep = bits > 0
+        t_ = pa.table(
+            {"user_id": pa.array(uid[keep]), "bit": pa.array(bits[keep])}
+        )
+        g = t_.group_by(["user_id", "bit"]).aggregate([])
+        return with_part(g, ["user_id"], num_partitions)
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "mask": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending")])
+        g = g.take(idx)
+        starts = run_starts_table(g, ["user_id"])
+        bits = g["bit"].to_numpy(zero_copy_only=False)
+        masks = np.bitwise_or.reduceat(bits, starts)
+        cnt = np.bincount(masks, minlength=8).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "mask": pa.array(nz.astype(np.int64)),
+                "n_users": pa.array(cnt[nz]),
+            }
+        )
+
+    agg = (
+        events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_sweep, batch_format="pyarrow")
+        .groupby("mask")
+        .aggregate(Sum("n_users"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "in_a": pc.cast(
+                    pa.array(
+                        (pc.cast(b["mask"], pa.int64()).to_numpy(
+                            zero_copy_only=False
+                        ) & 1) > 0
+                    ),
+                    pa.bool_(),
+                ),
+                "in_b": pa.array(
+                    (pc.cast(b["mask"], pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ) & 2) > 0
+                ),
+                "in_c": pa.array(
+                    (pc.cast(b["mask"], pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ) & 4) > 0
+                ),
+                "n_users": pc.cast(b["sum(n_users)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
