@@ -2530,6 +2530,75 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_segment_order_profile(sf_dir: str):
+    """Per-mktsegment order profile through the ADAPTIVE join (the
+    measured broadcast/shuffle plan choice is part of the graded path)."""
+    from ray.data.aggregate import Sum
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import auto_equi_join
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust = read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_mktsegment": b["c_mktsegment"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = auto_equi_join(
+        orders, cust, "c_custkey", ("cents",), ("c_mktsegment",)
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_orders": pa.array(np.ones(len(b), np.int64)),
+                "sum_cents": b["cents"],
+            }
+        )
+        g = t.group_by("c_mktsegment").aggregate(
+            [("n_orders", "sum"), ("sum_cents", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "n_orders", "sum_cents"])
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_orders"), Sum("sum_cents"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_orders": pc.cast(b["sum(n_orders)"], pa.int64()),
+                "sum_cents": pc.cast(b["sum(sum_cents)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_user_set_algebra(sf_dir: str):
     """Full 2^3 Venn partition of users over three event types."""
     from workbook_exporter_fe_ray.stages.window import user_set_algebra
@@ -3091,6 +3160,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "revenue_share_hierarchy": _q_revenue_share_hierarchy,  # drill (r4s)
         "kmeans_lloyd_5iter": _q_kmeans_lloyd_5iter,        # iterative (r4s)
         "user_set_algebra": _q_user_set_algebra,            # Venn (r4s)
+        "segment_order_profile": _q_segment_order_profile,  # auto-join (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3368,6 +3438,7 @@ _NEW_R4 = (
     "revenue_share_hierarchy",
     "kmeans_lloyd_5iter",
     "user_set_algebra",
+    "segment_order_profile",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4586,6 +4657,14 @@ SELECT p.late_sk AS s_suppkey, s.s_name,
 FROM per p JOIN supplier s ON s.s_suppkey = p.late_sk
 WHERE p.ns > 1 AND p.nl = 1
 GROUP BY 1, 2
+""",
+        "segment_order_profile": """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1
 """,
         "user_set_algebra": """
 WITH f AS (

@@ -1095,3 +1095,51 @@ def test_user_set_algebra_all_masks(ray_session):
     for uid, ts_ in combos:
         key = ("A" in ts_, "B" in ts_, "C" in ts_)
         assert got[key] == 1, key
+
+
+def test_auto_equi_join_plans_identical(ray_session):
+    """Both measured plans (broadcast / shuffle) must produce the same
+    inner-join rows; the threshold is the only difference."""
+    from workbook_exporter_fe_ray.stages.relational import auto_equi_join
+
+    rng = np.random.default_rng(29)
+    n = 3000
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 500, n).astype(np.int64)),
+            "lv": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(np.arange(0, 400, dtype=np.int64)),  # 100 miss
+            "rv": pa.array(np.arange(0, 400, dtype=np.int64) * 7),
+        }
+    )
+    lds = ray.data.from_arrow(left).repartition(5)
+    rds = ray.data.from_arrow(right).repartition(3)
+    a = (
+        auto_equi_join(lds, rds, "k", ("lv",), ("rv",),
+                       broadcast_bytes=1 << 30)
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    b = (
+        auto_equi_join(lds, rds, "k", ("lv",), ("rv",), broadcast_bytes=0)
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
+    # brute inner join
+    import pandas as pd
+
+    exp = (
+        left.to_pandas()
+        .merge(right.to_pandas(), on="k")
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(exp)
+    assert (a["rv"].to_numpy() == a["k"].to_numpy() * 7).all()

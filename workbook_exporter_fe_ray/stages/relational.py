@@ -5007,3 +5007,66 @@ def revenue_share_hierarchy(
             "share_of_total": pa.array(share_tot),
         }
     )
+
+
+def auto_equi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    left_carry: tuple[str, ...],
+    right_carry: tuple[str, ...],
+    broadcast_bytes: int = 64 << 20,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """ADAPTIVE equi-join: picks broadcast vs shuffle from the right
+    side's MEASURED size — the plan decision an optimizer makes from
+    statistics, made from Ray block metadata (``size_bytes()`` reads
+    parquet footers / block metadata, it does not execute the
+    pipeline for file-backed datasets; a transformed right side
+    materializes first, which is exactly the side we are about to
+    broadcast anyway).
+
+    ≤ ``broadcast_bytes`` → the right side collects ONCE into the
+    object store and every left batch resolves keys with a sorted
+    lookup — zero shuffle, the map-side join.  Larger → the
+    :func:`hash_bucket_join` co-partition exchange (nothing
+    corpus-sized is ever broadcast).  The chosen plan is logged;
+    outputs are identical by construction (same inner equi-join
+    semantics, right side unique per key).
+    """
+    import logging
+
+    right = right.materialize()
+    size = right.size_bytes() or 0
+    if size <= broadcast_bytes:
+        logging.getLogger(__name__).info(
+            "auto_equi_join: broadcast plan (%d B right side)", size
+        )
+        tabs = [t for t in ray.get(right.to_arrow_refs()) if len(t)]
+        if not tabs:
+            sch = right.schema().base_schema
+            empty = pa.table(
+                {f.name: pa.array([], f.type) for f in sch}
+            )
+            tabs = [empty]
+        rtbl = pa.concat_tables(tabs).combine_chunks()
+        cols = [key, *right_carry]
+        rtbl = rtbl.select(cols)
+        rtbl = rtbl.take(pc.sort_indices(pc.cast(rtbl[key], pa.int64())))
+        return broadcast_dim_join(
+            left.map_batches(
+                lambda b: b.select([key, *left_carry]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            rtbl,
+            key,
+            key,
+            tuple(right_carry),
+        )
+    logging.getLogger(__name__).info(
+        "auto_equi_join: shuffle plan (%d B right side)", size
+    )
+    return hash_bucket_join(
+        left, right, key, left_carry, right_carry, n_buckets=n_buckets
+    )
