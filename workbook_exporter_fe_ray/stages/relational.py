@@ -5020,11 +5020,13 @@ def auto_equi_join(
 ) -> ray.data.Dataset:
     """ADAPTIVE equi-join: picks broadcast vs shuffle from the right
     side's MEASURED size — the plan decision an optimizer makes from
-    statistics, made from Ray block metadata (``size_bytes()`` reads
-    parquet footers / block metadata, it does not execute the
-    pipeline for file-backed datasets; a transformed right side
-    materializes first, which is exactly the side we are about to
-    broadcast anyway).
+    statistics.  The right side materializes once to be measured;
+    nothing is wasted either way, because BOTH downstream plans consume
+    those exact blocks (the broadcast plan collects them, the shuffle
+    plan feeds them to the bucket exchange) — the only cost of a huge
+    right side is object-store residency, which Ray spills.  Callers
+    that already know the side is fact-sized should call
+    :func:`hash_bucket_join` directly and skip the measure.
 
     ≤ ``broadcast_bytes`` → the right side collects ONCE into the
     object store and every left batch resolves keys with a sorted
