@@ -2530,6 +2530,17 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_revenue_pareto_deciles(sf_dir: str):
+    """Customer-spend concentration curve via the histogram identity."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.sketch import revenue_pareto_deciles
+
+    return revenue_pareto_deciles(
+        read_table(f"{sf_dir}/orders.parquet",
+                   columns=["o_custkey", "o_totalprice"])
+    )
+
+
 def _q_segment_order_profile(sf_dir: str):
     """Per-mktsegment order profile through the ADAPTIVE join (the
     measured broadcast/shuffle plan choice is part of the graded path)."""
@@ -3161,6 +3172,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "kmeans_lloyd_5iter": _q_kmeans_lloyd_5iter,        # iterative (r4s)
         "user_set_algebra": _q_user_set_algebra,            # Venn (r4s)
         "segment_order_profile": _q_segment_order_profile,  # auto-join (r4s)
+        "revenue_pareto_deciles": _q_revenue_pareto_deciles,  # Pareto (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3439,6 +3451,7 @@ _NEW_R4 = (
     "kmeans_lloyd_5iter",
     "user_set_algebra",
     "segment_order_profile",
+    "revenue_pareto_deciles",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4657,6 +4670,26 @@ SELECT p.late_sk AS s_suppkey, s.s_name,
 FROM per p JOIN supplier s ON s.s_suppkey = p.late_sk
 WHERE p.ns > 1 AND p.nl = 1
 GROUP BY 1, 2
+""",
+        "revenue_pareto_deciles": """
+WITH t AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT NTILE(10) OVER (ORDER BY total DESC, o_custkey) AS tile, total
+  FROM t),
+d AS (
+  SELECT tile, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(total) AS BIGINT) AS revenue_cents
+  FROM r GROUP BY 1)
+SELECT tile, n_customers, revenue_cents,
+       CAST(sum(revenue_cents) OVER (ORDER BY tile) AS BIGINT)
+         AS cum_revenue_cents,
+       CAST(sum(revenue_cents) OVER (ORDER BY tile) AS DOUBLE)
+         / CAST(sum(revenue_cents) OVER () AS DOUBLE) AS cum_share
+FROM d
 """,
         "segment_order_profile": """
 SELECT c.c_mktsegment,

@@ -1143,3 +1143,48 @@ def test_auto_equi_join_plans_identical(ray_session):
     )
     assert len(a) == len(exp)
     assert (a["rv"].to_numpy() == a["k"].to_numpy() * 7).all()
+
+
+def test_revenue_pareto_deciles_tie_straddle_vs_brute(ray_session):
+    """Engineered ties STRADDLING a tile boundary: the histogram
+    allocation must equal SQL NTILE aggregates exactly (tied customers
+    are revenue-identical, so the split is aggregate-invariant)."""
+    from workbook_exporter_fe_ray.stages.sketch import revenue_pareto_deciles
+
+    # 23 customers: 7 tied at 50.00 so ties cross the 3-tile boundaries
+    totals = [100.0] * 4 + [50.0] * 7 + [20.0] * 12
+    orders = pa.table(
+        {
+            "o_custkey": pa.array(
+                np.arange(len(totals), dtype=np.int64)
+            ),
+            "o_totalprice": pa.array(totals),
+        }
+    )
+    out = (
+        revenue_pareto_deciles(
+            ray.data.from_arrow(orders).repartition(4), n_tiles=3
+        )
+        .to_pandas()
+        .sort_values("tile")
+        .reset_index(drop=True)
+    )
+    # brute NTILE(3) over 23 rows: sizes 8, 8, 7 over sorted desc
+    vals = sorted([int(t * 100) for t in totals], reverse=True)
+    sizes = [8, 8, 7]
+    pos = 0
+    exp = []
+    for s_ in sizes:
+        chunk = vals[pos:pos + s_]
+        exp.append((s_, sum(chunk)))
+        pos += s_
+    grand = sum(v for _, v in exp)
+    cum = 0
+    for i, (s_, rev) in enumerate(exp):
+        row = out.iloc[i]
+        cum += rev
+        assert int(row["tile"]) == i + 1
+        assert int(row["n_customers"]) == s_
+        assert int(row["revenue_cents"]) == rev
+        assert int(row["cum_revenue_cents"]) == cum
+        assert row["cum_share"] == cum / grand

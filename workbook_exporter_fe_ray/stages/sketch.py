@@ -1093,3 +1093,129 @@ def two_sample_drift(
     return hist.groupby("__one").map_groups(
         lambda g: _stitch(g.drop_columns(["__one"])), batch_format="pyarrow"
     )
+
+
+def revenue_pareto_deciles(
+    orders: ray.data.Dataset,
+    n_tiles: int = 10,
+) -> ray.data.Dataset:
+    """Revenue CONCENTRATION curve: customers ranked by total spend,
+    split into NTILE(``n_tiles``) equal-count bands (SQL tie order
+    ``total DESC, custkey``), each band's customer count, revenue and
+    cumulative revenue share — "the top 10% of customers carry X% of
+    revenue".
+
+    No global sort and no per-customer rank ever happens: the curve is
+    a functional of the (total_cents → n_customers) HISTOGRAM, because
+    tied customers are revenue-identical — whichever of them NTILE
+    pushes across a band boundary, the band AGGREGATES are the same.
+    So: per-customer totals (ONE custkey exchange), block-side
+    histogram partials, ONE value-domain exchange, and a bounded
+    stitch that walks the descending histogram allocating counts
+    across band boundaries (10 × |distinct totals| numpy ops).  Every
+    share is ONE pinned int/int double division.
+
+    Output: (tile, n_customers, revenue_cents, cum_revenue_cents,
+    cum_share), tile 1 = biggest spenders.
+    """
+    from ray.data.aggregate import Sum
+
+    def _cust_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+        g = t.group_by("c_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["c_custkey", "cents"])
+
+    totals = (
+        orders.map_batches(
+            _cust_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("c_custkey")
+        .aggregate(Sum("cents"))
+    )
+
+    def _hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "total": pc.cast(b["sum(cents)"], pa.int64()),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = t.group_by("total").aggregate([("n", "sum")])
+        return g.rename_columns(["total", "n"])
+
+    hist = (
+        totals.map_batches(_hist_partial, batch_format="pyarrow")
+        .groupby("total")
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "total": b["total"],
+                    "n": pc.cast(b["sum(n)"], pa.int64()),
+                    "__one": pa.array(np.zeros(len(b), np.int32)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def _stitch(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "tile": pa.array([], pa.int64()),
+                    "n_customers": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                    "cum_revenue_cents": pa.array([], pa.int64()),
+                    "cum_share": pa.array([], pa.float64()),
+                }
+            )
+        idx = pc.sort_indices(g, sort_keys=[("total", "descending")])
+        g = g.take(idx)
+        v = g["total"].to_numpy(zero_copy_only=False)
+        c = g["n"].to_numpy(zero_copy_only=False)
+        n = int(c.sum())
+        q, r = divmod(n, n_tiles)
+        sizes = np.full(n_tiles, q, np.int64)
+        sizes[:r] += 1  # SQL NTILE: first r tiles get the extra row
+        bnd = np.r_[0, np.cumsum(sizes)]  # tile d covers (bnd[d], bnd[d+1]]
+        C = np.r_[0, np.cumsum(c)]  # value bucket i covers (C[i], C[i+1]]
+        rev = np.zeros(n_tiles, np.int64)
+        cnt = np.zeros(n_tiles, np.int64)
+        for d in range(n_tiles):
+            lo, hi = bnd[d], bnd[d + 1]
+            take = np.clip(np.minimum(C[1:], hi) - np.maximum(C[:-1], lo),
+                           0, None)
+            cnt[d] = int(take.sum())
+            rev[d] = int((v * take).sum())
+        grand = int(rev.sum())
+        cum = np.cumsum(rev)
+        share = (
+            cum.astype(np.float64) / np.float64(grand)
+            if grand
+            else np.zeros(n_tiles)
+        )
+        keep = cnt > 0
+        return pa.table(
+            {
+                "tile": pa.array(
+                    (np.arange(n_tiles, dtype=np.int64) + 1)[keep]
+                ),
+                "n_customers": pa.array(cnt[keep]),
+                "revenue_cents": pa.array(rev[keep]),
+                "cum_revenue_cents": pa.array(cum[keep]),
+                "cum_share": pa.array(share[keep]),
+            }
+        )
+
+    return hist.groupby("__one").map_groups(
+        lambda g: _stitch(g.drop_columns(["__one"])), batch_format="pyarrow"
+    )
