@@ -10,11 +10,15 @@ Run: python BENCH/bench_r4s_inversions.py   (from /root/repo)
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 import pyarrow as pa
 import ray
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 US = 1_000_000
 DAY = 86_400 * US
