@@ -1288,8 +1288,6 @@ def prefix_filter_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
     """
-    from ray.data.aggregate import Count
-
     from .sweep import with_part
 
     def _gram_rows(batch: pa.Table) -> pa.Table:
@@ -1366,6 +1364,12 @@ def prefix_filter_jaccard_pairs(
         co = np.maximum(np.ceil(threshold * sz).astype(np.int64) - 1, 1)
         p = sz - co + 1
         keep = pos < p
+        # df=1 grams legitimately OCCUPY prefix slots (they are the most
+        # discriminative, shrinking the rest of the prefix) but can never
+        # produce a candidate pair — the guaranteed shared token has
+        # df ≥ 2 by definition, so their posting rows are pure dead
+        # weight in the pair exchange
+        keep &= g["df"].to_numpy(zero_copy_only=False) >= 2
         sub = g.filter(pa.array(keep))
         out = pa.table(
             {"g": sub["g"], "doc": sub["doc"], "size": sub["size"]}
@@ -1387,19 +1391,23 @@ def prefix_filter_jaccard_pairs(
         sz = g["size"].to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.r_[True, gv[1:] != gv[:-1]])
         ends = np.r_[starts[1:], len(gv)]
+        lens = ends - starts
+        skipped = int((lens > max_posting).sum())
         a_l: list[np.ndarray] = []
         b_l: list[np.ndarray] = []
-        skipped = 0
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
+        # batch runs by LENGTH: one triu per distinct posting size, all
+        # runs of that size processed as a (runs, m) matrix — the
+        # per-gram python loop disappears (≤ max_posting iterations)
+        for m in np.unique(lens):
+            if m < 2 or m > max_posting:
                 continue
-            if m > max_posting:
-                skipped += 1
-                continue
-            x, y = np.triu_indices(m, k=1)
-            da, db = dv[s + x], dv[s + y]
-            sa, sb = sz[s + x], sz[s + y]
+            sel = starts[lens == m]
+            rows = (sel[:, None] + np.arange(m)[None, :]).ravel()
+            dmat = dv[rows].reshape(len(sel), m)
+            smat = sz[rows].reshape(len(sel), m)
+            x, y = np.triu_indices(int(m), k=1)
+            da, db = dmat[:, x].ravel(), dmat[:, y].ravel()
+            sa, sb = smat[:, x].ravel(), smat[:, y].ravel()
             mn, mx = np.minimum(sa, sb), np.maximum(sa, sb)
             ok = (mn + 1e-9) >= threshold * mx  # exact-safe length filter
             ok &= da != db
@@ -1419,6 +1427,25 @@ def prefix_filter_jaccard_pairs(
             }
         )
 
+    def _pair_route(b: pa.Table) -> pa.Table:
+        return with_part(b, ["id_a", "id_b"], num_partitions)
+
+    def _pair_unique(g: pa.Table) -> pa.Table:
+        ia = g["id_a"].to_numpy(zero_copy_only=False)
+        ib = g["id_b"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([ia, ib], axis=1), axis=0)
+        return pa.table(
+            {
+                "id_a": pa.array(uniq[:, 0], pa.int64()),
+                "id_b": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    # global pair dedup as a coarse-partition unique sweep — a 2-key
+    # Aggregate here sorts the full candidate MULTISET (the low-threshold
+    # hot spot: measured 35-42 s of the 80 s wall at t=0.3/sf0.1); the
+    # hash-partitioned np.unique does the same dedup against an int32
+    # part key
     cand = (
         ds.map_batches(_gram_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__part")
@@ -1427,9 +1454,9 @@ def prefix_filter_jaccard_pairs(
         .map_groups(_prefix_sweep, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(_posting_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count())
-        .drop_columns(["count()"])
+        .map_batches(_pair_route, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_pair_unique, batch_format="pyarrow")
         .materialize()
     )
     return _attach_verify_pairs(
