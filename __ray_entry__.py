@@ -2530,6 +2530,13 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_chi2_cells_type_hour(sf_dir: str):
+    """Chi-square contingency cells (type × hour), per-cell pinned."""
+    from workbook_exporter_fe_ray.stages.window import chi2_cells_type_hour
+
+    return chi2_cells_type_hour(_events(sf_dir))
+
+
 def _q_revenue_pareto_deciles(sf_dir: str):
     """Customer-spend concentration curve via the histogram identity."""
     from workbook_exporter_fe_ray.sources import read_table
@@ -3173,6 +3180,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "user_set_algebra": _q_user_set_algebra,            # Venn (r4s)
         "segment_order_profile": _q_segment_order_profile,  # auto-join (r4s)
         "revenue_pareto_deciles": _q_revenue_pareto_deciles,  # Pareto (r4s)
+        "chi2_cells_type_hour": _q_chi2_cells_type_hour,    # chi2 (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3452,6 +3460,7 @@ _NEW_R4 = (
     "user_set_algebra",
     "segment_order_profile",
     "revenue_pareto_deciles",
+    "chi2_cells_type_hour",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4670,6 +4679,28 @@ SELECT p.late_sk AS s_suppkey, s.s_name,
 FROM per p JOIN supplier s ON s.s_suppkey = p.late_sk
 WHERE p.ns > 1 AND p.nl = 1
 GROUP BY 1, 2
+""",
+        "chi2_cells_type_hour": """
+WITH c AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT c.*,
+         CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT)
+           AS row_total,
+         CAST(sum(obs) OVER (PARTITION BY hour) AS BIGINT) AS col_total,
+         CAST(sum(obs) OVER () AS BIGINT) AS n_total
+  FROM c)
+SELECT event_type, hour, obs, row_total, col_total, n_total,
+       ((CAST(obs AS DOUBLE) * CAST(n_total AS DOUBLE)
+         - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE))
+        * (CAST(obs AS DOUBLE) * CAST(n_total AS DOUBLE)
+           - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)))
+       / ((CAST(n_total AS DOUBLE) * CAST(row_total AS DOUBLE))
+          * CAST(col_total AS DOUBLE)) AS chi2_term
+FROM m
 """,
         "revenue_pareto_deciles": """
 WITH t AS (

@@ -1188,3 +1188,50 @@ def test_revenue_pareto_deciles_tie_straddle_vs_brute(ray_session):
         assert int(row["revenue_cents"]) == rev
         assert int(row["cum_revenue_cents"]) == cum
         assert row["cum_share"] == cum / grand
+
+
+def test_chi2_cells_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import chi2_cells_type_hour
+
+    rng = np.random.default_rng(37)
+    n = 2000
+    base = 1_700_000_000 * US
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(np.zeros(n, np.int64)),
+            "ts": pa.array(
+                (base + rng.integers(0, 3 * DAY, n)).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(
+                [f"t{k}" for k in rng.integers(0, 3, n)], pa.string()
+            ),
+            "value": pa.array(np.zeros(n)),
+        }
+    )
+    out = (
+        chi2_cells_type_hour(ray.data.from_arrow(tbl).repartition(5))
+        .to_pandas()
+        .set_index(["event_type", "hour"])
+        .sort_index()
+    )
+    df = tbl.to_pandas()
+    df["hour"] = (tbl["ts"].cast(pa.int64()).to_numpy() // (3600 * US)) % 24
+    obs = df.groupby(["event_type", "hour"]).size()
+    rt = df.groupby("event_type").size()
+    ct = df.groupby("hour").size()
+    assert len(out) == len(obs)
+    tot_chi2 = 0.0
+    for (e, h), o in obs.items():
+        row = out.loc[(e, h)]
+        assert int(row["obs"]) == o
+        assert int(row["row_total"]) == rt[e]
+        assert int(row["col_total"]) == ct[h]
+        exp = rt[e] * ct[h] / n
+        # classic form equals the cross-multiplied form
+        assert abs(row["chi2_term"] - (o - exp) ** 2 / exp) < 1e-9
+        tot_chi2 += row["chi2_term"]
+    # independence holds by construction → statistic stays moderate
+    dof = (len(rt) - 1) * (len(ct) - 1)
+    assert tot_chi2 < 3 * dof

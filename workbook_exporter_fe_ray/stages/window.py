@@ -7050,3 +7050,91 @@ def user_set_algebra(
         ),
         batch_format="pyarrow",
     )
+
+
+def chi2_cells_type_hour(
+    events: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Chi-square CONTINGENCY cells for (event_type × hour-of-day):
+    observed count, both marginals, and the cell's chi² term — the
+    independence-test workhorse behind "does traffic mix shift by
+    hour".  The global statistic is the SUM of a float column and
+    therefore order-dependent; the gate stays hash-exact by emitting
+    the PER-CELL terms instead (each one a fixed-shape IEEE expression
+    over exact ints: ``(obs·N − rt·ct)² / (N·rt·ct)``, every operand
+    cast to double before arithmetic so the same tree evaluates
+    bit-identically in SQL) and leaving the one-line reduction to the
+    consumer.
+
+    One (type × 24)-cell exchange; marginals derive from the SAME
+    aggregate on the driver (cell-domain-sized by construction).
+
+    Output: (event_type, hour, obs, row_total, col_total, n_total,
+    chi2_term).
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts // (3_600 * US)) % 24
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "hour": pa.array(hour.astype(np.int64)),
+                "obs": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "hour"]).aggregate([("obs", "sum")])
+        return g.rename_columns(["event_type", "hour", "obs"])
+
+    agg = (
+        events.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("obs"))
+    )
+    tabs = [t for t in ray.get(agg.to_arrow_refs()) if len(t)]
+    tbl = (
+        pa.concat_tables(tabs)
+        if tabs
+        else pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "hour": pa.array([], pa.int64()),
+                "sum(obs)": pa.array([], pa.int64()),
+            }
+        )
+    )
+    et = tbl["event_type"].to_pylist()
+    hr = pc.cast(tbl["hour"], pa.int64()).to_numpy(zero_copy_only=False)
+    ob = pc.cast(tbl["sum(obs)"], pa.int64()).to_numpy(zero_copy_only=False)
+    row_tot: dict[str, int] = {}
+    col_tot: dict[int, int] = {}
+    for e, h, o in zip(et, hr, ob):
+        row_tot[e] = row_tot.get(e, 0) + int(o)
+        col_tot[int(h)] = col_tot.get(int(h), 0) + int(o)
+    N = int(ob.sum())
+    rt = np.array([row_tot[e] for e in et], np.int64)
+    ct = np.array([col_tot[int(h)] for h in hr], np.int64)
+    # fixed IEEE tree: every operand doubled BEFORE arithmetic
+    obs_f, rt_f, ct_f, n_f = (
+        ob.astype(np.float64),
+        rt.astype(np.float64),
+        ct.astype(np.float64),
+        np.float64(N),
+    )
+    num = obs_f * n_f - rt_f * ct_f
+    chi2 = (num * num) / ((n_f * rt_f) * ct_f)
+    out = pa.table(
+        {
+            "event_type": tbl["event_type"],
+            "hour": pa.array(hr),
+            "obs": pa.array(ob),
+            "row_total": pa.array(rt),
+            "col_total": pa.array(ct),
+            "n_total": pa.array(np.full(len(ob), N, np.int64)),
+            "chi2_term": pa.array(chi2),
+        }
+    )
+    return ray.data.from_arrow(out)
