@@ -2530,6 +2530,13 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_survival_hazard_daily(sf_dir: str):
+    """Kaplan-Meier discrete hazard of user lifetimes with censoring."""
+    from workbook_exporter_fe_ray.stages.window import survival_hazard_daily
+
+    return survival_hazard_daily(_events(sf_dir))
+
+
 def _q_chi2_cells_type_hour(sf_dir: str):
     """Chi-square contingency cells (type × hour), per-cell pinned."""
     from workbook_exporter_fe_ray.stages.window import chi2_cells_type_hour
@@ -3181,6 +3188,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "segment_order_profile": _q_segment_order_profile,  # auto-join (r4s)
         "revenue_pareto_deciles": _q_revenue_pareto_deciles,  # Pareto (r4s)
         "chi2_cells_type_hour": _q_chi2_cells_type_hour,    # chi2 (r4s)
+        "survival_hazard_daily": _q_survival_hazard_daily,  # KM (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3461,6 +3469,7 @@ _NEW_R4 = (
     "segment_order_profile",
     "revenue_pareto_deciles",
     "chi2_cells_type_hour",
+    "survival_hazard_daily",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4679,6 +4688,26 @@ SELECT p.late_sk AS s_suppkey, s.s_name,
 FROM per p JOIN supplier s ON s.s_suppkey = p.late_sk
 WHERE p.ns > 1 AND p.nl = 1
 GROUP BY 1, 2
+""",
+        "survival_hazard_daily": """
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+  FROM events GROUP BY 1),
+mx AS (SELECT max(l) AS m FROM s),
+lt AS (
+  SELECT CAST((l - f) // 86400000000 AS BIGINT) AS day_t,
+         CAST(l <= (SELECT m FROM mx) - 3 * 86400000000 AS INT) AS unc
+  FROM s),
+h AS (
+  SELECT day_t, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(unc) AS BIGINT) AS n_churned
+  FROM lt GROUP BY 1)
+SELECT day_t,
+       CAST(sum(n) OVER (ORDER BY day_t DESC) AS BIGINT) AS n_at_risk,
+       n_churned,
+       CAST(n_churned AS DOUBLE)
+         / CAST(sum(n) OVER (ORDER BY day_t DESC) AS DOUBLE) AS hazard
+FROM h
 """,
         "chi2_cells_type_hour": """
 WITH c AS (

@@ -1235,3 +1235,47 @@ def test_chi2_cells_vs_brute(ray_session):
     # independence holds by construction → statistic stays moderate
     dof = (len(rt) - 1) * (len(ct) - 1)
     assert tot_chi2 < 3 * dof
+
+
+def test_survival_hazard_censoring_vs_brute(ray_session):
+    from workbook_exporter_fe_ray.stages.window import survival_hazard_daily
+
+    D = 86_400_000_000
+    base = 1_700_000_000 * US
+    # user 1: lifetime 2d, churned well before edge
+    # user 2: lifetime 2d, last event at corpus edge → CENSORED
+    # user 3: lifetime 0d, churned early
+    # user 4: lifetime 5d, defines the corpus max
+    rows = [
+        (1, base), (1, base + 2 * D),
+        (2, base + 3 * D), (2, base + 5 * D),
+        (3, base + 1 * D),
+        (4, base), (4, base + 5 * D),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array(["e"] * len(rows)),
+            "value": pa.array(np.zeros(len(rows))),
+        }
+    )
+    out = (
+        survival_hazard_daily(
+            ray.data.from_arrow(tbl).repartition(3), censor_days=3
+        )
+        .to_pandas()
+        .set_index("day_t")
+        .sort_index()
+    )
+    # lifetimes: u1=2 (churn), u2=2 (censored: last=base+5d ≥ max−3d),
+    # u3=0 (churn), u4=5 (censored)
+    assert list(out.index) == [0, 2, 5]
+    assert int(out.loc[0, "n_at_risk"]) == 4
+    assert int(out.loc[0, "n_churned"]) == 1
+    assert out.loc[0, "hazard"] == 0.25
+    assert int(out.loc[2, "n_at_risk"]) == 3
+    assert int(out.loc[2, "n_churned"]) == 1  # u2 censored, not churned
+    assert int(out.loc[5, "n_at_risk"]) == 1
+    assert int(out.loc[5, "n_churned"]) == 0

@@ -7138,3 +7138,125 @@ def chi2_cells_type_hour(
         }
     )
     return ray.data.from_arrow(out)
+
+
+def survival_hazard_daily(
+    events: ray.data.Dataset,
+    censor_days: int = 3,
+) -> ray.data.Dataset:
+    """SURVIVAL analysis of user lifetimes (Kaplan–Meier discrete
+    hazard with right-censoring): for each observed lifetime length t
+    (days between a user's first and last event), the risk set size,
+    the number of uncensored churns at exactly t, and the hazard
+    ``d_t / n_t`` — users still active near the corpus edge are
+    CENSORED (they didn't churn; the corpus ended), which naive
+    retention curves get wrong.
+
+    The KM survival product is order-dependent float math, so — like
+    :func:`chi2_cells_type_hour` — the gate emits the per-t terms
+    (hazard = ONE pinned int/int division each) and leaves the
+    product to the consumer.  Execution: per-user (first, last)
+    min/max partials → ONE user-keyed exchange → lifetime-day
+    histogram (day-domain) → bounded stitch whose suffix cumsum IS
+    the risk set.
+
+    Output: (day_t, n_at_risk, n_churned, hazard) per observed
+    lifetime length.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def _span_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "first": pc.cast(b["ts"], pa.int64()),
+                "last": pc.cast(b["ts"], pa.int64()),
+            }
+        )
+        g = t.group_by("user_id").aggregate(
+            [("first", "min"), ("last", "max")]
+        )
+        return g.rename_columns(["user_id", "first", "last"])
+
+    spans = (
+        events.map_batches(
+            _span_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("user_id")
+        .aggregate(Min("first"), Max("last"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "first": pc.cast(b["min(first)"], pa.int64()),
+                    "last": pc.cast(b["max(last)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed twice: corpus max + histogram
+    )
+    cmax = int(spans.max("last"))
+    cutoff = np.int64(cmax - censor_days * 86_400_000_000)
+
+    def _hist_partial(b: pa.Table) -> pa.Table:
+        first = b["first"].to_numpy(zero_copy_only=False)
+        last = b["last"].to_numpy(zero_copy_only=False)
+        day_t = (last - first) // np.int64(86_400_000_000)
+        # uncensored ⟺ edge silence ≥ censor_days (boundary counts as
+        # churn: the user was silent for the full censor window)
+        unc = (last <= cutoff).astype(np.int64)
+        t = pa.table(
+            {
+                "day_t": pa.array(day_t),
+                "n": pa.array(np.ones(len(b), np.int64)),
+                "churn": pa.array(unc),
+            }
+        )
+        g = t.group_by("day_t").aggregate([("n", "sum"), ("churn", "sum")])
+        return g.rename_columns(["day_t", "n", "churn"])
+
+    hist = (
+        spans.map_batches(_hist_partial, batch_format="pyarrow")
+        .groupby("day_t")
+        .aggregate(Sum("n"), Sum("churn"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day_t": pc.cast(b["day_t"], pa.int64()),
+                    "n": pc.cast(b["sum(n)"], pa.int64()),
+                    "churn": pc.cast(b["sum(churn)"], pa.int64()),
+                    "__one": pa.array(np.zeros(len(b), np.int32)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def _stitch(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "day_t": pa.array([], pa.int64()),
+                    "n_at_risk": pa.array([], pa.int64()),
+                    "n_churned": pa.array([], pa.int64()),
+                    "hazard": pa.array([], pa.float64()),
+                }
+            )
+        idx = pc.sort_indices(g, sort_keys=[("day_t", "ascending")])
+        g = g.take(idx)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        ch = g["churn"].to_numpy(zero_copy_only=False)
+        at_risk = np.cumsum(n[::-1])[::-1]  # risk set = lifetimes ≥ t
+        hazard = ch.astype(np.float64) / at_risk.astype(np.float64)
+        return pa.table(
+            {
+                "day_t": g["day_t"],
+                "n_at_risk": pa.array(at_risk),
+                "n_churned": pa.array(ch),
+                "hazard": pa.array(hazard),
+            }
+        )
+
+    return hist.groupby("__one").map_groups(
+        lambda g: _stitch(g.drop_columns(["__one"])), batch_format="pyarrow"
+    )
