@@ -2530,6 +2530,13 @@ def _q_range_frame_quantiles_1h(sf_dir: str):
     return range_frame_quantiles_1h(_events(sf_dir))
 
 
+def _q_mann_kendall_trend(sf_dir: str):
+    """Mann-Kendall S per source (composes the inversion kernel)."""
+    from workbook_exporter_fe_ray.stages.window import mann_kendall_trend
+
+    return mann_kendall_trend(_events(sf_dir))
+
+
 def _q_survival_hazard_daily(sf_dir: str):
     """Kaplan-Meier discrete hazard of user lifetimes with censoring."""
     from workbook_exporter_fe_ray.stages.window import survival_hazard_daily
@@ -3189,6 +3196,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "revenue_pareto_deciles": _q_revenue_pareto_deciles,  # Pareto (r4s)
         "chi2_cells_type_hour": _q_chi2_cells_type_hour,    # chi2 (r4s)
         "survival_hazard_daily": _q_survival_hazard_daily,  # KM (r4s)
+        "mann_kendall_trend": _q_mann_kendall_trend,        # MK S (r4s)
         # --- reference operator semantics (SURVEY §2) ---
         "filter_project": _q_filter_project,          # F1/F5
         "explode_tokens": _q_explode_tokens,          # F7 explode
@@ -3470,6 +3478,7 @@ _NEW_R4 = (
     "revenue_pareto_deciles",
     "chi2_cells_type_hour",
     "survival_hazard_daily",
+    "mann_kendall_trend",
 )
 
 _ROWS_ONLY_R3 = (
@@ -4688,6 +4697,30 @@ SELECT p.late_sk AS s_suppkey, s.s_name,
 FROM per p JOIN supplier s ON s.s_suppkey = p.late_sk
 WHERE p.ns > 1 AND p.nl = 1
 GROUP BY 1, 2
+""",
+        "mann_kendall_trend": f"""
+WITH e AS (
+  SELECT event_type AS source, ts, event_id, {_CENTS} AS c FROM events),
+inv AS (
+  SELECT a.source, CAST(count(*) AS BIGINT) AS n_inv
+  FROM e a JOIN e b
+    ON a.source = b.source
+   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+   AND a.c > b.c
+  GROUP BY 1),
+tie AS (
+  SELECT source, CAST(sum(m * (m - 1) / 2) AS BIGINT) AS n_ties
+  FROM (SELECT source, c, count(*) AS m FROM e GROUP BY 1, 2)
+  GROUP BY 1),
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY 1)
+SELECT n.source, n.n_events,
+       CAST(n.n_events * (n.n_events - 1) / 2 AS BIGINT) AS n_pairs,
+       CAST(coalesce(i.n_inv, 0) AS BIGINT) AS n_inversions,
+       CAST(coalesce(t.n_ties, 0) AS BIGINT) AS n_ties,
+       CAST(n.n_events * (n.n_events - 1) / 2
+            - 2 * coalesce(i.n_inv, 0) - coalesce(t.n_ties, 0) AS BIGINT)
+         AS s_stat
+FROM n LEFT JOIN inv i USING (source) LEFT JOIN tie t USING (source)
 """,
         "survival_hazard_daily": """
 WITH s AS (

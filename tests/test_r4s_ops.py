@@ -1279,3 +1279,50 @@ def test_survival_hazard_censoring_vs_brute(ray_session):
     assert int(out.loc[2, "n_churned"]) == 1  # u2 censored, not churned
     assert int(out.loc[5, "n_at_risk"]) == 1
     assert int(out.loc[5, "n_churned"]) == 0
+
+
+def test_mann_kendall_vs_brute_sign_sum(ray_session):
+    from workbook_exporter_fe_ray.stages.window import mann_kendall_trend
+
+    rng = np.random.default_rng(43)
+    n = 600
+    base = 1_700_000_000 * US
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(np.zeros(n, np.int64)),
+            "ts": pa.array(
+                (base + rng.integers(0, 30 * DAY, n)).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(
+                [f"s{k}" for k in rng.integers(0, 3, n)], pa.string()
+            ),
+            # heavy ties so the tie correction actually matters
+            "value": pa.array(
+                rng.integers(-4, 5, n).astype(np.float64) * 0.5
+            ),
+        }
+    )
+    out = (
+        mann_kendall_trend(
+            ray.data.from_arrow(tbl).repartition(4),
+            num_partitions=8,
+            span_us=5 * DAY,  # force multi-window cross terms
+        )
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    df = tbl.to_pandas()
+    df["c"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+    df["tsu"] = tbl["ts"].cast(pa.int64()).to_numpy()
+    for s, g in df.groupby("event_type"):
+        g = g.sort_values(["tsu", "event_id"])
+        c = g["c"].to_numpy()
+        s_brute = sum(
+            int(np.sign(c[j] - c[i]))
+            for i in range(len(c))
+            for j in range(i + 1, len(c))
+        )
+        assert int(out.loc[s, "s_stat"]) == s_brute, s

@@ -7260,3 +7260,107 @@ def survival_hazard_daily(
     return hist.groupby("__one").map_groups(
         lambda g: _stitch(g.drop_columns(["__one"])), batch_format="pyarrow"
     )
+
+
+def mann_kendall_trend(
+    events: ray.data.Dataset,
+    num_partitions: int = 64,
+    span_us: int = 7 * 86_400 * US,
+) -> ray.data.Dataset:
+    """Mann–Kendall TREND test per source: the S statistic
+    ``Σ sign(c_j − c_i)`` over all time-ordered pairs — the standard
+    nonparametric "is this series trending" test, composed from two
+    aggregates this engine already owns: S = n_pairs − 2·discordant −
+    tied, so the expensive half IS :func:`ts_value_inversions` (the
+    windowed batch merge counter) and the tied-pair count is one
+    value-histogram aggregate (Σ C(m_v, 2) per source — pair ties are
+    time-order-independent).  Both sides reduce to source-domain rows;
+    the join is a driver-side sorted lookup over that domain.
+
+    Output: (source, n_events, n_pairs, n_inversions, n_ties, s_stat)
+    — s_stat > 0 means upward trend, all exact int64.
+    """
+    from ray.data.aggregate import Sum
+
+    inv_tbl = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                ts_value_inversions(
+                    events, num_partitions=num_partitions, span_us=span_us
+                ).to_arrow_refs()
+            )
+            if len(t)
+        ]
+    )
+
+    def _tie_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "c": _cents(b),
+                "m": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = t.group_by(["source", "c"]).aggregate([("m", "sum")])
+        return g.rename_columns(["source", "c", "m"])
+
+    def _tie_reduce(b: pa.Table) -> pa.Table:
+        m = pc.cast(b["sum(m)"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["source"],
+                "ties": pa.array(m * (m - 1) // 2),
+            }
+        )
+        g = t.group_by("source").aggregate([("ties", "sum")])
+        return g.rename_columns(["source", "ties"])
+
+    ties_tbl = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                events.map_batches(
+                    _tie_partial, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .groupby(["source", "c"])
+                .aggregate(Sum("m"))
+                .map_batches(_tie_reduce, batch_format="pyarrow")
+                .groupby("source")
+                .aggregate(Sum("ties"))
+                .to_arrow_refs()
+            )
+            if len(t)
+        ]
+    )
+    # source-domain join on the driver (both tables are source-sized)
+    src = inv_tbl["source"].to_pylist()
+    tie_map = dict(
+        zip(
+            ties_tbl["source"].to_pylist(),
+            pc.cast(ties_tbl["sum(ties)"], pa.int64()).to_pylist(),
+        )
+    )
+    n_ev = pc.cast(inv_tbl["n_events"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    n_pairs = pc.cast(inv_tbl["n_pairs"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    inv = pc.cast(inv_tbl["n_inversions"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    ties = np.array([tie_map.get(s_, 0) for s_ in src], np.int64)
+    s_stat = n_pairs - 2 * inv - ties
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": inv_tbl["source"],
+                "n_events": pa.array(n_ev),
+                "n_pairs": pa.array(n_pairs),
+                "n_inversions": pa.array(inv),
+                "n_ties": pa.array(ties),
+                "s_stat": pa.array(s_stat),
+            }
+        )
+    )
