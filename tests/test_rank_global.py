@@ -174,3 +174,55 @@ def test_lttb_windowed_small_series_path(ray_session):
     # n_out >= n -> identity
     full = lttb_downsample(ds, n_out=500, plan="windowed").to_pandas()
     assert len(full) == n
+
+
+def test_windowed_pack_manifest_is_object_store_native(tied_events):
+    """The r4 VERDICT scale finding: the windowed-plan exchange must not
+    hand node-local filesystem paths across task boundaries. The pack
+    manifest carries (blk, row) coordinates into object-store block
+    refs — no 'path' key, no string that resolves on one node only —
+    and every run is addressable as one row of a plasma block."""
+    from workbook_exporter_fe_ray.stages.sweep import with_part
+    from workbook_exporter_fe_ray.stages.window import (
+        _cents,
+        _pack_groups_to_refs,
+    )
+
+    US_ = 1_000_000
+    window_us = 86_400 * US_
+
+    def _route(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "w": pa.array((ts // window_us) * window_us, pa.int64()),
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "cents": _cents(b),
+            }
+        )
+        return with_part(t, ["source", "w"], 16)
+
+    routed = tied_events.map_batches(_route, batch_format="pyarrow")
+    manifest, block_refs = _pack_groups_to_refs(
+        routed, ["source", "w"], ["ts", "event_id"]
+    )
+    assert manifest and block_refs
+    assert all(isinstance(r, ray.ObjectRef) for r in block_refs)
+    total = 0
+    for m in manifest:
+        assert "path" not in m, "node-local path leaked into the manifest"
+        assert not any(
+            isinstance(v, str) and v.startswith("/") for v in m.values()
+        ), "absolute-path-looking manifest value"
+        assert 0 <= m["blk"] < len(block_refs)
+        total += m["n"]
+    assert total == tied_events.count()
+    # a run row is directly addressable in the block (the window-task path)
+    blk = ray.get(block_refs[manifest[0]["blk"]])
+    assert {"ts_l", "event_id_l", "cents_l"} <= set(blk.column_names)
+    row = blk.slice(manifest[0]["row"], 1)
+    assert len(row["ts_l"][0].values) == manifest[0]["n"]

@@ -1567,68 +1567,117 @@ def cume_dist_by_value(
 # Shape at 100 TB: the exchange and the per-window decode/sort are
 # fully parallel; per-task memory is one window of one key; the only
 # sequential term is the compiled kernel itself on one key's stream —
-# inherent to the semantics, not the engine. The packed files double as
-# per-partition checkpoints (lineage = (source, window, path, n)).
+# inherent to the semantics, not the engine. The packed runs live in
+# the OBJECT STORE (ray.put per run; manifest rows carry the refs), so
+# the plan is cluster-safe: a window task on any node dereferences its
+# run table via plasma (zero-copy locally, one transfer remotely, and
+# the store spills under pressure) — no node-local filesystem path
+# ever crosses a task boundary.
 # ---------------------------------------------------------------------------
 
 
-def _pack_groups_to_files(
+_PAYLOAD_COLS = ("ts", "event_id", "cents")
+
+
+@ray.remote
+def _slim_meta(blk: pa.Table) -> pa.Table:
+    """Manifest half of a packed block: every column except the
+    list-typed payloads (key values, ``n``, extras scalars)."""
+    drop = [c for c in blk.column_names if c.endswith("_l")]
+    return blk.drop_columns(drop)
+
+
+def _pack_groups_to_refs(
     routed: ray.data.Dataset,
     key_cols: list[str],
     sort_cols: list[str],
-    job_dir: str,
     extras=None,
-) -> list[dict]:
-    """Sweep each coarse partition, write one parquet file per key-run
-    (rows sorted by ``key_cols + sort_cols``), and return the manifest:
-    one dict per group with the key values, ``path``, ``n`` and any
-    ``extras(sub_table) -> dict`` scalars (e.g. LTTB centroids)."""
-    import os
+):
+    """Sweep each coarse partition and pack each key-run (rows sorted
+    by ``key_cols + sort_cols``) as ONE ROW of a materialized dataset:
+    key columns + ``n`` + extras scalars + one list-typed column per
+    payload (``ts_l``/``event_id_l``/``cents_l``, a zero-copy
+    ``LargeListArray`` wrap of the sorted column). Returns ``(manifest,
+    block_refs)`` where manifest rows carry ``blk``/``row`` coordinates
+    into ``block_refs`` plus the key/extras scalars.
 
-    import pyarrow.parquet as pq
-
+    The exchange is object-store-native and cluster-safe (the r4
+    VERDICT scale finding): runs live in plasma blocks of a
+    materialized Dataset — a window task on any node receives its
+    block as an auto-dereferenced top-level argument (zero-copy read
+    locally, one transfer remotely, spillable under pressure) and
+    slices its row; no node-local filesystem path ever crosses a task
+    boundary. One run is one row, so a run can never straddle a block
+    split, and the per-run ``extras`` floats are computed here on the
+    full run exactly as the unwindowed kernel would (bit-identity)."""
     from .sweep import run_starts_table
 
-    os.makedirs(job_dir, exist_ok=True)
-
     def _sweep(g: pa.Table) -> pa.Table:
-        pid = int(g["__part"][0].as_py()) if len(g) else 0
         idx = pc.sort_indices(
             g, sort_keys=[(c, "ascending") for c in [*key_cols, *sort_cols]]
         )
-        g = g.take(idx).drop_columns(["__part"])
+        g = g.take(idx).drop_columns(["__part"]).combine_chunks()
+        n = len(g)
         starts = run_starts_table(g, key_cols)
-        ends = np.r_[starts[1:], len(g)]
-        rows: list[dict] = []
-        for i, (s, e) in enumerate(zip(starts, ends)):
-            sub = g.slice(s, e - s)
-            path = os.path.join(job_dir, f"p{pid}_{i}.parquet")
-            pq.write_table(sub, path)
-            row = {c: sub[c][0].as_py() for c in key_cols}
-            row.update({"path": path, "n": len(sub)})
-            if extras is not None:
-                row.update(extras(sub))
-            rows.append(row)
-        if not rows:
-            return pa.table({"path": pa.array([], pa.string())})
-        return pa.Table.from_pylist(rows)
+        bounds = np.r_[starts, n].astype(np.int64)
+        first = pa.array(starts.astype(np.int64))
+        cols: dict = {c: g[c].combine_chunks().take(first) for c in key_cols}
+        cols["n"] = pa.array(np.diff(bounds), pa.int64())
+        if extras is not None:
+            ends = bounds[1:]
+            rows = [extras(g.slice(s, e - s)) for s, e in zip(starts, ends)]
+            for k in rows[0] if rows else ():
+                cols[k] = pa.array([r[k] for r in rows])
+        off = pa.array(bounds, pa.int64())
+        for c in _PAYLOAD_COLS:
+            vals = g[c].combine_chunks()
+            if isinstance(vals, pa.ChunkedArray):
+                vals = (
+                    vals.chunk(0) if vals.num_chunks else pa.array([], vals.type)
+                )
+            cols[c + "_l"] = pa.LargeListArray.from_arrays(off, vals)
+        return pa.table(cols)
 
-    return (
+    packed = (
         routed.groupby("__part")
         .map_groups(_sweep, batch_format="pyarrow")
-        .take_all()
+        .materialize()
     )
+    block_refs = packed.to_arrow_refs()
+    manifest: list[dict] = []
+    for bi, meta in enumerate(ray.get([_slim_meta.remote(r) for r in block_refs])):
+        for ri, row in enumerate(meta.to_pylist()):
+            row.update({"blk": bi, "row": ri})
+            manifest.append(row)
+    return manifest, block_refs
+
+
+def _run_payload(blk: pa.Table, row: int) -> pa.Table:
+    """Unpack one packed run row back into its flat payload table
+    (zero-copy ``.values`` slices of the list columns)."""
+    r = blk.slice(row, 1)
+    cols = {}
+    for c in _PAYLOAD_COLS:
+        lv = r[c + "_l"]
+        if isinstance(lv, pa.ChunkedArray):
+            lv = lv.combine_chunks()
+        cols[c] = lv[0].values
+    n = len(cols[_PAYLOAD_COLS[0]])
+    src = r["source"][0].as_py()
+    return pa.table({"source": pa.array([src] * n, pa.string()), **cols})
 
 
 @ray.remote(num_returns=2)
-def _ewma_window_task(path: str, carry, alpha: float):
+def _ewma_window_task(blk: pa.Table, row: int, carry, alpha: float):
     """One window of one source: run the compiled EWMA kernel seeded
     with the predecessor window's exact carry; return (output table,
-    carry for the next window)."""
+    carry for the next window). ``blk`` arrives as a block ObjectRef
+    of the packed materialized dataset and is auto-dereferenced — a
+    zero-copy plasma read on the same node, a one-time transfer across
+    nodes; the task slices its run row out of the block."""
     import polars as pl
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(path)
+    t = _run_payload(blk, row)
     x = t["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
     xx = x if carry is None else np.concatenate(([carry], x))
     y = pl.Series("x", xx).ewm_mean(alpha=alpha, adjust=False).to_numpy()
@@ -1651,8 +1700,6 @@ def _ewma_windowed(
     num_partitions: int,
     window_s: int,
 ) -> ray.data.Dataset:
-    import tempfile
-
     from .sweep import with_part
 
     window_us = window_s * US
@@ -1671,20 +1718,20 @@ def _ewma_windowed(
         return with_part(t, ["source", "w"], num_partitions)
 
     routed = events.map_batches(_route, batch_format="pyarrow", zero_copy_batch=True)
-    job_dir = tempfile.mkdtemp(prefix="wfer_ewma_")
-    manifest = _pack_groups_to_files(
-        routed, ["source", "w"], ["ts", "event_id"], job_dir
+    manifest, block_refs = _pack_groups_to_refs(
+        routed, ["source", "w"], ["ts", "event_id"]
     )
     per_src: dict[str, list[dict]] = {}
     for m in manifest:
-        if "source" in m and m.get("path"):
-            per_src.setdefault(m["source"], []).append(m)
+        per_src.setdefault(m["source"], []).append(m)
     refs = []
     for src, wins in per_src.items():
         wins.sort(key=lambda m: m["w"])
         carry = None
         for m in wins:
-            tbl_ref, carry = _ewma_window_task.remote(m["path"], carry, alpha)
+            tbl_ref, carry = _ewma_window_task.remote(
+                block_refs[m["blk"]], m["row"], carry, alpha
+            )
             refs.append(tbl_ref)
     if not refs:
         return ray.data.from_arrow(
@@ -1784,13 +1831,14 @@ def _order_plan(sorted_ds: ray.data.Dataset):
 
 
 @ray.remote(num_returns=2)
-def _lttb_step_task(path: str, carry, cx: float, cy: float):
+def _lttb_step_task(blk: pa.Table, row: int, carry, cx: float, cy: float):
     """One LTTB bucket: pick the candidate maximizing the triangle area
     with the previously selected point (``carry``) and the next
-    bucket's centroid — same float expression as ``_lttb_series``."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(path)
+    bucket's centroid — same float expression as ``_lttb_series``.
+    ``blk`` arrives as a packed-dataset block ObjectRef,
+    auto-dereferenced (zero-copy plasma read; no node-local path
+    crosses the task boundary); the task slices its bucket row."""
+    t = _run_payload(blk, row)
     ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
     v = t["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
     ta, va = carry
@@ -1809,13 +1857,11 @@ def _lttb_step_task(path: str, carry, cx: float, cy: float):
 
 
 @ray.remote
-def _lttb_single_task(path: str, n_out: int):
-    """Small-series fallback: the whole source fits one file; run the
-    single-process reference selection directly (bit-identical by
-    construction)."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(path)
+def _lttb_single_task(blk: pa.Table, row: int, n_out: int):
+    """Small-series fallback: the whole source fits one packed run;
+    run the single-process reference selection directly (bit-identical
+    by construction). ``blk`` arrives as a block ObjectRef."""
+    t = _run_payload(blk, row)
     ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
     v = t["cents"].to_numpy(zero_copy_only=False)
     sel = _lttb_series(ts, v, n_out)
@@ -1833,8 +1879,6 @@ def _lttb_single_task(path: str, n_out: int):
 def _lttb_windowed(
     events: ray.data.Dataset, n_out: int, num_partitions: int
 ) -> ray.data.Dataset:
-    import tempfile
-
     from .sweep import with_part
 
     def _project(b: pa.Table) -> pa.Table:
@@ -1934,21 +1978,22 @@ def _lttb_windowed(
             "last_c": int(sub["cents"][last].as_py()),
         }
 
-    job_dir = tempfile.mkdtemp(prefix="wfer_lttb_")
-    manifest = _pack_groups_to_files(
-        routed, ["source", "bucket"], ["ts", "event_id"], job_dir, extras=_extras
+    manifest, block_refs = _pack_groups_to_refs(
+        routed, ["source", "bucket"], ["ts", "event_id"], extras=_extras
     )
     per_src: dict[str, dict[int, dict]] = {}
     for m in manifest:
-        if "source" in m and m.get("path"):
-            per_src.setdefault(m["source"], {})[int(m["bucket"])] = m
+        per_src.setdefault(m["source"], {})[int(m["bucket"])] = m
 
     refs = []
     extra_rows: list[dict] = []
     for src, buckets in per_src.items():
         mode, edges = spec[src]
         if mode == "single":
-            refs.append(_lttb_single_task.remote(buckets[0]["path"], n_out))
+            b0 = buckets[0]
+            refs.append(
+                _lttb_single_task.remote(block_refs[b0["blk"]], b0["row"], n_out)
+            )
             continue
         first = buckets[-1]  # bucket -1 == global position 0
         extra_rows.append(
@@ -1961,9 +2006,10 @@ def _lttb_windowed(
         )
         carry = (float(first["first_ts"]), float(first["first_c"]))
         for i in range(n_out - 2):
-            nxt = buckets[i + 1]
+            cur, nxt = buckets[i], buckets[i + 1]
             sel_ref, carry = _lttb_step_task.remote(
-                buckets[i]["path"], carry, nxt["cent_t"], nxt["cent_v"]
+                block_refs[cur["blk"]], cur["row"], carry,
+                nxt["cent_t"], nxt["cent_v"],
             )
             refs.append(sel_ref)
         last = buckets[n_out - 2]
