@@ -2017,9 +2017,11 @@ def skipgram_topk(
     cross-doc pairs masked via the repeated doc index; per-block
     partial counts shrink the exchange to the distinct-pair domain.
     A per-block top-k cut would be WRONG here (a globally heavy pair
-    can be light in every block), so the cut takes the full pair-domain
-    aggregate — vocab²-bounded — and sorts driver-side with the pinned
-    (count DESC, w1, w2) order, the ``vocab_coverage_topk`` envelope.
+    can be light in every block), so the cut runs AFTER the keyed
+    global-sum exchange — as a distributed ``sort(n_pairs DESC, w1,
+    w2).limit(k)`` (the ``pmi_top_bigrams`` idiom): the vocab²-bounded
+    pair domain never collects to the driver; only the k result rows
+    do (the r4 VERDICT scale finding).
 
     Output: (w1, w2, n_pairs) — k rows, pinned order.
     """
@@ -2062,21 +2064,25 @@ def skipgram_topk(
         g = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
         return g.rename_columns(["w1", "w2", "n_pairs"])
 
-    agg = (
+    def _rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["n_pairs" if c == "sum(n_pairs)" else c for c in b.column_names]
+        )
+
+    top = (
         docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["w1", "w2"])
         .aggregate(Sum("n_pairs"))
-        .to_pandas()
+        .map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["n_pairs", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()  # k rows — bounded by the requested output size
     )
-    agg = agg.rename(columns={"sum(n_pairs)": "n_pairs"})
-    agg = agg.sort_values(
-        ["n_pairs", "w1", "w2"], ascending=[False, True, True], kind="stable"
-    ).head(k)
     return pa.table(
         {
-            "w1": pa.array(list(agg["w1"]), pa.string()),
-            "w2": pa.array(list(agg["w2"]), pa.string()),
-            "n_pairs": pa.array(agg["n_pairs"].to_numpy(np.int64)),
+            "w1": pa.array(list(top["w1"]), pa.string()),
+            "w2": pa.array(list(top["w2"]), pa.string()),
+            "n_pairs": pa.array(top["n_pairs"].to_numpy(np.int64)),
         }
     )
 
@@ -2150,10 +2156,11 @@ def token_split_drift(
     occurrence counts in even- vs odd-``doc_id`` halves, top-k by
     absolute imbalance (a deterministic A/B axis on a table with no
     time column; swap in any boolean split).  Per-block (token, 2)
-    partials → token-domain exchange → pinned driver cut
-    (|Δ| DESC, token ASC), the full-domain-then-sort envelope —
-    a per-block cut would miss globally-imbalanced-but-locally-flat
-    tokens, same argument as ``skipgram_topk``.
+    partials → token-domain exchange → distributed pinned cut
+    ``sort(|Δ| DESC, token ASC).limit(k)`` — a per-block cut would
+    miss globally-imbalanced-but-locally-flat tokens, same argument as
+    ``skipgram_topk``, and the vocab-sized domain never collects to
+    the driver (only the k result rows do).
 
     Output: (token, n_even, n_odd) — k rows.
     """
@@ -2180,22 +2187,32 @@ def token_split_drift(
         g = t.group_by("token").aggregate([("n_even", "sum"), ("n_odd", "sum")])
         return g.rename_columns(["token", "n_even", "n_odd"])
 
-    agg = (
+    def _imb(b: pa.Table) -> pa.Table:
+        ne = pc.cast(b["sum(n_even)"], pa.int64())
+        no = pc.cast(b["sum(n_odd)"], pa.int64())
+        return pa.table(
+            {
+                "token": b["token"],
+                "n_even": ne,
+                "n_odd": no,
+                "imb": pc.abs(pc.subtract(ne, no)),
+            }
+        )
+
+    top = (
         docs.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("token")
         .aggregate(Sum("n_even"), Sum("n_odd"))
-        .to_pandas()
+        .map_batches(_imb, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["imb", "token"], descending=[True, False])
+        .limit(k)
+        .to_pandas()  # k rows — bounded by the requested output size
     )
-    agg = agg.rename(columns={"sum(n_even)": "n_even", "sum(n_odd)": "n_odd"})
-    agg["imb"] = (agg["n_even"] - agg["n_odd"]).abs()
-    agg = agg.sort_values(
-        ["imb", "token"], ascending=[False, True], kind="stable"
-    ).head(k)
     return pa.table(
         {
-            "token": pa.array(list(agg["token"]), pa.string()),
-            "n_even": pa.array(agg["n_even"].to_numpy(np.int64)),
-            "n_odd": pa.array(agg["n_odd"].to_numpy(np.int64)),
+            "token": pa.array(list(top["token"]), pa.string()),
+            "n_even": pa.array(top["n_even"].to_numpy(np.int64)),
+            "n_odd": pa.array(top["n_odd"].to_numpy(np.int64)),
         }
     )
 
