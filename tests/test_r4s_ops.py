@@ -1326,3 +1326,43 @@ def test_mann_kendall_vs_brute_sign_sum(ray_session):
             for j in range(i + 1, len(c))
         )
         assert int(out.loc[s, "s_stat"]) == s_brute, s
+
+
+def test_range_sink_resume_detects_nonkey_content_change(ray_session, tmp_path):
+    """r4 ADVICE: a rerun whose input changed only NON-KEY columns
+    (same per-partition count and key range) must rewrite — the .done
+    signature includes a content hash, so the stale file can't be
+    silently kept; an identical rerun still skips every partition."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from workbook_exporter_fe_ray.sinks.range_parquet import (
+        write_range_partitioned,
+    )
+
+    n = 2000
+    k = np.arange(n, dtype=np.int64)
+    v1 = (k * 3) % 17
+    tbl1 = pa.table({"k": pa.array(k), "v": pa.array(v1)})
+    out = str(tmp_path / "sink")
+    write_range_partitioned(
+        ray.data.from_arrow(tbl1).repartition(5), out, "k", n_partitions=4
+    )
+    # identical rerun: all partitions skip
+    m_same = write_range_partitioned(
+        ray.data.from_arrow(tbl1).repartition(5), out, "k", n_partitions=4
+    )
+    assert all(p["skipped"] for p in m_same["partitions"])
+    # same keys, changed values: every partition must rewrite
+    tbl2 = pa.table({"k": pa.array(k), "v": pa.array(v1 + 1)})
+    m_chg = write_range_partitioned(
+        ray.data.from_arrow(tbl2).repartition(5), out, "k", n_partitions=4
+    )
+    assert not any(p["skipped"] for p in m_chg["partitions"])
+    p0 = m_chg["partitions"][0]
+    f0 = pq_.read_table(
+        os.path.join(out, f"part={p0['part']:05d}", "data.parquet")
+    )
+    kk = f0["k"].to_numpy()
+    assert (f0["v"].to_numpy() == (kk * 3) % 17 + 1).all()

@@ -89,6 +89,31 @@ def write_range_partitioned(
         part = np.searchsorted(bounds, k, side="right").astype(np.int32)
         return b.append_column("__part", pa.array(part))
 
+    def _content_hash(t: pa.Table) -> str:
+        """blake2b of the sorted partition's IPC stream — pinned to a
+        single combined chunk so identical content hashes identically
+        regardless of upstream block layout."""
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=16)
+
+        class _Sink:
+            def write(self, data) -> int:
+                h.update(data)
+                return len(data)
+
+            def close(self) -> None:
+                pass
+
+            @property
+            def closed(self) -> bool:
+                return False
+
+        t = t.combine_chunks()
+        with pa.ipc.new_stream(pa.PythonFile(_Sink(), mode="w"), t.schema) as w:
+            w.write_table(t)
+        return h.hexdigest()
+
     def _write_part(g: pa.Table) -> pa.Table:
         part = int(g["__part"][0].as_py())
         g = g.drop_columns(["__part"])
@@ -100,12 +125,14 @@ def write_range_partitioned(
         done = os.path.join(pdir, ".done")
         k = pc.cast(g[key_col], pa.int64())
         kmin, kmax = int(pc.min(k).as_py()), int(pc.max(k).as_py())
-        sig = f"{len(g)},{kmin},{kmax}"
+        sig = f"{len(g)},{kmin},{kmax},{_content_hash(g)}"
         if os.path.isfile(done) and os.path.isfile(fpath):
-            # skip ONLY when count AND key range both match: a resume
-            # under drifted boundaries (different block sample) or
-            # changed input must rewrite, or the manifest would record
-            # a range the stale file does not contain
+            # skip ONLY when count, key range AND content hash all
+            # match: a resume under drifted boundaries (different
+            # block sample) or ANY changed input — including non-key
+            # columns at identical count/range — must rewrite, or the
+            # manifest would record a range a stale file does not
+            # contain (r4 ADVICE finding)
             with open(done) as f:
                 if f.read().strip() == sig:
                     return pa.table(

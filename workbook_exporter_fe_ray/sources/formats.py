@@ -127,20 +127,28 @@ def read_auto(
         return ds.select_columns(columns) if columns else ds
     if ext == ".orc":
         # ORC — the columnar stripe format the Hadoop-side half of a
-        # lake usually speaks; pyarrow's native reader. One block per
-        # STRIPE (ray.put per stripe → from_arrow_refs) so a
-        # multi-stripe file parallelizes like the IPC path; the loop is
-        # per-stripe driver work (metadata + one buffer hand-off).
+        # lake usually speaks; pyarrow's native reader. The driver
+        # touches only METADATA (nstripes); each stripe's data is read
+        # inside its own Ray task (ship path + stripe index, read in
+        # the task), so the scan is stripe-parallel and never
+        # driver-memory-bound — one task's return becomes one block
+        # (r4 ADVICE: the old plan materialized every stripe on the
+        # driver). Requires `path` on storage every worker sees, the
+        # same contract every read in this repo carries.
         import ray as _ray
         from pyarrow import orc as paorc
 
-        f = paorc.ORCFile(path)
-        refs = []
-        for i in range(f.nstripes):
-            stripe = f.read_stripe(i)
+        @_ray.remote
+        def _read_stripe(p: str, i: int) -> pa.Table:
+            from pyarrow import orc as _orc
+
+            stripe = _orc.ORCFile(p).read_stripe(i)
             if isinstance(stripe, pa.RecordBatch):
                 stripe = pa.Table.from_batches([stripe])
-            refs.append(_ray.put(stripe))
+            return stripe
+
+        nstripes = paorc.ORCFile(path).nstripes
+        refs = [_read_stripe.remote(path, i) for i in range(nstripes)]
         ds = ray.data.from_arrow_refs(refs)
         return ds.select_columns(columns) if columns else ds
     if ext == ".docx":

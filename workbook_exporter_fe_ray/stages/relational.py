@@ -4985,7 +4985,23 @@ def revenue_share_hierarchy(
         zero_copy_only=False
     )
     do = np.argsort(dk, kind="stable")
-    reg = dr[do][np.searchsorted(dk[do], nk)]
+    # inner-join semantics vs the nation dim: a fact nationkey absent
+    # from the dim is dropped (loudly counted), never mis-assigned —
+    # raw searchsorted would index past the end or alias a neighbor
+    # (the ee0b679 sweep.sorted_probe convention).
+    from .sweep import sorted_probe
+
+    hit, pos = sorted_probe(dk[do], nk)
+    if not hit.all():
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "revenue_share_hierarchy: dropped %d fact nationkeys absent "
+            "from the nation dim (inner-join semantics)",
+            int((~hit).sum()),
+        )
+        nk, nc, pos = nk[hit], nc[hit], pos[hit]
+    reg = dr[do][pos]
     total = int(nc.sum())
     reg_tot = {int(r): 0 for r in np.unique(reg)}
     for r, c in zip(reg, nc):

@@ -1234,9 +1234,16 @@ def kmeans_lloyd_iters(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    seed_tbl = pa.concat_tables(
-        [t for t in ray.get(seeds.to_arrow_refs()) if len(t)]
-    ).combine_chunks()
+    seed_parts = [t for t in ray.get(seeds.to_arrow_refs()) if len(t)]
+    n_seeds = sum(len(t) for t in seed_parts)
+    if n_seeds != k:
+        raise ValueError(
+            f"kmeans_lloyd_iters seeds from rows with {id_col} < k={k} "
+            f"but the corpus holds {n_seeds} such rows — the id column "
+            "must cover 0..k-1 exactly (re-key the corpus or pass "
+            "explicit seed ids)"
+        )
+    seed_tbl = pa.concat_tables(seed_parts).combine_chunks()
     seed_tbl = seed_tbl.take(pc.sort_indices(seed_tbl[id_col]))
     C = _quant_matrix(seed_tbl[vec_col], scale, "kmeans_lloyd_iters")
 

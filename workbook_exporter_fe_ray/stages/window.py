@@ -7112,6 +7112,14 @@ def chi2_cells_type_hour(
     bit-identically in SQL) and leaving the one-line reduction to the
     consumer.
 
+    CONSUMER CAVEAT: only OBSERVED (type, hour) cells are emitted
+    (matching the SQL mirror). A zero-count cell still contributes
+    ``rt·ct/N`` to the textbook statistic whenever both marginals are
+    nonzero, so summing ``chi2_term`` alone understates chi² when any
+    contingency cell is empty — reconstruct absent cells from the
+    emitted marginals (``row_total·col_total/n_total`` per missing
+    (type, hour) pair) before the final sum.
+
     One (type × 24)-cell exchange; marginals derive from the SAME
     aggregate on the driver (cell-domain-sized by construction).
 
