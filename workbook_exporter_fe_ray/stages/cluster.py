@@ -56,6 +56,7 @@ def _label_sum(labels: ray.data.Dataset) -> int:
         s = int(b["label"].to_numpy(zero_copy_only=False).astype(object).sum()) if len(b) else 0
         return pa.table({"s": pa.array([str(s)], pa.string())})
 
+    # bounded: one decimal-string row per BLOCK (partial sums), not per label
     parts = labels.map_batches(_partial, batch_format="pyarrow").take_all()
     return sum(int(r["s"]) for r in parts)
 

@@ -476,6 +476,8 @@ def asof_join_windowed(
         lasts = np.r_[starts[1:], len(t)] - 1 if len(starts) else starts
         return t.take(pa.array(lasts))
 
+    # bounded: <= one row per (key, window) run per BLOCK of the small
+    # right side -- the broadcast-lookup build, never the event stream
     summary = pa.Table.from_pylist(
         right.map_batches(_right_summary, batch_format="pyarrow").take_all()
     )
@@ -892,6 +894,7 @@ def range_join_window_counts(
         g = _cut(g)
         return pa.table({key: g[key], "w_start": g["__ts"]})
 
+    # bounded: key-domain-sized (one w_start per key after the grouped cut)
     windows_tbl = pa.Table.from_pylist(
         events.map_batches(_partial_min, batch_format="pyarrow")
         .groupby("__part")

@@ -291,6 +291,8 @@ def heavy_hitters(
     merged = (
         ds.map_batches(_mg_partial, batch_format="pyarrow").groupby(col).sum("mg")
     )
+    # bounded: Misra-Gries keeps <= k counters per block partial, so the
+    # merged candidate domain is <= k * n_blocks (sketch-capacity-sized)
     cand = {r[col] for r in merged.take_all()}
     n_total = ds.count()
     cand_ref = ray.put(cand)
@@ -827,6 +829,7 @@ def winsorized_stats(
     cents = events.map_batches(
         _cents_tbl, batch_format="pyarrow", zero_copy_batch=True
     )
+    # bounded: key-domain-sized (two fence values per source)
     fences = grouped_quantiles(
         cents, key="source", value_col="c", percents=(p_lo, p_hi)
     ).to_pandas()
@@ -887,7 +890,7 @@ def winsorized_stats(
             Sum("n_clamped_hi"),
             Sum("sum_winsorized_cents"),
         )
-        .to_pandas()
+        .to_pandas()  # bounded: key-domain-sized (4 sums per source)
         .sort_values("source")
     )
     los = [fmap[s][0] for s in agg["source"]]

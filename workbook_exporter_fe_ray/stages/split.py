@@ -62,6 +62,7 @@ def epoch_shuffle(
         return b.append_column("__bucket", first)
 
     bucketed = digests.map_batches(_bucketed, batch_format="pyarrow")
+    # bounded: 256 two-hex-digit bucket counts
     sums = bucketed.groupby("__bucket").aggregate(Count()).take_all()
     per = {r["__bucket"]: int(r["count()"]) for r in sums}
     base: dict[str, int] = {}

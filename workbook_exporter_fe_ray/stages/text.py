@@ -396,6 +396,9 @@ def bm25_score(
         g = t.group_by("term").aggregate([([], "count_all")])
         return g.rename_columns(["term", "df"])
 
+    # bounded: vocab-sized DF table collected ONCE to build the idf
+    # lookup that broadcasts back (ray.put) -- the classic small-side
+    # build; the token stream itself never collects
     dft = (
         slim.map_batches(_df_partial, batch_format="pyarrow")
         .groupby("term")
@@ -1861,9 +1864,9 @@ def posting_pairs_top_tokens(
     Phase 1 — DF: per-block DISTINCT (token, doc) pairs (an Arrow
     group_by inside the block, so each doc contributes a token once)
     → ONE token-keyed groupby-sum (vocab-domain-sized exchange) →
-    winners picked driver-side with the pinned total order (df DESC,
-    token ASC) — the collect is vocab-sized, same envelope as
-    ``vocab_coverage_topk``.  Phase 2 — the k winner tokens broadcast
+    winners cut by a distributed ``sort(df DESC, token ASC).limit(k)``
+    (the ``pmi_top_bigrams`` idiom) — only the k winner tokens reach
+    the driver.  Phase 2 — the k winner tokens broadcast
     (``ray.put`` once) and documents STREAM AGAIN, emitting only winner
     pairs: recomputing one split beats materializing the full posting
     set, and the output is k·DF-bounded.
@@ -1898,15 +1901,21 @@ def posting_pairs_top_tokens(
         g = t.group_by("token").aggregate([("df", "sum")])
         return g.rename_columns(["token", "df"])
 
-    df = (
+    def _rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["df" if c == "sum(df)" else c for c in b.column_names]
+        )
+
+    top = (
         docs.map_batches(_df_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("token")
         .aggregate(Sum("df"))
-        .to_pandas()
+        .map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["df", "token"], descending=[True, False])
+        .limit(k)
+        .to_pandas()  # k rows — bounded by the requested output size
     )
-    df = df.rename(columns={"sum(df)": "df"})
-    df = df.sort_values(["df", "token"], ascending=[False, True], kind="stable")
-    winners = set(df["token"].head(k))
+    winners = set(top["token"])
     wref = ray.put(np.array(sorted(winners)))
 
     class _Emit:

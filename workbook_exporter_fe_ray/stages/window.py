@@ -728,6 +728,8 @@ def _rank_plan(events: ray.data.Dataset):
             }
         )
 
+    # bounded: one summary row per source-run per BLOCK (the two-pass
+    # rank-plan broadcast build), never the row stream
     rows = s.map_batches(
         _summarize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).take_all()
