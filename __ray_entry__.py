@@ -421,6 +421,34 @@ def _q_flagship_synthetic(sf_dir: str):
     return cascade_rollup(derive_points(read_points_input(paths)))
 
 
+def _q_fused_flagship_tiers(sf_dir: str):
+    """Tier face of the r5 fused flagship (cascade + Gorilla chunks in
+    ONE exchange, ``rollup.fused_rollup_compress``) on the same
+    deterministic synthetic table — hash-gated against the SAME
+    independent SQL as flagship_synthetic_cascade, proving the fused
+    plan's rollup output is value-identical to the separate pipeline's."""
+    import os
+
+    from workbook_exporter_fe_ray import datagen
+    from workbook_exporter_fe_ray.sources import read_points_input
+    from workbook_exporter_fe_ray.stages.points import derive_points
+    from workbook_exporter_fe_ray.stages.rollup import fused_rollup_compress
+
+    d = "/tmp/wfer_flagship_sf"
+    if not os.path.isdir(d) or not os.listdir(d):
+        datagen.generate(d, n_sources=8, base_seqs=600, seed=42, n_shards=4)
+    paths = sorted(os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet"))
+    fused = fused_rollup_compress(derive_points(read_points_input(paths)))
+    import pyarrow.compute as _pc
+
+    cols = ["tier", "source", "bucket_ts", "count", "sum", "min", "max", "mean"]
+    return fused.map_batches(
+        lambda b: b.filter(_pc.equal(b["kind"], "tier")).select(cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _q_json_extract(sf_dir: str):
     from workbook_exporter_fe_ray.stages.relational import json_extract_k
 
@@ -895,6 +923,24 @@ def _q_media_frames_plan(sf_dir: str):
     ds = ray.data.from_arrow(synth_media_table(64))
     return frame_sample_pipeline(ds, fps=2.0).select_columns(
         ["media_id", "media_type", "frame_idx", "frame_ts_ms", "frames_real"]
+    )
+
+
+def _q_media_jpeg_parity(sf_dir: str):
+    """Baseline-JPEG decode gate (r5): each row's real JPEG decode
+    (``functions/jpeg.py`` — pure-NumPy ITU-T T.81 baseline) vs the
+    lossless BMP reference of the same pixels; geometry must match the
+    construction-replayed truth and max-abs pixel error must sit inside
+    the codec's pinned bound. Covers 4:4:4, 4:2:0, greyscale and
+    restart-interval streams."""
+    from workbook_exporter_fe_ray.stages.multimodal import (
+        jpeg_parity_pipeline,
+        synth_jpeg_media_table,
+    )
+
+    ds = ray.data.from_arrow(synth_jpeg_media_table(48))
+    return jpeg_parity_pipeline(ds).select_columns(
+        ["media_id", "variant", "dec_width", "dec_height", "err_le_tol"]
     )
 
 
@@ -3265,6 +3311,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "pack_tokens_synthetic": _q_pack_tokens_synthetic,  # materialized token packs
         "epoch_shuffle": _q_epoch_shuffle,            # seeded global training order
         "train_val_split": _q_train_val_split,        # hash holdout assignment
+        "fused_flagship_tiers": _q_fused_flagship_tiers,  # r5 one-exchange flagship
+        "media_jpeg_parity": _q_media_jpeg_parity,    # r5 real baseline-JPEG decode gate
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -3663,6 +3711,22 @@ def _ensure_scenes_truth() -> None:
         pq.write_table(synth_media_scenes_truth(72), _SCENES_TRUTH)
 
 
+_JPEG_TRUTH = "/tmp/wfer_media_jpeg_truth.parquet"
+
+
+def _ensure_jpeg_truth() -> None:
+    """JPEG decode-parity ground truth (construction replay of the size
+    control flow; err_le_tol pinned by the codec's pytest bounds)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.stages.multimodal import synth_jpeg_dims_truth
+
+    if not os.path.isfile(_JPEG_TRUTH):
+        pq.write_table(synth_jpeg_dims_truth(48), _JPEG_TRUTH)
+
+
 def _ensure_frames_truth() -> None:
     """Frame-plan ground truth for media_frames_plan (construction
     replay; see synth_media_frames_truth)."""
@@ -3682,6 +3746,7 @@ def oracle_sql() -> dict[str, str]:
     _ensure_dims_truth()
     _ensure_frames_truth()
     _ensure_scenes_truth()
+    _ensure_jpeg_truth()
     from workbook_exporter_fe_ray.sources.docx import (
         synth_docx_fixture,
         synth_yaml_fixture,
@@ -3695,7 +3760,7 @@ def oracle_sql() -> dict[str, str]:
     synth_docx_fixture(_DOCX_FIXTURE)
     synth_yaml_fixture(_YAML_FIXTURE)
     synth_hive_events(_HIVE_FIXTURE)
-    return {
+    sql = {
         "rollup_1m": _rollup_sql("date_trunc('minute', ts)"),
         # the salted two-phase path must produce EXACTLY the same values
         # (associative partials make salting routing-only)
@@ -3889,6 +3954,10 @@ SELECT id_a, id_b FROM read_parquet('{_PHASH_TRUTH}')
         "media_decode_dims": f"""
 SELECT media_id, media_type, dec_width, dec_height, decoded_real
 FROM read_parquet('{_DIMS_TRUTH}')
+""",
+        "media_jpeg_parity": f"""
+SELECT media_id, variant, dec_width, dec_height, err_le_tol
+FROM read_parquet('{_JPEG_TRUTH}')
 """,
         "media_frames_plan": f"""
 SELECT media_id, media_type, frame_idx, frame_ts_ms, frames_real
@@ -6568,3 +6637,8 @@ SELECT source,
 FROM h GROUP BY 1, 2
 """,
     }
+    # fused flagship (r5): ONE exchange producing both the tier cascade
+    # and the Gorilla chunk store; its tier face must hash-match the
+    # same independent SQL as the separate-pipeline cascade
+    sql["fused_flagship_tiers"] = sql["flagship_synthetic_cascade"]
+    return sql

@@ -129,6 +129,32 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     timed("synthetic_compress_gorilla", _compress)
 
+    # 2b) fused flagship (r5): cascade + Gorilla chunks in ONE pass /
+    # ONE exchange — the scale-correct plan (the two jobs above share
+    # the combiner and the (skey, day) exchange key). Kept alongside
+    # the separate jobs so cross-round per-query walls stay comparable.
+    def _fused():
+        from workbook_exporter_fe_ray.stages.rollup import fused_rollup_compress
+
+        fused = fused_rollup_compress(derive_points(read_points_input(paths)))
+        stats = fused.map_batches(
+            lambda b: {
+                "tiers": [int(pc.sum(pc.equal(b["kind"], "tier")).as_py() or 0)],
+                "n": [int(pc.sum(b["n_points"]).as_py() or 0)],
+                "bts": [
+                    sum(len(x) for x in b["ts_dod_bytes"].to_pylist() if x)
+                    + sum(len(x) for x in b["val_xor_bytes"].to_pylist() if x)
+                ],
+            },
+            batch_format="pyarrow",
+        ).to_pandas()
+        meta["fused_tier_rows"] = int(stats["tiers"].sum())
+        meta["fused_points"] = int(stats["n"].sum())
+        meta["fused_compressed_bytes"] = int(stats["bts"].sum())
+        return None
+
+    timed("flagship_fused_1pass", _fused)
+
     # 3) events tiered cascade + gap-fill + compression at $GRAFT_SF_DIR
     timed("events_cascade_all_tiers", lambda: ev.events_flagship(sf_dir).materialize())
     timed("events_gapfill_locf_1h", lambda: ev.gapfill_events_1h(sf_dir).materialize())
@@ -200,6 +226,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         if comp_secs
         else None,
         "packs": meta["packs"],
+        # fused-flagship cross-check: must equal tier_rows /
+        # compressed_bytes from the separate jobs (bit-identity is
+        # pytest-pinned; these make it auditable in every BENCH record)
+        "fused_tier_rows": meta.get("fused_tier_rows"),
+        "fused_compressed_bytes": meta.get("fused_compressed_bytes"),
         "packed_tokens_per_s": round(meta["packed_tokens"] / queries["tokens_pack_2048"], 1)
         if queries["tokens_pack_2048"]
         else None,
@@ -207,24 +238,30 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_scaling_child(num_cpus: int, reps: int = 5) -> dict:
-    """Fresh-process flagship runs (cascade + compress) for --scaling.
+    """Fresh-process flagship runs for --scaling.
+
+    r5: the flagship is the FUSED plan (tier cascade + Gorilla chunks
+    in one pass / one exchange — ``rollup.fused_rollup_compress``,
+    bit-identical to the two separate jobs, pytest-pinned); r1-r4
+    records ran cascade and compress as two sequential jobs, so their
+    absolute walls are not comparable to r5's (the ratios are the
+    criterion and each record is same-run both-widths).
 
     The flagship is run ``reps`` times and the BEST wall is reported per
     CPU level: a long-lived cluster's steady state is what the N→4N
     criterion is about, and first-iteration noise (page cache, parquet
     footer caches, worker warmup) would otherwise dominate. Output is
-    consumed streamingly (count / per-block byte stats) — the real
-    pipeline writes partitioned Parquet; it never holds all tier rows
-    in the object store at once."""
+    consumed streamingly (per-block stats) — the real pipeline writes
+    partitioned Parquet; it never holds all tier rows in the object
+    store at once."""
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     import pyarrow.compute as pc
 
     from workbook_exporter_fe_ray.sources import read_points_input
-    from workbook_exporter_fe_ray.stages.compress import compress_chunks
     from workbook_exporter_fe_ray.stages.points import derive_points
-    from workbook_exporter_fe_ray.stages.rollup import cascade_rollup
+    from workbook_exporter_fe_ray.stages.rollup import fused_rollup_compress
 
     paths = ensure_scale_table()
     # warm the FULL worker pool so the timed region measures the job,
@@ -235,15 +272,15 @@ def run_scaling_child(num_cpus: int, reps: int = 5) -> dict:
     walls, meta = [], {}
     for _ in range(reps):
         t0 = time.perf_counter()
-        tier_rows = cascade_rollup(derive_points(read_points_input(paths))).count()
         stats = (
-            compress_chunks(derive_points(read_points_input(paths)))
+            fused_rollup_compress(derive_points(read_points_input(paths)))
             .map_batches(
                 lambda b: {
+                    "tiers": [int(pc.sum(pc.equal(b["kind"], "tier")).as_py() or 0)],
                     "n": [int(pc.sum(b["n_points"]).as_py() or 0)],
                     "bts": [
-                        sum(len(x) for x in b["ts_dod_bytes"].to_pylist())
-                        + sum(len(x) for x in b["val_xor_bytes"].to_pylist())
+                        sum(len(x) for x in b["ts_dod_bytes"].to_pylist() if x)
+                        + sum(len(x) for x in b["val_xor_bytes"].to_pylist() if x)
                     ],
                 },
                 batch_format="pyarrow",
@@ -253,7 +290,7 @@ def run_scaling_child(num_cpus: int, reps: int = 5) -> dict:
         walls.append(time.perf_counter() - t0)
         meta = {
             "points": int(stats["n"].sum()),
-            "tier_rows": tier_rows,
+            "tier_rows": int(stats["tiers"].sum()),
             "compressed_bytes": int(stats["bts"].sum()),
         }
     wall = min(walls)

@@ -154,7 +154,9 @@ def test_linear_resample_halves_length():
 # ---------------------------------------------------------------------------
 
 
-_JPEG_ROW = b"\xff\xd8\xff\xe0\x00\x10JFIF" + bytes(64)  # compressed: honestly gated
+# PNG needs zlib-inflate plumbing we don't implement: honestly gated.
+# (JPEG decodes for real since r5 — see test_decode_jpeg_row_is_real.)
+_PNG_ROW = b"\x89PNG\r\n\x1a\n" + bytes(64)
 
 
 def test_decode_gate_raises_on_unknown_container():
@@ -163,7 +165,7 @@ def test_decode_gate_raises_on_unknown_container():
     tbl = pa.table(
         {
             "media_id": pa.array([0], pa.int64()),
-            "payload": pa.array([_JPEG_ROW], pa.binary()),
+            "payload": pa.array([_PNG_ROW], pa.binary()),
             "media_type": pa.array(["image"]),
         }
     )
@@ -171,6 +173,34 @@ def test_decode_gate_raises_on_unknown_container():
         Decode(on_unsupported="raise")(tbl)
     out = Decode(on_unsupported="stub")(tbl)  # flagged fallback path
     assert out["decoded_real"].to_pylist() == [False]
+
+
+def test_decode_jpeg_row_is_real():
+    import pyarrow as pa
+
+    from workbook_exporter_fe_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.arange(40 * 56 * 3, dtype=np.uint8).reshape(40, 56, 3)
+    buf = encode_jpeg(img, quality=90, subsampling="444")
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([buf], pa.binary()),
+            "media_type": pa.array(["image"]),
+        }
+    )
+    out = Decode(on_unsupported="raise")(tbl)
+    assert out["decoded_real"].to_pylist() == [True]
+    assert out["dec_width"][0].as_py() == 56
+    assert out["dec_height"][0].as_py() == 40
+    # checksum is of the DECODED tensor — recompute independently
+    assert out["decode_checksum"][0].as_py() == zlib.crc32(
+        np.ascontiguousarray(decode_jpeg(buf)).tobytes()
+    )
+    # and the resize stage round-trips it through the JPEG encoder
+    rout = Resize(target_w=16, target_h=16)(tbl)
+    assert rout["resized_real"].to_pylist() == [True]
+    assert rout["out_width"][0].as_py() == 16
 
 
 def test_decode_real_kernels_and_checksums():
@@ -224,13 +254,13 @@ def test_resize_real_bilinear_and_reencode():
             enc = encode_y4m(*rgb_to_yuv420(rs), fps=(fn, fd))
             assert out["resized_bytes"][i].as_py() == len(enc)
             assert out["out_width"][i].as_py() == 32
-    # injected compressed row still takes the flagged stub path
+    # injected undecodable row still takes the flagged stub path
     import pyarrow as pa
 
     jt = pa.table(
         {
             "media_id": pa.array([99], pa.int64()),
-            "payload": pa.array([_JPEG_ROW], pa.binary()),
+            "payload": pa.array([_PNG_ROW], pa.binary()),
             "media_type": pa.array(["image"]),
         }
     )

@@ -210,3 +210,52 @@ def test_skey_collision_group_splits_exactly():
     chunks = merge_encode_chunk(seg)
     assert set(chunks["source"].to_pylist()) == {"alpha", "beta"}
     assert sorted(chunks["n_points"].to_pylist(), reverse=True) == [100, 80]
+
+
+def test_fused_flagship_bit_identical_to_separate(sf_test_paths):
+    """The r5 fused plan (ONE exchange → tier rows + Gorilla chunks,
+    ``fused_rollup_compress``) must be bit-identical to the two separate
+    pipelines on both faces."""
+    from workbook_exporter_fe_ray.stages.compress import compress_chunks
+    from workbook_exporter_fe_ray.stages.rollup import fused_rollup_compress
+
+    pts = lambda: derive_points(read_points_input(sf_test_paths))  # noqa: E731
+    fused = fused_rollup_compress(pts()).to_pandas()
+    casc = cascade_rollup(pts()).to_pandas()
+    comp = compress_chunks(pts()).to_pandas()
+
+    ft = (
+        fused[fused["kind"] == "tier"][casc.columns.tolist()]
+        .sort_values(["tier", "source", "bucket_ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    cs = casc.sort_values(["tier", "source", "bucket_ts"], kind="stable").reset_index(
+        drop=True
+    )
+    assert len(ft) == len(cs)
+    for col in ("tier", "source", "bucket_ts", "count", "sum", "min", "max"):
+        np.testing.assert_array_equal(
+            ft[col].to_numpy(), cs[col].to_numpy(), err_msg=f"tier:{col}"
+        )
+    np.testing.assert_array_equal(
+        ft["mean"].to_numpy(np.float64).view(np.int64),
+        cs["mean"].to_numpy(np.float64).view(np.int64),
+        err_msg="tier:mean bits",
+    )
+
+    fc = (
+        fused[fused["kind"] == "chunk"][comp.columns.tolist()]
+        .sort_values(["source", "chunk_start_ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    cc = comp.sort_values(["source", "chunk_start_ts"], kind="stable").reset_index(
+        drop=True
+    )
+    assert len(fc) == len(cc)
+    for col in comp.columns:
+        np.testing.assert_array_equal(
+            fc[col].to_numpy(), cc[col].to_numpy(), err_msg=f"chunk:{col}"
+        )
+    # tier rows carry null chunk columns and vice versa (union schema)
+    assert fused[fused["kind"] == "tier"]["ts_dod_bytes"].isna().all()
+    assert fused[fused["kind"] == "chunk"]["tier"].isna().all()

@@ -321,7 +321,7 @@ def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
 
 def sniff_media_format(buf: bytes) -> str:
     """Identify a payload's container by magic bytes: 'bmp' | 'ppm' |
-    'wav' | 'y4m' | 'unknown'."""
+    'wav' | 'y4m' | 'jpeg' | 'unknown'."""
     if buf[:2] == b"BM":
         return "bmp"
     if buf[:2] == b"P6":
@@ -330,4 +330,6 @@ def sniff_media_format(buf: bytes) -> str:
         return "wav"
     if buf[:9] == b"YUV4MPEG2":
         return "y4m"
+    if buf[:2] == b"\xff\xd8":
+        return "jpeg"
     return "unknown"

@@ -8,16 +8,17 @@ batch_size so batch × concurrency fits worker heaps).
 The decode/resize kernels are REAL for uncompressed containers —
 BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16) and YUV4MPEG2 4:2:0 video
 (``.y4m``: plain-text header + raw planar frames) are parsed and
-re-encoded with pure NumPy (``functions/codecs.py``); bilinear image
-resize, linear audio resample and per-frame video resize are
-vectorized NumPy. Compressed formats (JPEG/PNG/MP4 — no codec library
-exists in this container) remain honestly gated: ``on_unsupported=
-'stub'`` emits a flagged deterministic fallback (crc32 of the raw
-bytes), ``'raise'`` raises NotImplementedError. The synthetic corpus
-below generates VALID BMP/PPM/WAV/Y4M payloads so every media type
-exercises real byte→tensor work; the stub path is reached only by
-genuinely compressed containers (e.g. an injected JPEG row — see
-tests).
+re-encoded with pure NumPy (``functions/codecs.py``); baseline JPEG
+(ITU-T T.81 sequential DCT) decodes for real via the pure-NumPy codec
+in ``functions/jpeg.py`` (r5); bilinear image resize, linear audio
+resample and per-frame video resize are vectorized NumPy. Containers
+with no NumPy-expressible public-spec codec in this environment
+(PNG/MP4/…) remain honestly gated: ``on_unsupported='stub'`` emits a
+flagged deterministic fallback (crc32 of the raw bytes), ``'raise'``
+raises NotImplementedError. The synthetic corpus below generates VALID
+BMP/PPM/WAV/Y4M payloads so every media type exercises real
+byte→tensor work; the stub path is reached only by genuinely
+undecodable containers (e.g. an injected PNG row — see tests).
 
 Reference parity: the reference app (workbook_exporter-fe.py) has no
 media path; these stages implement the brief-mandated multimodal
@@ -149,11 +150,16 @@ def _decode_payload(buf: bytes):
     if kind == "y4m":
         y, u, v, _fn, _fd = decode_y4m(buf)
         return yuv420_to_rgb(y, u, v), kind
+    if kind == "jpeg":
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(buf), kind
     return None, kind
 
 
 class Decode:
-    """Actor-pool decode stage: real BMP/PPM/WAV parsing (pure NumPy).
+    """Actor-pool decode stage: real BMP/PPM/WAV/Y4M/JPEG parsing (pure
+    NumPy).
 
     Emits per-row ``payload_bytes`` (raw), ``decode_checksum`` (crc32 of
     the DECODED tensor bytes — proof the bytes were actually parsed),
@@ -177,8 +183,9 @@ class Decode:
                 if self.on_unsupported == "raise":
                     raise NotImplementedError(
                         "no codec for compressed/unknown container "
-                        f"(magic={buf[:4]!r}); only BMP/PPM/WAV decode in "
-                        "this environment — use on_unsupported='stub'"
+                        f"(magic={buf[:4]!r}); only BMP/PPM/WAV/Y4M/JPEG "
+                        "decode in this environment — use "
+                        "on_unsupported='stub'"
                     )
                 checksums.append(zlib.crc32(buf))
                 dec_w.append(0)
@@ -274,8 +281,10 @@ class Resize:
     for video). Audio rows are linear-resampled to ``target_rate``
     (their ``resized_bytes`` is the real resampled WAV length; their
     out_width/out_height stay 0 — resampled, not resized, ADVICE r3).
-    Codec-gated rows (compressed containers, e.g. JPEG) pass through
-    with resized_bytes = raw length, flagged ``resized_real=false``.
+    JPEG rows decode for real (r5) and re-encode as baseline JPEG at
+    quality 85. Codec-gated rows (containers with no decoder here,
+    e.g. PNG) pass through with resized_bytes = raw length, flagged
+    ``resized_real=false``.
     """
 
     def __init__(self, target_w: int = 32, target_h: int = 32, target_rate: int = 8000):
@@ -285,9 +294,16 @@ class Resize:
         sizes, checksums, real, ows, ohs = [], [], [], [], []
         for buf in batch["payload"].to_pylist():
             tensor, kind = _decode_payload(buf)
-            if kind in ("bmp", "ppm"):
+            if kind in ("bmp", "ppm", "jpeg"):
                 resized = bilinear_resize(tensor, self.tw, self.th)
-                enc = encode_bmp(resized) if kind == "bmp" else encode_ppm(resized)
+                if kind == "bmp":
+                    enc = encode_bmp(resized)
+                elif kind == "ppm":
+                    enc = encode_ppm(resized)
+                else:
+                    from ..functions.jpeg import encode_jpeg
+
+                    enc = encode_jpeg(resized, quality=85, subsampling="420")
                 sizes.append(len(enc))
                 checksums.append(zlib.crc32(resized.tobytes()))
                 real.append(True)
@@ -783,3 +799,117 @@ def scene_cut_detect(
         )
 
     return media.map_batches(_detect, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# JPEG parity gate (r5): real baseline-JPEG decode, content-checked
+# ---------------------------------------------------------------------------
+
+
+def synth_jpeg_media_table(n: int, seed: int = 21) -> pa.Table:
+    """Deterministic JPEG corpus for the decode-parity gate: each row
+    carries the baseline-JPEG payload (mix of 4:4:4 / 4:2:0 / greyscale
+    / restart-interval variants) AND a lossless BMP reference of the
+    SAME source pixels, so the decoded JPEG can be content-checked
+    against ground truth without any external codec."""
+    from ..functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, refs, variants = [], [], [], []
+    for i in range(n):
+        w, h = 48 + (i % 5) * 16, 40 + (i % 4) * 24
+        img = _synth_image(rng, w, h)
+        if i % 4 == 3:
+            variant = "grey"
+            grey = img[:, :, 0]
+            buf = encode_jpeg(grey, quality=90)
+            ref = encode_bmp(np.repeat(grey[:, :, None], 3, axis=2))
+        else:
+            variant = ("444", "420", "420rst")[i % 4 % 3]
+            buf = encode_jpeg(
+                img,
+                quality=90,
+                subsampling="444" if variant == "444" else "420",
+                restart_interval=2 if variant == "420rst" else 0,
+            )
+            ref = encode_bmp(img)
+        ids.append(i)
+        payloads.append(buf)
+        refs.append(ref)
+        variants.append(variant)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "ref_payload": pa.array(refs, pa.binary()),
+            "variant": pa.array(variants, pa.string()),
+        }
+    )
+
+
+class JpegParity:
+    """Actor-pool stage: decode each row's baseline JPEG AND its BMP
+    reference, emit geometry + the exact max-abs pixel error. A decoder
+    that mis-parses any stage (huffman, dequant, IDCT, upsample, color
+    convert) blows the error bound; headers alone can't pass."""
+
+    # q90 worst case on the synthetic gradient+noise corpus: 4:2:0
+    # chroma box-averaging of the ±24 seeded noise dominates (measured
+    # max ~53 across variants); a mis-parse of any codec stage produces
+    # near-full-scale errors, so 96 keeps the gate's power
+    ERR_TOL = 96
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.jpeg import decode_jpeg
+
+        ws, hs, errs, ok = [], [], [], []
+        for buf, ref in zip(
+            batch["payload"].to_pylist(), batch["ref_payload"].to_pylist()
+        ):
+            dec = decode_jpeg(buf)
+            want = decode_bmp(ref)
+            err = int(
+                np.abs(dec.astype(np.int64) - want.astype(np.int64)).max()
+            )
+            hs.append(dec.shape[0])
+            ws.append(dec.shape[1])
+            errs.append(err)
+            ok.append(err <= self.ERR_TOL)
+        out = batch.select(["media_id", "variant"])
+        out = out.append_column("dec_width", pa.array(ws, pa.int32()))
+        out = out.append_column("dec_height", pa.array(hs, pa.int32()))
+        return out.append_column("err_le_tol", pa.array(ok, pa.bool_()))
+
+
+def jpeg_parity_pipeline(
+    ds: ray.data.Dataset, batch_size: int = 16, concurrency: int | tuple[int, int] = (1, 4)
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        JpegParity,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synth_jpeg_dims_truth(n: int, seed: int = 21) -> pa.Table:
+    """Construction replay for :func:`synth_jpeg_media_table` — size
+    control flow only; ``err_le_tol`` is True by the codec's contract
+    (pytest-pinned bounds in tests/test_jpeg.py)."""
+    ids, ws, hs, variants, ok = [], [], [], [], []
+    for i in range(n):
+        w, h = 48 + (i % 5) * 16, 40 + (i % 4) * 24
+        variants.append("grey" if i % 4 == 3 else ("444", "420", "420rst")[i % 4 % 3])
+        ids.append(i)
+        ws.append(w)
+        hs.append(h)
+        ok.append(True)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "variant": pa.array(variants, pa.string()),
+            "dec_width": pa.array(ws, pa.int32()),
+            "dec_height": pa.array(hs, pa.int32()),
+            "err_le_tol": pa.array(ok, pa.bool_()),
+        }
+    )

@@ -586,3 +586,102 @@ def cascade_from_tier(
     partials = tier.map_batches(_rebucket, batch_format="pyarrow", zero_copy_batch=True)
     merged = _merge_partials(partials, salt_mod)
     return merged.map_batches(_finalize_mean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Fused flagship: rollup cascade + Gorilla compression in ONE exchange
+# ---------------------------------------------------------------------------
+
+
+def _fused_merge_group(
+    group: pa.Table, tiers: Sequence[TierSpec], dedup: bool = True
+) -> pa.Table:
+    """Reduce side of the fused flagship: decode each (source, day)
+    group's packed segments ONCE, then emit BOTH the tier-cascade rows
+    and the Gorilla chunk row from the same decoded arrays.
+
+    Output is the union schema (``kind`` = 'tier' | 'chunk'); columns
+    belonging to the other kind are null. Same collision discipline as
+    :func:`_merge_cascade_group`: the int64 exchange key can co-locate
+    two sources — split into per-source sub-runs first."""
+    from ..functions import gorilla
+
+    src = group["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    uniq = pc.unique(src)
+    tier_parts: list[pa.Table] = []
+    chunk_parts: list[pa.Table] = []
+    for s in uniq.to_pylist() if len(uniq) > 1 else [None]:
+        g = group if s is None else group.filter(pc.equal(src, s))
+        ts, raw = decode_segments(g, dedup=dedup)
+        source = g["source"][0].as_py() if s is None else s
+        is_int = np.issubdtype(raw.dtype, np.integer)
+        val = raw.astype(np.int64 if is_int else np.float64)
+        minmax_type = pa.from_numpy_dtype(raw.dtype) if is_int else pa.float64()
+        sum_type = pa.int64() if is_int else pa.float64()
+        tier_parts.append(
+            _cascade_arrays(ts, val, source, tiers, minmax_type, sum_type)
+        )
+        fval = raw.astype(np.float64)
+        chunk_parts.append(
+            pa.table(
+                {
+                    "source": pa.array([source], pa.string()),
+                    "chunk_start_ts": pa.array(
+                        [int(g["day"][0].as_py())], pa.int64()
+                    ).cast(pa.timestamp("us")),
+                    "n_points": pa.array([len(ts)], pa.int32()),
+                    "ts_dod_bytes": pa.array([gorilla.encode_dod(ts)], pa.binary()),
+                    "val_xor_bytes": pa.array([gorilla.encode_xor(fval)], pa.binary()),
+                    "first_ts": pa.array([int(ts[0])], pa.int64()),
+                    "first_val": pa.array([float(fval[0])], pa.float64()),
+                }
+            )
+        )
+    tier_tbl = tier_parts[0] if len(tier_parts) == 1 else pa.concat_tables(tier_parts)
+    chunk_tbl = (
+        chunk_parts[0] if len(chunk_parts) == 1 else pa.concat_tables(chunk_parts)
+    )
+    n_t, n_c = len(tier_tbl), len(chunk_tbl)
+    tier_tbl = tier_tbl.append_column("kind", pa.array(["tier"] * n_t, pa.string()))
+    chunk_tbl = chunk_tbl.append_column("kind", pa.array(["chunk"] * n_c, pa.string()))
+    # union by name, null-filling the other kind's columns; tier table
+    # first so the fused schema's column order is deterministic
+    return pa.concat_tables([tier_tbl, chunk_tbl], promote_options="default")
+
+
+def fused_rollup_compress(
+    points: ray.data.Dataset,
+    tiers: Sequence[TierSpec] = DEFAULT_TIERS,
+    value_col: str = "n_tok",
+    dedup: bool = True,
+) -> ray.data.Dataset:
+    """Tier cascade AND Gorilla chunk store in ONE pass / ONE exchange.
+
+    :func:`cascade_rollup` and ``compress.compress_chunks`` share the
+    identical per-block combiner (:func:`_pack_day_segments`) and the
+    identical int64 ``(skey, day)`` exchange key — running them as two
+    jobs reads + derives + packs + shuffles the corpus twice and decodes
+    every segment group twice. This fused plan does each exactly once:
+    points → pack → groupby(skey, day) → per-group decode → (cascade
+    rows + chunk row), emitted in a union schema discriminated by
+    ``kind``. Consumers filter ``kind == 'tier'`` / ``kind == 'chunk'``;
+    the sub-tables are bit-identical to the two separate pipelines'
+    outputs (pytest-pinned).
+
+    At 100 TB this halves the dominant costs of the flagship — one scan
+    of the input instead of two and one all-to-all instead of two — and
+    is the repo's canonical example of "pick ONE partitioning key and
+    reuse it across stages"."""
+    if not tiers:
+        raise ValueError("fused_rollup_compress requires at least one TierSpec")
+    segs = points.map_batches(
+        lambda b: _pack_day_segments(b, value_col, dedup=dedup),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return segs.groupby(["skey", "day"]).map_groups(
+        lambda g: _fused_merge_group(g, tiers, dedup=dedup),
+        batch_format="pyarrow",
+    )
