@@ -944,6 +944,23 @@ def _q_media_jpeg_parity(sf_dir: str):
     )
 
 
+def _q_media_png_parity(sf_dir: str):
+    """PNG decode gate (r5): real zlib-DEFLATE + scanline-filter decode
+    (``functions/png.py``) vs a lossless BMP reference of the same
+    pixels — PNG is lossless so the gate is EXACT equality. Variants
+    cover plain RGB, mixed Sub/Up/Average/Paeth filters, greyscale and
+    RGBA (alpha dropped per the image contract)."""
+    from workbook_exporter_fe_ray.stages.multimodal import (
+        png_parity_pipeline,
+        synth_png_media_table,
+    )
+
+    ds = ray.data.from_arrow(synth_png_media_table(48))
+    return png_parity_pipeline(ds).select_columns(
+        ["media_id", "variant", "dec_width", "dec_height", "exact_match"]
+    )
+
+
 def _q_ewma_source(sf_dir: str):
     from workbook_exporter_fe_ray.stages.window import ewma_per_source
 
@@ -3313,6 +3330,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "train_val_split": _q_train_val_split,        # hash holdout assignment
         "fused_flagship_tiers": _q_fused_flagship_tiers,  # r5 one-exchange flagship
         "media_jpeg_parity": _q_media_jpeg_parity,    # r5 real baseline-JPEG decode gate
+        "media_png_parity": _q_media_png_parity,      # r5 real PNG decode gate (lossless)
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -3727,6 +3745,22 @@ def _ensure_jpeg_truth() -> None:
         pq.write_table(synth_jpeg_dims_truth(48), _JPEG_TRUTH)
 
 
+_PNG_TRUTH = "/tmp/wfer_media_png_truth.parquet"
+
+
+def _ensure_png_truth() -> None:
+    """PNG decode-parity ground truth (construction replay; exact_match
+    is the lossless codec's contract, pytest-pinned)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.stages.multimodal import synth_png_dims_truth
+
+    if not os.path.isfile(_PNG_TRUTH):
+        pq.write_table(synth_png_dims_truth(48), _PNG_TRUTH)
+
+
 def _ensure_frames_truth() -> None:
     """Frame-plan ground truth for media_frames_plan (construction
     replay; see synth_media_frames_truth)."""
@@ -3747,6 +3781,7 @@ def oracle_sql() -> dict[str, str]:
     _ensure_frames_truth()
     _ensure_scenes_truth()
     _ensure_jpeg_truth()
+    _ensure_png_truth()
     from workbook_exporter_fe_ray.sources.docx import (
         synth_docx_fixture,
         synth_yaml_fixture,
@@ -3958,6 +3993,10 @@ FROM read_parquet('{_DIMS_TRUTH}')
         "media_jpeg_parity": f"""
 SELECT media_id, variant, dec_width, dec_height, err_le_tol
 FROM read_parquet('{_JPEG_TRUTH}')
+""",
+        "media_png_parity": f"""
+SELECT media_id, variant, dec_width, dec_height, exact_match
+FROM read_parquet('{_PNG_TRUTH}')
 """,
         "media_frames_plan": f"""
 SELECT media_id, media_type, frame_idx, frame_ts_ms, frames_real

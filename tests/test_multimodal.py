@@ -6,7 +6,8 @@ and video is REAL YUV4MPEG2 4:2:0 (VERDICT r3 item 3) — these tests pin
 pixel-exact encode→decode roundtrips (frame-exact for Y4M), bilinear
 resize against a slow per-pixel reference, WAV/PCM roundtrips, the
 pipeline schema/fan-out contracts, and the honest NotImplementedError
-gate that remains for genuinely compressed containers (injected JPEG)."""
+gate that remains for genuinely undecodable containers (injected GIF;
+JPEG and PNG decode for real since r5)."""
 
 from __future__ import annotations
 
@@ -154,9 +155,9 @@ def test_linear_resample_halves_length():
 # ---------------------------------------------------------------------------
 
 
-# PNG needs zlib-inflate plumbing we don't implement: honestly gated.
-# (JPEG decodes for real since r5 — see test_decode_jpeg_row_is_real.)
-_PNG_ROW = b"\x89PNG\r\n\x1a\n" + bytes(64)
+# GIF needs an LZW decompressor we don't implement: honestly gated.
+# (JPEG and PNG decode for real since r5 — see the tests below.)
+_GIF_ROW = b"GIF89a" + bytes(64)
 
 
 def test_decode_gate_raises_on_unknown_container():
@@ -165,7 +166,7 @@ def test_decode_gate_raises_on_unknown_container():
     tbl = pa.table(
         {
             "media_id": pa.array([0], pa.int64()),
-            "payload": pa.array([_PNG_ROW], pa.binary()),
+            "payload": pa.array([_GIF_ROW], pa.binary()),
             "media_type": pa.array(["image"]),
         }
     )
@@ -173,6 +174,34 @@ def test_decode_gate_raises_on_unknown_container():
         Decode(on_unsupported="raise")(tbl)
     out = Decode(on_unsupported="stub")(tbl)  # flagged fallback path
     assert out["decoded_real"].to_pylist() == [False]
+
+
+def test_decode_png_row_is_real():
+    import pyarrow as pa
+
+    from workbook_exporter_fe_ray.functions.png import encode_png
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (30, 44, 3), dtype=np.uint8)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array(
+                [encode_png(img), encode_png(img[:, :, 0])], pa.binary()
+            ),
+            "media_type": pa.array(["image", "image"]),
+        }
+    )
+    out = Decode(on_unsupported="raise")(tbl)
+    assert out["decoded_real"].to_pylist() == [True, True]
+    assert out["dec_width"].to_pylist() == [44, 44]
+    assert out["dec_height"].to_pylist() == [30, 30]
+    # PNG is lossless: the RGB row's checksum equals crc32 of the source
+    assert out["decode_checksum"][0].as_py() == zlib.crc32(
+        np.ascontiguousarray(img).tobytes()
+    )
+    rout = Resize(target_w=12, target_h=12)(tbl)
+    assert rout["resized_real"].to_pylist() == [True, True]
 
 
 def test_decode_jpeg_row_is_real():
@@ -260,7 +289,7 @@ def test_resize_real_bilinear_and_reencode():
     jt = pa.table(
         {
             "media_id": pa.array([99], pa.int64()),
-            "payload": pa.array([_PNG_ROW], pa.binary()),
+            "payload": pa.array([_GIF_ROW], pa.binary()),
             "media_type": pa.array(["image"]),
         }
     )

@@ -332,4 +332,6 @@ def sniff_media_format(buf: bytes) -> str:
         return "y4m"
     if buf[:2] == b"\xff\xd8":
         return "jpeg"
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return "unknown"

@@ -10,15 +10,17 @@ BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16) and YUV4MPEG2 4:2:0 video
 (``.y4m``: plain-text header + raw planar frames) are parsed and
 re-encoded with pure NumPy (``functions/codecs.py``); baseline JPEG
 (ITU-T T.81 sequential DCT) decodes for real via the pure-NumPy codec
-in ``functions/jpeg.py`` (r5); bilinear image resize, linear audio
-resample and per-frame video resize are vectorized NumPy. Containers
-with no NumPy-expressible public-spec codec in this environment
-(PNG/MP4/…) remain honestly gated: ``on_unsupported='stub'`` emits a
-flagged deterministic fallback (crc32 of the raw bytes), ``'raise'``
-raises NotImplementedError. The synthetic corpus below generates VALID
-BMP/PPM/WAV/Y4M payloads so every media type exercises real
-byte→tensor work; the stub path is reached only by genuinely
-undecodable containers (e.g. an injected PNG row — see tests).
+in ``functions/jpeg.py`` (r5); PNG decodes for real via zlib-DEFLATE +
+the five scanline filters in ``functions/png.py`` (r5); bilinear image
+resize, linear audio resample and per-frame video resize are
+vectorized NumPy. Containers with no public-spec codec implementable
+in this environment (MP4/GIF-LZW/…) remain honestly gated:
+``on_unsupported='stub'`` emits a flagged deterministic fallback
+(crc32 of the raw bytes), ``'raise'`` raises NotImplementedError. The
+synthetic corpus below generates VALID BMP/PPM/WAV/Y4M payloads so
+every media type exercises real byte→tensor work; the stub path is
+reached only by genuinely undecodable containers (e.g. an injected
+GIF row — see tests).
 
 Reference parity: the reference app (workbook_exporter-fe.py) has no
 media path; these stages implement the brief-mandated multimodal
@@ -154,12 +156,25 @@ def _decode_payload(buf: bytes):
         from ..functions.jpeg import decode_jpeg
 
         return decode_jpeg(buf), kind
+    if kind == "png":
+        from ..functions.png import decode_png
+
+        t = decode_png(buf)
+        # normalize to the image contract (H, W, 3): replicate grey,
+        # drop alpha (payload metadata carries no matte to composite on)
+        if t.shape[2] == 1:
+            t = np.repeat(t, 3, axis=2)
+        elif t.shape[2] == 2:  # grey+alpha
+            t = np.repeat(t[:, :, :1], 3, axis=2)
+        elif t.shape[2] == 4:
+            t = t[:, :, :3]
+        return np.ascontiguousarray(t), kind
     return None, kind
 
 
 class Decode:
-    """Actor-pool decode stage: real BMP/PPM/WAV/Y4M/JPEG parsing (pure
-    NumPy).
+    """Actor-pool decode stage: real BMP/PPM/WAV/Y4M/JPEG/PNG parsing
+    (pure NumPy + stdlib zlib for PNG's DEFLATE).
 
     Emits per-row ``payload_bytes`` (raw), ``decode_checksum`` (crc32 of
     the DECODED tensor bytes — proof the bytes were actually parsed),
@@ -183,7 +198,7 @@ class Decode:
                 if self.on_unsupported == "raise":
                     raise NotImplementedError(
                         "no codec for compressed/unknown container "
-                        f"(magic={buf[:4]!r}); only BMP/PPM/WAV/Y4M/JPEG "
+                        f"(magic={buf[:4]!r}); only BMP/PPM/WAV/Y4M/JPEG/PNG "
                         "decode in this environment — use "
                         "on_unsupported='stub'"
                     )
@@ -294,12 +309,16 @@ class Resize:
         sizes, checksums, real, ows, ohs = [], [], [], [], []
         for buf in batch["payload"].to_pylist():
             tensor, kind = _decode_payload(buf)
-            if kind in ("bmp", "ppm", "jpeg"):
+            if kind in ("bmp", "ppm", "jpeg", "png"):
                 resized = bilinear_resize(tensor, self.tw, self.th)
                 if kind == "bmp":
                     enc = encode_bmp(resized)
                 elif kind == "ppm":
                     enc = encode_ppm(resized)
+                elif kind == "png":
+                    from ..functions.png import encode_png
+
+                    enc = encode_png(resized)
                 else:
                     from ..functions.jpeg import encode_jpeg
 
@@ -911,5 +930,107 @@ def synth_jpeg_dims_truth(n: int, seed: int = 21) -> pa.Table:
             "dec_width": pa.array(ws, pa.int32()),
             "dec_height": pa.array(hs, pa.int32()),
             "err_le_tol": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# PNG parity gate (r5): lossless decode, exact-match-checked
+# ---------------------------------------------------------------------------
+
+
+def synth_png_media_table(n: int, seed: int = 33) -> pa.Table:
+    """Deterministic PNG corpus: variants cover plain RGB (filter None),
+    mixed scanline filters (Sub/Up/Average/Paeth), greyscale and RGBA;
+    each row carries a BMP reference of the same RGB pixels. PNG is
+    lossless, so the decode gate is EXACT equality."""
+    from ..functions.png import encode_png
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, refs, variants = [], [], [], []
+    for i in range(n):
+        w, h = 24 + (i % 6) * 8, 20 + (i % 5) * 12
+        img = _synth_image(rng, w, h)
+        variant = ("rgb", "filters", "grey", "rgba")[i % 4]
+        if variant == "rgb":
+            buf = encode_png(img)
+            ref = img
+        elif variant == "filters":
+            buf = encode_png(img, row_filters=[(y * 3 + i) % 5 for y in range(h)])
+            ref = img
+        elif variant == "grey":
+            g = img[:, :, 0]
+            buf = encode_png(g)
+            ref = np.repeat(g[:, :, None], 3, axis=2)
+        else:  # rgba: alpha is dropped by the decode contract
+            a = rng.integers(0, 256, (h, w, 1), dtype=np.uint8)
+            buf = encode_png(np.concatenate([img, a], axis=2))
+            ref = img
+        ids.append(i)
+        payloads.append(buf)
+        refs.append(encode_bmp(np.ascontiguousarray(ref)))
+        variants.append(variant)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "ref_payload": pa.array(refs, pa.binary()),
+            "variant": pa.array(variants, pa.string()),
+        }
+    )
+
+
+class PngParity:
+    """Actor-pool stage: decode each row's PNG through the stage's
+    normalizing `_decode_payload` path and require EXACT equality with
+    the lossless BMP reference (PNG has no quantization — any filter /
+    inflate / palette mis-step flips `exact_match`)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws, hs, exact = [], [], []
+        for buf, ref in zip(
+            batch["payload"].to_pylist(), batch["ref_payload"].to_pylist()
+        ):
+            dec, kind = _decode_payload(buf)
+            want = decode_bmp(ref)
+            hs.append(dec.shape[0])
+            ws.append(dec.shape[1])
+            exact.append(kind == "png" and np.array_equal(dec, want))
+        out = batch.select(["media_id", "variant"])
+        out = out.append_column("dec_width", pa.array(ws, pa.int32()))
+        out = out.append_column("dec_height", pa.array(hs, pa.int32()))
+        return out.append_column("exact_match", pa.array(exact, pa.bool_()))
+
+
+def png_parity_pipeline(
+    ds: ray.data.Dataset, batch_size: int = 16, concurrency: int | tuple[int, int] = (1, 4)
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        PngParity,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synth_png_dims_truth(n: int, seed: int = 33) -> pa.Table:
+    """Construction replay for :func:`synth_png_media_table` (size
+    control flow; exact_match=True is the lossless codec's contract,
+    pytest-pinned in tests/test_png.py)."""
+    ids, ws, hs, variants, ok = [], [], [], [], []
+    for i in range(n):
+        w, h = 24 + (i % 6) * 8, 20 + (i % 5) * 12
+        ids.append(i)
+        ws.append(w)
+        hs.append(h)
+        variants.append(("rgb", "filters", "grey", "rgba")[i % 4])
+        ok.append(True)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "variant": pa.array(variants, pa.string()),
+            "dec_width": pa.array(ws, pa.int32()),
+            "dec_height": pa.array(hs, pa.int32()),
+            "exact_match": pa.array(ok, pa.bool_()),
         }
     )
