@@ -961,6 +961,21 @@ def _q_media_png_parity(sf_dir: str):
     )
 
 
+def _q_media_gif_parity(sf_dir: str):
+    """GIF decode gate (r5): real LZW decode (``functions/gif.py``) vs
+    a lossless BMP reference — exact equality on palettized content
+    across palette sizes 2..250."""
+    from workbook_exporter_fe_ray.stages.multimodal import (
+        gif_parity_pipeline,
+        synth_gif_media_table,
+    )
+
+    ds = ray.data.from_arrow(synth_gif_media_table(40))
+    return gif_parity_pipeline(ds).select_columns(
+        ["media_id", "variant", "dec_width", "dec_height", "exact_match"]
+    )
+
+
 def _q_ewma_source(sf_dir: str):
     from workbook_exporter_fe_ray.stages.window import ewma_per_source
 
@@ -3331,6 +3346,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "fused_flagship_tiers": _q_fused_flagship_tiers,  # r5 one-exchange flagship
         "media_jpeg_parity": _q_media_jpeg_parity,    # r5 real baseline-JPEG decode gate
         "media_png_parity": _q_media_png_parity,      # r5 real PNG decode gate (lossless)
+        "media_gif_parity": _q_media_gif_parity,      # r5 real GIF/LZW decode gate
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -3745,6 +3761,21 @@ def _ensure_jpeg_truth() -> None:
         pq.write_table(synth_jpeg_dims_truth(48), _JPEG_TRUTH)
 
 
+_GIF_TRUTH = "/tmp/wfer_media_gif_truth.parquet"
+
+
+def _ensure_gif_truth() -> None:
+    """GIF decode-parity ground truth (construction replay)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.stages.multimodal import synth_gif_dims_truth
+
+    if not os.path.isfile(_GIF_TRUTH):
+        pq.write_table(synth_gif_dims_truth(40), _GIF_TRUTH)
+
+
 _PNG_TRUTH = "/tmp/wfer_media_png_truth.parquet"
 
 
@@ -3782,6 +3813,7 @@ def oracle_sql() -> dict[str, str]:
     _ensure_scenes_truth()
     _ensure_jpeg_truth()
     _ensure_png_truth()
+    _ensure_gif_truth()
     from workbook_exporter_fe_ray.sources.docx import (
         synth_docx_fixture,
         synth_yaml_fixture,
@@ -3997,6 +4029,10 @@ FROM read_parquet('{_JPEG_TRUTH}')
         "media_png_parity": f"""
 SELECT media_id, variant, dec_width, dec_height, exact_match
 FROM read_parquet('{_PNG_TRUTH}')
+""",
+        "media_gif_parity": f"""
+SELECT media_id, variant, dec_width, dec_height, exact_match
+FROM read_parquet('{_GIF_TRUTH}')
 """,
         "media_frames_plan": f"""
 SELECT media_id, media_type, frame_idx, frame_ts_ms, frames_real

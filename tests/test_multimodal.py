@@ -6,8 +6,8 @@ and video is REAL YUV4MPEG2 4:2:0 (VERDICT r3 item 3) — these tests pin
 pixel-exact encode→decode roundtrips (frame-exact for Y4M), bilinear
 resize against a slow per-pixel reference, WAV/PCM roundtrips, the
 pipeline schema/fan-out contracts, and the honest NotImplementedError
-gate that remains for genuinely undecodable containers (injected GIF;
-JPEG and PNG decode for real since r5)."""
+gate that remains for genuinely undecodable containers (injected MP4;
+JPEG, PNG and GIF decode for real since r5)."""
 
 from __future__ import annotations
 
@@ -155,9 +155,9 @@ def test_linear_resample_halves_length():
 # ---------------------------------------------------------------------------
 
 
-# GIF needs an LZW decompressor we don't implement: honestly gated.
-# (JPEG and PNG decode for real since r5 — see the tests below.)
-_GIF_ROW = b"GIF89a" + bytes(64)
+# MP4 needs a real video codec (H.264 entropy decode): honestly gated.
+# (JPEG, PNG and GIF decode for real since r5 — see the tests below.)
+_MP4_ROW = b"\x00\x00\x00\x18ftypisom" + bytes(64)
 
 
 def test_decode_gate_raises_on_unknown_container():
@@ -166,7 +166,7 @@ def test_decode_gate_raises_on_unknown_container():
     tbl = pa.table(
         {
             "media_id": pa.array([0], pa.int64()),
-            "payload": pa.array([_GIF_ROW], pa.binary()),
+            "payload": pa.array([_MP4_ROW], pa.binary()),
             "media_type": pa.array(["image"]),
         }
     )
@@ -289,7 +289,7 @@ def test_resize_real_bilinear_and_reencode():
     jt = pa.table(
         {
             "media_id": pa.array([99], pa.int64()),
-            "payload": pa.array([_GIF_ROW], pa.binary()),
+            "payload": pa.array([_MP4_ROW], pa.binary()),
             "media_type": pa.array(["image"]),
         }
     )
@@ -482,3 +482,32 @@ def test_scene_cut_detect_exact_and_margin(ray_session):
         }
     )
     assert scene_cut_detect(ray.data.from_arrow(junk)).count() == 0
+
+
+def test_decode_gif_row_is_real():
+    import pyarrow as pa
+
+    from workbook_exporter_fe_ray.functions.gif import encode_gif
+
+    rng = np.random.default_rng(14)
+    pal = np.unique(rng.integers(0, 256, (40, 3), dtype=np.uint8), axis=0)
+    img = pal[rng.integers(0, len(pal), (22, 34))]
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([encode_gif(img)], pa.binary()),
+            "media_type": pa.array(["image"]),
+        }
+    )
+    out = Decode(on_unsupported="raise")(tbl)
+    assert out["decoded_real"].to_pylist() == [True]
+    assert out["dec_width"][0].as_py() == 34
+    assert out["dec_height"][0].as_py() == 22
+    # GIF is lossless on palettized content
+    assert out["decode_checksum"][0].as_py() == zlib.crc32(
+        np.ascontiguousarray(img).tobytes()
+    )
+    # resize re-quantizes to the source palette and re-encodes as GIF
+    rout = Resize(target_w=10, target_h=10)(tbl)
+    assert rout["resized_real"].to_pylist() == [True]
+    assert rout["out_width"][0].as_py() == 10

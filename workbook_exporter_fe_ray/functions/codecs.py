@@ -334,4 +334,6 @@ def sniff_media_format(buf: bytes) -> str:
         return "jpeg"
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"

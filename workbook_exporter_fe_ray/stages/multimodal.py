@@ -11,16 +11,17 @@ BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16) and YUV4MPEG2 4:2:0 video
 re-encoded with pure NumPy (``functions/codecs.py``); baseline JPEG
 (ITU-T T.81 sequential DCT) decodes for real via the pure-NumPy codec
 in ``functions/jpeg.py`` (r5); PNG decodes for real via zlib-DEFLATE +
-the five scanline filters in ``functions/png.py`` (r5); bilinear image
-resize, linear audio resample and per-frame video resize are
-vectorized NumPy. Containers with no public-spec codec implementable
-in this environment (MP4/GIF-LZW/…) remain honestly gated:
+the five scanline filters in ``functions/png.py`` (r5); GIF decodes
+for real via the pure-Python LZW in ``functions/gif.py`` (r5);
+bilinear image resize, linear audio resample and per-frame video
+resize are vectorized NumPy. Containers needing a true video codec
+(MP4/H.264/…) remain honestly gated:
 ``on_unsupported='stub'`` emits a flagged deterministic fallback
 (crc32 of the raw bytes), ``'raise'`` raises NotImplementedError. The
 synthetic corpus below generates VALID BMP/PPM/WAV/Y4M payloads so
 every media type exercises real byte→tensor work; the stub path is
 reached only by genuinely undecodable containers (e.g. an injected
-GIF row — see tests).
+MP4 row — see tests).
 
 Reference parity: the reference app (workbook_exporter-fe.py) has no
 media path; these stages implement the brief-mandated multimodal
@@ -169,11 +170,15 @@ def _decode_payload(buf: bytes):
         elif t.shape[2] == 4:
             t = t[:, :, :3]
         return np.ascontiguousarray(t), kind
+    if kind == "gif":
+        from ..functions.gif import decode_gif
+
+        return decode_gif(buf), kind
     return None, kind
 
 
 class Decode:
-    """Actor-pool decode stage: real BMP/PPM/WAV/Y4M/JPEG/PNG parsing
+    """Actor-pool decode stage: real BMP/PPM/WAV/Y4M/JPEG/PNG/GIF parsing
     (pure NumPy + stdlib zlib for PNG's DEFLATE).
 
     Emits per-row ``payload_bytes`` (raw), ``decode_checksum`` (crc32 of
@@ -198,7 +203,7 @@ class Decode:
                 if self.on_unsupported == "raise":
                     raise NotImplementedError(
                         "no codec for compressed/unknown container "
-                        f"(magic={buf[:4]!r}); only BMP/PPM/WAV/Y4M/JPEG/PNG "
+                        f"(magic={buf[:4]!r}); only BMP/PPM/WAV/Y4M/JPEG/PNG/GIF "
                         "decode in this environment — use "
                         "on_unsupported='stub'"
                     )
@@ -309,7 +314,7 @@ class Resize:
         sizes, checksums, real, ows, ohs = [], [], [], [], []
         for buf in batch["payload"].to_pylist():
             tensor, kind = _decode_payload(buf)
-            if kind in ("bmp", "ppm", "jpeg", "png"):
+            if kind in ("bmp", "ppm", "jpeg", "png", "gif"):
                 resized = bilinear_resize(tensor, self.tw, self.th)
                 if kind == "bmp":
                     enc = encode_bmp(resized)
@@ -319,6 +324,22 @@ class Resize:
                     from ..functions.png import encode_png
 
                     enc = encode_png(resized)
+                elif kind == "gif":
+                    from ..functions.gif import encode_gif
+
+                    # bilinear blending exceeds the 256-color budget:
+                    # re-quantize to the SOURCE frame's palette (what
+                    # real GIF resizers do), nearest-by-L2, then the
+                    # checksum below is of the quantized pixels
+                    pal = np.unique(tensor.reshape(-1, 3), axis=0)
+                    d = (
+                        resized.reshape(-1, 1, 3).astype(np.int64)
+                        - pal[None, :, :].astype(np.int64)
+                    )
+                    resized = pal[np.argmin((d * d).sum(axis=2), axis=1)].reshape(
+                        resized.shape
+                    )
+                    enc = encode_gif(resized)
                 else:
                     from ..functions.jpeg import encode_jpeg
 
@@ -1024,6 +1045,94 @@ def synth_png_dims_truth(n: int, seed: int = 33) -> pa.Table:
         ws.append(w)
         hs.append(h)
         variants.append(("rgb", "filters", "grey", "rgba")[i % 4])
+        ok.append(True)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "variant": pa.array(variants, pa.string()),
+            "dec_width": pa.array(ws, pa.int32()),
+            "dec_height": pa.array(hs, pa.int32()),
+            "exact_match": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# GIF parity gate (r5): real LZW decode, exact-match-checked
+# ---------------------------------------------------------------------------
+
+
+def synth_gif_media_table(n: int, seed: int = 44) -> pa.Table:
+    """Deterministic GIF corpus: palettized content (GIF's 256-color
+    budget) across palette sizes 2..250, with a BMP reference of the
+    same pixels. GIF is lossless on palettized content, so the gate is
+    EXACT equality."""
+    from ..functions.gif import encode_gif
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, refs, variants = [], [], [], []
+    sizes = (2, 4, 16, 64, 250)
+    for i in range(n):
+        w, h = 20 + (i % 5) * 10, 16 + (i % 4) * 12
+        n_colors = sizes[i % len(sizes)]
+        pal = np.unique(
+            rng.integers(0, 256, (n_colors * 2, 3), dtype=np.uint8), axis=0
+        )[:n_colors]
+        img = pal[rng.integers(0, len(pal), (h, w))]
+        ids.append(i)
+        payloads.append(encode_gif(img))
+        refs.append(encode_bmp(np.ascontiguousarray(img)))
+        variants.append(f"pal{n_colors}")
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "ref_payload": pa.array(refs, pa.binary()),
+            "variant": pa.array(variants, pa.string()),
+        }
+    )
+
+
+def gif_parity_pipeline(
+    ds: ray.data.Dataset, batch_size: int = 16, concurrency: int | tuple[int, int] = (1, 4)
+) -> ray.data.Dataset:
+    # PngParity's contract is container-agnostic (decode via the stage's
+    # `_decode_payload`, exact-match vs the BMP reference) except for
+    # the kind check — reuse it with the gif kind
+    class _GifParity(PngParity):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ws, hs, exact = [], [], []
+            for buf, ref in zip(
+                batch["payload"].to_pylist(), batch["ref_payload"].to_pylist()
+            ):
+                dec, kind = _decode_payload(buf)
+                want = decode_bmp(ref)
+                hs.append(dec.shape[0])
+                ws.append(dec.shape[1])
+                exact.append(kind == "gif" and np.array_equal(dec, want))
+            out = batch.select(["media_id", "variant"])
+            out = out.append_column("dec_width", pa.array(ws, pa.int32()))
+            out = out.append_column("dec_height", pa.array(hs, pa.int32()))
+            return out.append_column("exact_match", pa.array(exact, pa.bool_()))
+
+    return ds.map_batches(
+        _GifParity,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synth_gif_dims_truth(n: int, seed: int = 44) -> pa.Table:
+    """Construction replay for :func:`synth_gif_media_table`."""
+    ids, ws, hs, variants, ok = [], [], [], [], []
+    sizes = (2, 4, 16, 64, 250)
+    for i in range(n):
+        w, h = 20 + (i % 5) * 10, 16 + (i % 4) * 12
+        ids.append(i)
+        ws.append(w)
+        hs.append(h)
+        variants.append(f"pal{sizes[i % len(sizes)]}")
         ok.append(True)
     return pa.table(
         {
