@@ -961,6 +961,23 @@ def _q_media_png_parity(sf_dir: str):
     )
 
 
+def _q_bigram_lm_score(sf_dir: str):
+    """Bigram-LM quality scores (CCNet/KenLM curation step) over the
+    documents table; int64 micro-nat terms make the per-doc sum
+    order-independent and SQL-mirrorable bit-for-bit."""
+    from workbook_exporter_fe_ray.stages.text import bigram_lm_scores
+
+    return bigram_lm_scores(_documents(sf_dir))
+
+
+def _q_kgram_dup_coverage(sf_dir: str):
+    """Exact substring-duplication coverage: per-doc count of k-token
+    shingles shared with at least one other document (k=8)."""
+    from workbook_exporter_fe_ray.stages.text import kgram_dup_coverage
+
+    return kgram_dup_coverage(_documents(sf_dir), k=8)
+
+
 def _q_media_gif_parity(sf_dir: str):
     """GIF decode gate (r5): real LZW decode (``functions/gif.py``) vs
     a lossless BMP reference — exact equality on palettized content
@@ -3347,6 +3364,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "media_jpeg_parity": _q_media_jpeg_parity,    # r5 real baseline-JPEG decode gate
         "media_png_parity": _q_media_png_parity,      # r5 real PNG decode gate (lossless)
         "media_gif_parity": _q_media_gif_parity,      # r5 real GIF/LZW decode gate
+        "bigram_lm_score": _q_bigram_lm_score,        # r5 LM quality filter (CCNet step)
+        "kgram_dup_coverage": _q_kgram_dup_coverage,  # r5 exact-substring dup signal
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -4033,6 +4052,45 @@ FROM read_parquet('{_PNG_TRUTH}')
         "media_gif_parity": f"""
 SELECT media_id, variant, dec_width, dec_height, exact_match
 FROM read_parquet('{_GIF_TRUTH}')
+""",
+        # bigram-LM scoring: identical expression tree to the engine —
+        # exact-int division operands, one ln (libm parity proven by
+        # bm25_score), *1e6, floor, int64 per-doc SUM
+        "bigram_lm_score": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (
+  SELECT u.w AS w, count(*) AS c
+  FROM toks, LATERAL unnest(t) AS u(w) GROUP BY 1),
+vv AS (SELECT count(*) AS v FROM uni),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2),
+big AS (SELECT w1, w2, count(*) AS cxy FROM pairs GROUP BY 1, 2),
+terms AS (
+  SELECT b.w1, b.w2,
+         CAST(floor(ln(CAST(b.cxy + 1 AS DOUBLE) / CAST(u.c + vv.v AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS tq
+  FROM big b JOIN uni u ON u.w = b.w1 CROSS JOIN vv)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(t.tq) AS BIGINT) AS logprob_micronats
+FROM pairs p JOIN terms t ON p.w1 = t.w1 AND p.w2 = t.w2
+GROUP BY 1
+""",
+        "kgram_dup_coverage": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+kg AS (
+  SELECT doc_id, array_to_string(t[i:i + 7], ' ') AS sh
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS g(i)
+  WHERE len(t) >= 8),
+nd AS (SELECT sh, count(DISTINCT doc_id) AS n_docs FROM kg GROUP BY 1)
+SELECT kg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_kgrams,
+       CAST(sum(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_kgrams
+FROM kg JOIN nd ON kg.sh = nd.sh
+GROUP BY 1
 """,
         "media_frames_plan": f"""
 SELECT media_id, media_type, frame_idx, frame_ts_ms, frames_real

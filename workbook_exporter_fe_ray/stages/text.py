@@ -2329,3 +2329,288 @@ def bpe_train_merges(
             "pair_count": pa.array(out_c, pa.int64()),
         }
     )
+
+
+def bigram_lm_scores(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    max_vocab: int = 5_000_000,
+) -> ray.data.Dataset:
+    """LM-based quality scoring (the CCNet/KenLM curation step): train
+    an add-one-smoothed word-bigram LM on the corpus, then score every
+    document by its total bigram log-probability.
+
+    Pinned arithmetic (the chi2-cells discipline, adapted): each
+    DISTINCT bigram's term ``ln((c_xy + 1) / (c_x + V))`` is quantized
+    ONCE to int64 micro-nats — ``floor(ln(d) * 1e6)`` with one exact
+    int→double division and libm ``ln`` (math.log, NOT np.log — the
+    ``bm25_score`` 1-ulp lesson) — so the per-document score is an
+    INT64 SUM, order-independent under any partitioning, and the SQL
+    mirror evaluates the identical expression tree bit-for-bit.
+
+    Scale shape: two vocabulary-bounded exchanges (unigram counts,
+    bigram counts); the term table is built once per DISTINCT bigram
+    (never per occurrence) behind a loud ``max_vocab`` guard and
+    broadcast via ``ray.put`` — at a corpus where the bigram vocabulary
+    exceeds the guard, swap the broadcast for a hash-bucket semi-join
+    of pair rows against the term table (``relational.hash_bucket_
+    join``); the quantized-term factoring is unchanged.
+
+    Output: (doc_id, n_pairs, logprob_micronats) for documents with at
+    least one adjacent pair (docs with <2 tokens carry no LM evidence
+    and are excluded, matching the SQL mirror's join semantics).
+    """
+    import math
+
+    import pandas as pd
+
+    def _pair_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1, n - 1), " "
+        )
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        mask = np.ones(n - 1, dtype=bool)
+        interior = offsets[1:-1]
+        interior = interior[(interior > 0) & (interior < n)]
+        mask[interior - 1] = False
+        g = (
+            pa.table({"bigram": joined.filter(pa.array(mask))})
+            .group_by("bigram")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["bigram", "n"])
+
+    def _uni_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        g = (
+            pa.table({"w": toks.flatten()})
+            .group_by("w")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["w", "n"])
+
+    uni = (
+        docs.map_batches(_uni_partial, batch_format="pyarrow")
+        .groupby("w")
+        .sum("n")
+        .to_pandas()  # bounded: unigram vocabulary (max_vocab guard below)
+    )
+    if len(uni) > max_vocab:
+        raise ValueError(
+            f"bigram_lm_scores: unigram vocabulary {len(uni)} exceeds "
+            f"max_vocab={max_vocab} — broadcast would not fit; use the "
+            "hash-bucket semi-join variant documented in the docstring"
+        )
+    V = len(uni)
+    cx_lut = dict(zip(uni["w"], uni["sum(n)"].astype(np.int64)))
+
+    big = (
+        docs.map_batches(_pair_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .sum("n")
+        .to_pandas()  # bounded: bigram vocabulary (same guard class)
+    )
+    if len(big) > max_vocab:
+        raise ValueError(
+            f"bigram_lm_scores: bigram vocabulary {len(big)} exceeds "
+            f"max_vocab={max_vocab}"
+        )
+    # one quantized term per DISTINCT bigram: floor(ln(d) * 1e6), libm ln
+    w1_of = big["bigram"].str.split(" ", n=1).str[0]
+    cxy = big["sum(n)"].astype(np.int64).to_numpy()
+    cx_arr = w1_of.map(cx_lut).to_numpy(dtype=np.int64)
+    terms = np.array(
+        [
+            math.floor(math.log((int(a) + 1) / (int(b) + V)) * 1_000_000.0)
+            for a, b in zip(cxy, cx_arr)
+        ],
+        dtype=np.int64,
+    )
+    term_lut = pd.Series(terms, index=big["bigram"].to_numpy())
+    import ray as _ray
+
+    term_ref = _ray.put(term_lut)
+
+    def _score(b: pa.Table) -> pa.Table:
+        lut = _ray.get(term_ref)
+        toks = pc.split_pattern(b[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        n = len(flat)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets)
+        n_pairs = np.maximum(lens - 1, 0)
+        keep_doc = n_pairs > 0
+        if n < 2 or not keep_doc.any():
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].filter(pa.array(keep_doc)),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "logprob_micronats": pa.array([], pa.int64()),
+                }
+            )
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1, n - 1), " "
+        )
+        mask = np.ones(n - 1, dtype=bool)
+        interior = offsets[1:-1]
+        interior = interior[(interior > 0) & (interior < n)]
+        mask[interior - 1] = False
+        pair_terms = (
+            pd.Series(joined.filter(pa.array(mask)).to_pylist()).map(lut).to_numpy(
+                dtype=np.int64
+            )
+        )  # training corpus ⇒ every pair is in the table (map never NaNs)
+        starts = np.r_[0, np.cumsum(n_pairs[keep_doc])[:-1]].astype(np.int64)
+        sums = np.add.reduceat(pair_terms, starts)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].filter(pa.array(keep_doc)),
+                "n_pairs": pa.array(n_pairs[keep_doc], pa.int64()),
+                "logprob_micronats": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow")
+
+
+def kgram_dup_coverage(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 8,
+    max_dup_shingles: int = 10_000_000,
+) -> ray.data.Dataset:
+    """Exact substring-duplication coverage (the Lee et al. exact-
+    substring dedup signal): the fraction of each document's k-token
+    shingles that also appear in at least one OTHER document.
+
+    Plan: one distinct-(shingle, doc) exchange keyed by shingle (every
+    shingle's postings co-locate; a per-group distinct-doc count needs
+    no second shuffle), the ≥2-doc shingle set broadcast behind a loud
+    cap (scale path: hash-bucket semi-join instead of broadcast — the
+    set itself is produced distributed either way), then one scoring
+    pass. Exact string keys end-to-end — no rolling-hash collisions to
+    reason about; a production 100-TB variant would key the exchange by
+    a 128-bit shingle hash and attach strings only for verification
+    (the MinHash attach-verify discipline, ``dedup.py``).
+
+    Output: (doc_id, n_kgrams, n_dup_kgrams) for docs with ≥k tokens.
+    """
+    import pandas as pd
+
+    import ray as _ray
+
+    def _shingles_of(b: pa.Table):
+        toks = pc.split_pattern(b[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        n = len(flat)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets)
+        n_kg = np.maximum(lens - (k - 1), 0)
+        if n < k or n_kg.sum() == 0:
+            return None, n_kg
+        joined = flat.slice(0, n - (k - 1))
+        for j in range(1, k):
+            joined = pc.binary_join_element_wise(
+                joined, flat.slice(j, n - (k - 1)), " "
+            )
+        # valid positions: those not crossing a document boundary
+        pos = np.arange(n - (k - 1))
+        doc_of = np.repeat(np.arange(len(lens)), lens)[: n - (k - 1)]
+        end_of_doc = np.repeat(offsets[1:], lens)[: n - (k - 1)]
+        valid = pos + k <= end_of_doc
+        _ = doc_of
+        return joined.filter(pa.array(valid)), n_kg
+
+    def _pair_partial(b: pa.Table) -> pa.Table:
+        sh, n_kg = _shingles_of(b)
+        if sh is None:
+            return pa.table(
+                {
+                    "shingle": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        doc_ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        rep = np.repeat(doc_ids, n_kg)
+        g = (
+            pa.table({"shingle": sh, "doc_id": pa.array(rep, pa.int64())})
+            .group_by(["shingle", "doc_id"])
+            .aggregate([])
+        )  # block-side distinct
+        return g
+
+    # two vectorized aggregates (no per-group Python): global distinct
+    # (shingle, doc) pairs, then docs-per-shingle — both Arrow-native
+    # reduce kernels inside Ray's sort-based groupby
+    distinct_pairs = (
+        docs.map_batches(_pair_partial, batch_format="pyarrow")
+        .groupby(["shingle", "doc_id"])
+        .count()
+    )
+    counts = (
+        distinct_pairs.map_batches(
+            lambda b: b.select(["shingle"]), batch_format="pyarrow"
+        )
+        .groupby("shingle")
+        .count()
+    )
+    dup = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["count()"], 2)).select(["shingle"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # bounded: ≥2-doc shingle set (loud cap below)
+    if len(dup) > max_dup_shingles:
+        raise ValueError(
+            f"kgram_dup_coverage: {len(dup)} duplicated shingles exceed "
+            f"max_dup_shingles={max_dup_shingles} — use the hash-bucket "
+            "semi-join variant documented in the docstring"
+        )
+    # an all-empty Ray dataset loses its schema in to_pandas — a corpus
+    # with NO cross-doc duplication is a legal (good!) outcome
+    dup_vals = (
+        dup["shingle"].to_numpy() if "shingle" in dup.columns else np.array([], object)
+    )
+    dup_sorted = np.sort(dup_vals)
+    dup_ref = _ray.put(dup_sorted)
+
+    def _score(b: pa.Table) -> pa.Table:
+        dups = _ray.get(dup_ref)
+        sh, n_kg = _shingles_of(b)
+        keep_doc = n_kg > 0
+        if sh is None:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].filter(pa.array(keep_doc)),
+                    "n_kgrams": pa.array([], pa.int64()),
+                    "n_dup_kgrams": pa.array([], pa.int64()),
+                }
+            )
+        arr = np.asarray(sh.to_pylist(), dtype=object)
+        if len(dups):
+            i = np.searchsorted(dups, arr)
+            i = np.clip(i, 0, len(dups) - 1)
+            hit = (dups[i] == arr).astype(np.int64)
+        else:
+            hit = np.zeros(len(arr), dtype=np.int64)
+        starts = np.r_[0, np.cumsum(n_kg[keep_doc])[:-1]].astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].filter(pa.array(keep_doc)),
+                "n_kgrams": pa.array(n_kg[keep_doc], pa.int64()),
+                "n_dup_kgrams": pa.array(
+                    np.add.reduceat(hit, starts) if len(arr) else [], pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow")
