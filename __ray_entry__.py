@@ -978,6 +978,133 @@ def _q_kgram_dup_coverage(sf_dir: str):
     return kgram_dup_coverage(_documents(sf_dir), k=8)
 
 
+def _q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape: per-part minimum-cost supplier in a region."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import min_cost_supplier
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = nation["n_nationkey"].to_pylist()
+    rk = nation["n_regionkey"].to_pylist()
+    region_nations = {int(n) for n, r in zip(nk, rk) if int(r) == 0}
+    return min_cost_supplier(
+        read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        ),
+        pq.read_table(f"{sf_dir}/part.parquet"),
+        pq.read_table(f"{sf_dir}/supplier.parquet"),
+        nation,
+        p_size=25,
+        excl_type="PROMO",
+        region_nations=region_nations,
+    )
+
+
+def _q_product_type_profit(sf_dir: str):
+    """TPC-H Q9 shape: per (nation, order-year) profit for one type."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import product_type_profit
+
+    return product_type_profit(
+        read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"],
+        ),
+        read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        ),
+        pq.read_table(f"{sf_dir}/part.parquet"),
+        pq.read_table(f"{sf_dir}/supplier.parquet"),
+        pq.read_table(f"{sf_dir}/nation.parquet"),
+        p_type="PROMO",
+    )
+
+
+def _q_important_part_values(sf_dir: str):
+    """TPC-H Q11 shape: parts above a share threshold of one nation's
+    supplied value (exact integer cross-multiplication)."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import important_part_values
+
+    return important_part_values(
+        read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        pq.read_table(f"{sf_dir}/supplier.parquet"),
+        nationkey=3,
+        mult=1000,
+    )
+
+
+def _q_priority_line_counts(sf_dir: str):
+    """TPC-H Q12 shape: high/low-priority order counts per line class."""
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import priority_line_counts
+
+    return priority_line_counts(
+        read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        ),
+        read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+        ),
+        820_454_400_000_000,   # 1996-01-01 UTC µs
+        852_076_800_000_000,   # 1997-01-01 UTC µs
+    )
+
+
+def _q_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size)."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import supplier_part_counts
+
+    return supplier_part_counts(
+        read_table(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        ),
+        pq.read_table(f"{sf_dir}/part.parquet"),
+        pq.read_table(f"{sf_dir}/supplier.parquet"),
+        excl_brand="Brand#13",
+        excl_type="PROMO",
+        sizes=(1, 5, 9, 14, 19, 23, 36, 45),
+    )
+
+
+def _q_excess_shippers(sf_dir: str):
+    """TPC-H Q20 shape: nation suppliers with excess shipments of a
+    part-name class in one year."""
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_ray.sources import read_table
+    from workbook_exporter_fe_ray.stages.relational import excess_shippers
+
+    return excess_shippers(
+        read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        ),
+        pq.read_table(f"{sf_dir}/part.parquet"),
+        pq.read_table(f"{sf_dir}/supplier.parquet"),
+        name_prefix="red",
+        nationkey=1,
+        ts_from_us=852_076_800_000_000,   # 1997-01-01
+        ts_to_us=883_612_800_000_000,     # 1998-01-01
+        qty_threshold_hundredths=2_000,
+    )
+
+
 def _q_media_gif_parity(sf_dir: str):
     """GIF decode gate (r5): real LZW decode (``functions/gif.py``) vs
     a lossless BMP reference — exact equality on palettized content
@@ -3366,6 +3493,13 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "media_gif_parity": _q_media_gif_parity,      # r5 real GIF/LZW decode gate
         "bigram_lm_score": _q_bigram_lm_score,        # r5 LM quality filter (CCNet step)
         "kgram_dup_coverage": _q_kgram_dup_coverage,  # r5 exact-substring dup signal
+        # --- r5: the six remaining TPC-H shapes (full 22 now covered) ---
+        "min_cost_supplier": _q_min_cost_supplier,    # Q2 correlated-min + star
+        "product_type_profit": _q_product_type_profit,  # Q9 profit star
+        "important_part_values": _q_important_part_values,  # Q11 global threshold
+        "priority_line_counts": _q_priority_line_counts,  # Q12 CASE buckets
+        "supplier_part_counts": _q_supplier_part_counts,  # Q16 count-distinct + NOT IN
+        "excess_shippers": _q_excess_shippers,        # Q20 nested semi-join
         # --- training-data ops ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -4077,6 +4211,97 @@ SELECT p.doc_id,
        CAST(sum(t.tq) AS BIGINT) AS logprob_micronats
 FROM pairs p JOIN terms t ON p.w1 = t.w1 AND p.w2 = t.w2
 GROUP BY 1
+""",
+        # Q2 shape: cost := MIN(extendedprice cents) per observed
+        # (part, supplier) pair — the partsupp-free adaptation; the
+        # filters commute with the pair-local MIN so both sides agree
+        "min_cost_supplier": """
+WITH cost AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1, 2),
+parts AS (
+  SELECT p_partkey FROM part WHERE p_size = 25 AND p_type <> 'PROMO'),
+rs AS (
+  SELECT s_suppkey, s_name, s_nationkey,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS bal
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_regionkey = 0),
+c2 AS (
+  SELECT c.* FROM cost c
+  JOIN parts p ON c.partkey = p.p_partkey
+  JOIN rs ON c.suppkey = rs.s_suppkey),
+m AS (SELECT partkey, min(cents) AS mc FROM c2 GROUP BY 1)
+SELECT rs.bal AS s_acctbal_cents, rs.s_name, n.n_name,
+       c2.partkey AS p_partkey
+FROM c2
+JOIN m ON c2.partkey = m.partkey AND c2.cents = m.mc
+JOIN rs ON c2.suppkey = rs.s_suppkey
+JOIN nation n ON rs.s_nationkey = n.n_nationkey
+ORDER BY s_acctbal_cents DESC, n.n_name, rs.s_name, c2.partkey
+LIMIT 100
+""",
+        "product_type_profit": """
+WITH slim AS (
+  SELECT l_orderkey, s_nationkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS units
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE p_type = 'PROMO')
+SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(units) AS BIGINT) AS profit_units
+FROM slim
+JOIN orders o ON l_orderkey = o_orderkey
+JOIN nation n ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+""",
+        "important_part_values": """
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS value_units
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 3
+  GROUP BY 1),
+t AS (SELECT CAST(sum(value_units) AS BIGINT) AS total FROM v)
+SELECT p_partkey, value_units FROM v, t WHERE value_units * 1000 > total
+""",
+        "priority_line_counts": """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+        "supplier_part_counts": """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+        "excess_shippers": """
+WITH q AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_h
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2)
+SELECT DISTINCT s_suppkey, s_name
+FROM supplier JOIN q ON l_suppkey = s_suppkey
+WHERE s_nationkey = 1 AND q.qty_h > 2000
 """,
         "kgram_dup_coverage": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -5091,3 +5091,571 @@ def auto_equi_join(
     return hash_bucket_join(
         left, right, key, left_carry, right_carry, n_buckets=n_buckets
     )
+
+
+# ---------------------------------------------------------------------------
+# r5: the six remaining TPC-H shapes (Q2, Q9, Q11, Q12, Q16, Q20)
+# ---------------------------------------------------------------------------
+# This corpus has no partsupp table and no l_shipmode / l_commitdate /
+# s_comment columns, so each query keeps its distinctive SHAPE over
+# what exists (the Q22 adaptation precedent): the "supplies" relation
+# is the DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem,
+# per-unit "cost" is exact MIN(extendedprice-cents), and the Q16
+# complaint screen is the s_acctbal < 0 supplier set. Every aggregate
+# is exact int64; every dimension attach routes through sweep.
+# sorted_probe against a broadcast table.
+
+
+def _cents(b: pa.Table, col: str) -> np.ndarray:
+    return pc.cast(pc.round(pc.multiply(b[col], 100.0)), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+
+
+def min_cost_supplier(
+    lineitem: ray.data.Dataset,
+    part: pa.Table,
+    supplier: pa.Table,
+    nation: pa.Table,
+    p_size: int,
+    excl_type: str,
+    region_nations: set[int],
+    k: int = 100,
+) -> pa.Table:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in a
+    region achieving the per-part MINIMUM cost — the correlated-min
+    subquery (`ps_supplycost = (SELECT min ...)`) with multi-dim joins
+    and the canonical (acctbal DESC, nation, supplier, part) order.
+
+    Adaptation (no partsupp): cost(part, supp) := MIN extendedprice
+    cents over the pair's lineitem rows — exact int64, no division.
+
+    Scale: part filter (size AND type — ~1/300 of the part dim) and the
+    region supplier mask resolve BLOCK-SIDE from broadcast dims, so the
+    exchange aggregates only filtered slim (partkey, suppkey, cents)
+    partials; the aggregated cost table is (filtered-parts × region-
+    suppliers)-bounded, so the per-part min + tie resolution is a
+    bounded driver combine (dimension-domain class)."""
+    from .sweep import sorted_probe
+
+    pk = pc.cast(part["p_partkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    pmask = (
+        pc.cast(part["p_size"], pa.int64()).to_numpy(zero_copy_only=False) == p_size
+    ) & (np.asarray(part["p_type"].to_pandas() != excl_type))
+    good_parts = np.sort(pk[pmask])
+
+    sk = pc.cast(supplier["s_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    snat = pc.cast(supplier["s_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    region_suppliers = np.sort(sk[np.isin(snat, sorted(region_nations))])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        lp = pc.cast(b["l_partkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        ls = pc.cast(b["l_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        hit_p, _ = sorted_probe(good_parts, lp)
+        hit_s, _ = sorted_probe(region_suppliers, ls)
+        m = hit_p & hit_s
+        if not m.any():
+            return pa.table(
+                {
+                    "partkey": pa.array([], pa.int64()),
+                    "suppkey": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        cents = _cents(b, "l_extendedprice")[m]
+        t = pa.table(
+            {
+                "partkey": pa.array(lp[m], pa.int64()),
+                "suppkey": pa.array(ls[m], pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by(["partkey", "suppkey"]).aggregate([("cents", "min")])
+        return g.rename_columns(["partkey", "suppkey", "cents"])
+
+    agg = (
+        lineitem.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["partkey", "suppkey"])
+        .min("cents")
+        .to_pandas()  # bounded: filtered-part × region-supplier domain
+    )
+    if len(agg) == 0:
+        return pa.table(
+            {
+                "s_acctbal_cents": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "n_name": pa.array([], pa.string()),
+                "p_partkey": pa.array([], pa.int64()),
+            }
+        )
+    agg = agg.rename(columns={"min(cents)": "cents"})
+    pmin = agg.groupby("partkey")["cents"].transform("min")
+    win = agg[agg["cents"] == pmin]
+
+    sb = pc.cast(supplier["s_acctbal"], pa.float64())
+    sb_cents = pc.cast(pc.round(pc.multiply(sb, 100.0)), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    s_order = np.argsort(sk, kind="stable")
+    _, pos = sorted_probe(sk[s_order], win["suppkey"].to_numpy())
+    sidx = s_order[pos]
+    nk = pc.cast(nation["n_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    n_order = np.argsort(nk, kind="stable")
+    _, npos = sorted_probe(nk[n_order], snat[sidx])
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {
+            "s_acctbal_cents": sb_cents[sidx],
+            "s_name": np.asarray(supplier["s_name"].to_pandas())[sidx],
+            "n_name": np.asarray(nation["n_name"].to_pandas())[n_order][npos],
+            "p_partkey": win["partkey"].to_numpy(),
+        }
+    ).sort_values(
+        ["s_acctbal_cents", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True],
+        kind="stable",
+    ).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def product_type_profit(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    part: pa.Table,
+    supplier: pa.Table,
+    nation: pa.Table,
+    p_type: str,
+) -> ray.data.Dataset:
+    """TPC-H Q9 shape: profit per (nation, order-year) for one product
+    class — the deep star (part filter + supplier→nation on lineitem,
+    order-year via the fact-fact join) ending in a tiny-domain group.
+
+    Adaptation (no ps_supplycost): profit := Σ cents·(100−disc).
+
+    Scale: part mask and supplier→nation resolve block-side (broadcast
+    dims); the only exchange of fact rows is ONE orderkey hash-bucket
+    co-partition carrying slim (nationkey, units); the final group is
+    |nations|×|years|-domain."""
+    from .sweep import sorted_probe
+
+    pk = pc.cast(part["p_partkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    pmask = np.asarray(part["p_type"].to_pandas() == p_type)
+    good_parts = np.sort(pk[pmask])
+    sk = pc.cast(supplier["s_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    snat = pc.cast(supplier["s_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    s_order = np.argsort(sk, kind="stable")
+    sk_sorted, snat_sorted = sk[s_order], snat[s_order]
+
+    def _slim(b: pa.Table) -> pa.Table:
+        lp = pc.cast(b["l_partkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        hit, _ = sorted_probe(good_parts, lp)
+        if not hit.any():
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "nationkey": pa.array([], pa.int64()),
+                    "units": pa.array([], pa.int64()),
+                }
+            )
+        ls = pc.cast(b["l_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)[hit]
+        shit, spos = sorted_probe(sk_sorted, ls)
+        if not shit.all():
+            raise ValueError("lineitem references unknown suppkey")
+        cents = _cents(b, "l_extendedprice")[hit]
+        disc = _cents(b, "l_discount")[hit]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    pc.cast(b["l_orderkey"], pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    )[hit],
+                    pa.int64(),
+                ),
+                "nationkey": pa.array(snat_sorted[spos], pa.int64()),
+                "units": pa.array(cents * (100 - disc), pa.int64()),
+            }
+        )
+
+    def _oyear(b: pa.Table) -> pa.Table:
+        # key must carry the join column's name on BOTH sides
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    slim = lineitem.map_batches(_slim, batch_format="pyarrow")
+    oy = orders.map_batches(_oyear, batch_format="pyarrow")
+    joined = hash_bucket_join(
+        slim, oy, "l_orderkey", ("nationkey", "units"), ("o_year",)
+    )
+    agg = joined.groupby(["nationkey", "o_year"]).sum("units")
+
+    nk = pc.cast(nation["n_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    n_order = np.argsort(nk, kind="stable")
+    n_names = np.asarray(nation["n_name"].to_pandas())[n_order]
+    nk_sorted = nk[n_order]
+
+    def _finish(b: pa.Table) -> pa.Table:
+        keys = pc.cast(b["nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        hit, pos = sorted_probe(nk_sorted, keys)
+        if not hit.all():
+            raise ValueError("unknown nationkey in profit aggregate")
+        return pa.table(
+            {
+                "n_name": pa.array(n_names[pos], pa.string()),
+                "o_year": pc.cast(b["o_year"], pa.int64()),
+                "profit_units": pc.cast(b["sum(units)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def important_part_values(
+    lineitem: ray.data.Dataset,
+    supplier: pa.Table,
+    nationkey: int,
+    mult: int = 1000,
+) -> ray.data.Dataset:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's supplied value — the group-then-global-threshold
+    correlated scalar (`HAVING value > frac × (SELECT sum ...)`).
+
+    Adaptation (no partsupp availqty·supplycost): value(part) :=
+    Σ cents·(100−disc) over the nation's suppliers' lineitem rows.
+
+    Scale + exactness: supplier mask resolves block-side; ONE
+    part-domain exchange; the global total is a SCALAR driver
+    aggregate over that same dataset, broadcast back into a
+    distributed filter — the part table itself never collects. The
+    threshold compare is the exact integer cross-multiplication
+    ``value · mult > total`` (no division, no float)."""
+    from .sweep import sorted_probe
+
+    sk = pc.cast(supplier["s_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    snat = pc.cast(supplier["s_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    nation_suppliers = np.sort(sk[snat == nationkey])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ls = pc.cast(b["l_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        hit, _ = sorted_probe(nation_suppliers, ls)
+        if not hit.any():
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "value_units": pa.array([], pa.int64()),
+                }
+            )
+        cents = _cents(b, "l_extendedprice")[hit]
+        disc = _cents(b, "l_discount")[hit]
+        t = pa.table(
+            {
+                "p_partkey": pa.array(
+                    pc.cast(b["l_partkey"], pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    )[hit],
+                    pa.int64(),
+                ),
+                "value_units": pa.array(cents * (100 - disc), pa.int64()),
+            }
+        )
+        g = t.group_by("p_partkey").aggregate([("value_units", "sum")])
+        return g.rename_columns(["p_partkey", "value_units"])
+
+    agg = (
+        lineitem.map_batches(_partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .sum("value_units")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "p_partkey": pc.cast(b["p_partkey"], pa.int64()),
+                    "value_units": pc.cast(b["sum(value_units)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed twice: scalar total + threshold filter
+    )
+    total = int(agg.sum("value_units") or 0)
+
+    def _thresh(b: pa.Table) -> pa.Table:
+        v = b["value_units"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(v * mult > total))
+
+    return agg.map_batches(_thresh, batch_format="pyarrow")
+
+
+def priority_line_counts(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    ts_from_us: int,
+    ts_to_us: int,
+) -> ray.data.Dataset:
+    """TPC-H Q12 shape: per line-class counts of high- vs low-priority
+    orders — the fact-fact join feeding a CASE-bucketed aggregation.
+
+    Adaptation (no l_shipmode / commitdate / receiptdate): the line
+    class is ``l_returnflag`` and the window filter is on l_shipdate.
+
+    Scale: slim (orderkey, returnflag) rows filtered block-side → ONE
+    orderkey hash-bucket co-partition against slim orders → count
+    partials per (returnflag, is_high) → flag-domain exchange."""
+    lo, hi = np.int64(ts_from_us), np.int64(ts_to_us)
+
+    def _slim(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b["l_shipdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        m = (ship >= lo) & (ship < hi)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()).filter(
+                    pa.array(m)
+                ),
+                "flag": b["l_returnflag"].filter(pa.array(m)),
+            }
+        )
+
+    def _oslim(b: pa.Table) -> pa.Table:
+        pri = b["o_orderpriority"].to_pandas()
+        # key must carry the join column's name on BOTH sides
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "is_high": pa.array(
+                    pri.isin(["1-URGENT", "2-HIGH"]).to_numpy(), pa.bool_()
+                ),
+            }
+        )
+
+    joined = hash_bucket_join(
+        lineitem.map_batches(_slim, batch_format="pyarrow"),
+        orders.map_batches(_oslim, batch_format="pyarrow"),
+        "l_orderkey",
+        ("flag",),
+        ("is_high",),
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["flag", "is_high"]).aggregate([([], "count_all")])
+        return g.rename_columns(["flag", "is_high", "n"])
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["flag", "is_high"])
+        .sum("n")
+    )
+
+    def _pivot(b: pa.Table) -> pa.Table:
+        hi_n = pc.cast(b["sum(n)"], pa.int64()).to_numpy(zero_copy_only=False)
+        ish = b["is_high"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": b["flag"],
+                "high_line_count": pa.array(np.where(ish, hi_n, 0), pa.int64()),
+                "low_line_count": pa.array(np.where(ish, 0, hi_n), pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(_pivot, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .sum(["high_line_count", "low_line_count"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_returnflag": b["l_returnflag"],
+                    "high_line_count": pc.cast(
+                        b["sum(high_line_count)"], pa.int64()
+                    ),
+                    "low_line_count": pc.cast(
+                        b["sum(low_line_count)"], pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def supplier_part_counts(
+    lineitem: ray.data.Dataset,
+    part: pa.Table,
+    supplier: pa.Table,
+    excl_brand: str,
+    excl_type: str,
+    sizes: tuple[int, ...],
+) -> ray.data.Dataset:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) over the supplies relation, minus a screened supplier set —
+    COUNT(DISTINCT) + NOT-IN-subquery.
+
+    Adaptation: supplies := DISTINCT (l_partkey, l_suppkey) observed in
+    lineitem (no partsupp); the complaint screen is s_acctbal < 0 (no
+    s_comment column).
+
+    Scale: part-attr filter and the screened-supplier set resolve
+    block-side from broadcast dims; the exchanges carry only the
+    filtered distinct pair partials — groupby (brand, type, size,
+    suppkey) distinct then (brand, type, size) count."""
+    from .sweep import sorted_probe
+
+    pk = pc.cast(part["p_partkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    brand = np.asarray(part["p_brand"].to_pandas())
+    ptype = np.asarray(part["p_type"].to_pandas())
+    size = pc.cast(part["p_size"], pa.int64()).to_numpy(zero_copy_only=False)
+    pmask = (brand != excl_brand) & (ptype != excl_type) & np.isin(size, sizes)
+    p_order = np.argsort(pk, kind="stable")
+    pk_sorted = pk[p_order]
+    keep_sorted = pmask[p_order]
+    brand_s, type_s, size_s = brand[p_order], ptype[p_order], size[p_order]
+
+    sk = pc.cast(supplier["s_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    sbal = pc.cast(supplier["s_acctbal"], pa.float64()).to_numpy(
+        zero_copy_only=False
+    )
+    screened = np.sort(sk[sbal < 0])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        lp = pc.cast(b["l_partkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        ls = pc.cast(b["l_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        hit, pos = sorted_probe(pk_sorted, lp)
+        if not hit.all():
+            raise ValueError("lineitem references unknown partkey")
+        m = keep_sorted[pos]
+        bad, _ = sorted_probe(screened, ls)
+        m &= ~bad
+        if not m.any():
+            return pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "p_type": pa.array([], pa.string()),
+                    "p_size": pa.array([], pa.int64()),
+                    "suppkey": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "p_brand": pa.array(brand_s[pos[m]], pa.string()),
+                "p_type": pa.array(type_s[pos[m]], pa.string()),
+                "p_size": pa.array(size_s[pos[m]], pa.int64()),
+                "suppkey": pa.array(ls[m], pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["p_brand", "p_type", "p_size", "suppkey"]).aggregate([])
+        )  # block-side distinct
+
+    distinct = (
+        lineitem.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size", "suppkey"])
+        .count()
+    )
+    return (
+        distinct.map_batches(
+            lambda b: b.select(["p_brand", "p_type", "p_size"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["p_brand", "p_type", "p_size"])
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "p_brand": b["p_brand"],
+                    "p_type": b["p_type"],
+                    "p_size": pc.cast(b["p_size"], pa.int64()),
+                    "supplier_cnt": pc.cast(b["count()"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def excess_shippers(
+    lineitem: ray.data.Dataset,
+    part: pa.Table,
+    supplier: pa.Table,
+    name_prefix: str,
+    nationkey: int,
+    ts_from_us: int,
+    ts_to_us: int,
+    qty_threshold_hundredths: int,
+) -> pa.Table:
+    """TPC-H Q20 shape: suppliers in one nation having shipped MORE
+    than a threshold of at least one part from a name class in a year
+    — the nested agg-subquery → IN → semi-join chain.
+
+    Adaptation (no partsupp availqty): the per-(part, supplier)
+    comparison is against a fixed exact-int threshold (quantity in
+    hundredths) instead of 0.5·availqty.
+
+    Scale: part-prefix mask and window filter resolve block-side; ONE
+    (partkey, suppkey)-domain exchange of qty partials; the qualifying
+    supplier set is supplier-dimension-bounded → the semi-join is a
+    bounded driver attach."""
+    from .sweep import sorted_probe
+
+    pk = pc.cast(part["p_partkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    pname = part["p_name"].to_pandas()
+    good_parts = np.sort(pk[np.asarray(pname.str.startswith(name_prefix))])
+    lo, hi = np.int64(ts_from_us), np.int64(ts_to_us)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        lp = pc.cast(b["l_partkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        ship = pc.cast(b["l_shipdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        hit, _ = sorted_probe(good_parts, lp)
+        m = hit & (ship >= lo) & (ship < hi)
+        if not m.any():
+            return pa.table(
+                {
+                    "partkey": pa.array([], pa.int64()),
+                    "suppkey": pa.array([], pa.int64()),
+                    "qty_h": pa.array([], pa.int64()),
+                }
+            )
+        qty_h = _cents(b, "l_quantity")[m]  # quantity in exact hundredths
+        t = pa.table(
+            {
+                "partkey": pa.array(lp[m], pa.int64()),
+                "suppkey": pa.array(
+                    pc.cast(b["l_suppkey"], pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    )[m],
+                    pa.int64(),
+                ),
+                "qty_h": pa.array(qty_h, pa.int64()),
+            }
+        )
+        g = t.group_by(["partkey", "suppkey"]).aggregate([("qty_h", "sum")])
+        return g.rename_columns(["partkey", "suppkey", "qty_h"])
+
+    agg = (
+        lineitem.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["partkey", "suppkey"])
+        .sum("qty_h")
+    )
+    qual = agg.map_batches(
+        lambda b: b.filter(
+            pc.greater(b["sum(qty_h)"], qty_threshold_hundredths)
+        ).select(["suppkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # bounded: qualifying suppliers ≤ supplier dimension
+    if "suppkey" not in qual.columns or len(qual) == 0:
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()), "s_name": pa.array([], pa.string())}
+        )
+    qual_set = np.unique(qual["suppkey"].to_numpy())
+
+    sk = pc.cast(supplier["s_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    snat = pc.cast(supplier["s_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    hit, _ = sorted_probe(np.sort(qual_set), sk)
+    m = hit & (snat == nationkey)
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"s_suppkey": sk[m], "s_name": np.asarray(supplier["s_name"].to_pandas())[m]}
+    ).sort_values("s_suppkey", kind="stable")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
