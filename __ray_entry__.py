@@ -1098,7 +1098,7 @@ def _q_excess_shippers(sf_dir: str):
         pq.read_table(f"{sf_dir}/part.parquet"),
         pq.read_table(f"{sf_dir}/supplier.parquet"),
         name_prefix="red",
-        nationkey=1,
+        nationkey=3,
         ts_from_us=852_076_800_000_000,   # 1997-01-01
         ts_to_us=883_612_800_000_000,     # 1998-01-01
         qty_threshold_hundredths=2_000,
@@ -4301,7 +4301,7 @@ WITH q AS (
   GROUP BY 1, 2)
 SELECT DISTINCT s_suppkey, s_name
 FROM supplier JOIN q ON l_suppkey = s_suppkey
-WHERE s_nationkey = 1 AND q.qty_h > 2000
+WHERE s_nationkey = 3 AND q.qty_h > 2000
 """,
         "kgram_dup_coverage": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
